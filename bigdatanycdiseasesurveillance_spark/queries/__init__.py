@@ -1,0 +1,13 @@
+"""Query corpus: every SURVEY.md §2 operator wired to the synthetic
+star schema, each with a DuckDB oracle when SQL-expressible.
+
+Importing this package registers all specs (see ..registry).
+"""
+
+from . import (  # noqa: F401
+    core_agg,
+    core_join,
+    core_window,
+    scalar,
+    tpch,
+)

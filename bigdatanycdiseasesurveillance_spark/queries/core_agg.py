@@ -1,0 +1,193 @@
+"""Aggregation query corpus (SURVEY §2.4 A1-A13) over `events` and
+`documents`."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import aggregations as agg
+from ..registry import register
+from ..tables import table
+
+
+@register(
+    "agg_daily_type_counts",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("agg", "A1", "A2"),
+    bench=True,
+)
+def agg_daily_type_counts(spark, sf_dir):
+    """A1/A2: daily per-type counts + value sums (the reference's
+    daily_disease_counts materialized view shape)."""
+    return agg.daily_counts(table(spark, sf_dir, "events"), "ts", ["event_type"], "value")
+
+
+@register(
+    "agg_hourly_series",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    """,
+    tags=("agg", "A4"),
+)
+def agg_hourly_series(spark, sf_dir):
+    """A4: hourly event time-series (dashboard hourly chart)."""
+    return agg.hourly_series(table(spark, sf_dir, "events"), "ts")
+
+
+@register(
+    "agg_top_event_types",
+    oracle="""
+        SELECT event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1
+        ORDER BY cnt DESC, event_type LIMIT 10
+    """,
+    tags=("agg", "A3", "O1"),
+)
+def agg_top_event_types(spark, sf_dir):
+    """A3/O1: top-N distribution with deterministic tie-break."""
+    return agg.top_n(table(spark, sf_dir, "events"), ["event_type"], 10)
+
+
+@register(
+    "agg_type_summary",
+    oracle="""
+        SELECT event_type, COUNT(*) AS cnt, MAX(ts) AS last_ts
+        FROM events GROUP BY 1
+    """,
+    tags=("agg", "A5"),
+)
+def agg_type_summary(spark, sf_dir):
+    """A5: per-group count + latest timestamp (borough_severity_summary)."""
+    return agg.group_summary(table(spark, sf_dir, "events"), ["event_type"], "ts")
+
+
+@register(
+    "agg_global_stats",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT user_id) AS n_distinct_ids,
+               MIN(ts) AS min_ts,
+               MAX(ts) AS max_ts,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events
+    """,
+    tags=("agg", "A6", "A9"),
+)
+def agg_global_stats(spark, sf_dir):
+    """A6/A9: global stats row (count / distinct / min / max / avg)."""
+    return agg.global_stats(table(spark, sf_dir, "events"), "ts", "value", "user_id")
+
+
+@register(
+    "agg_value_mean_std",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               ROUND(AVG(value), 4) AS mean_value,
+               ROUND(STDDEV_SAMP(value), 4) AS std_value
+        FROM events GROUP BY 1
+    """,
+    tags=("agg", "A7"),
+)
+def agg_value_mean_std(spark, sf_dir):
+    """A7: historical mean/std per group (z-score denominator)."""
+    return agg.mean_std_per_group(table(spark, sf_dir, "events"), ["event_type"], "value")
+
+
+@register(
+    "agg_user_type_histogram",
+    oracle="""
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("agg", "A8"),
+)
+def agg_user_type_histogram(spark, sf_dir):
+    """A8: per-entity histograms (pandas value_counts rollups, natively)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "agg_last_writer_wins",
+    oracle="""
+        SELECT user_id, event_type,
+               event_id AS last_event_id,
+               ROUND(value, 2) AS last_value
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    tags=("agg", "A10"),
+)
+def agg_last_writer_wins(spark, sf_dir):
+    """A10: last-writer-wins key dedup (upsert semantics, natively)."""
+    ev = table(spark, sf_dir, "events")
+    won = agg.latest_per_group(
+        ev, ["user_id", "event_type"], [F.desc("ts"), F.desc("event_id")]
+    )
+    return won.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+@register(
+    "agg_value_k_corr",
+    oracle="""
+        SELECT ROUND(CORR(value,
+                 CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)
+               AS corr_value
+        FROM events
+    """,
+    tags=("agg", "A12", "json"),
+)
+def agg_value_k_corr(spark, sf_dir):
+    """A12: Pearson correlation between a column and a JSON-extracted
+    property (informal-vs-official correlation shape)."""
+    ev = table(spark, sf_dir, "events")
+    return agg.correlation(
+        ev,
+        F.col("value"),
+        F.get_json_object("props", "$.k").cast("double"),
+    )
+
+
+@register(
+    "agg_doc_source_stats",
+    oracle="""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT lang) AS n_langs,
+               ROUND(AVG(n_chars), 2) AS avg_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1
+    """,
+    tags=("agg", "A13"),
+)
+def agg_doc_source_stats(spark, sf_dir):
+    """A13: batch metadata summary (distinct-collect shape, as counts)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -1,0 +1,139 @@
+"""Scalar-function query corpus (SURVEY §2.8: string / date / math /
+JSON / hash families) — each family exercised end-to-end with oracle
+parity. Regex patterns are kept to the common subset of Java regex
+(Spark) and RE2 (DuckDB); DuckDB regexp_replace needs the 'g' flag to
+match Spark's replace-all semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import fingerprint
+from ..registry import register
+from ..tables import table
+
+
+@register(
+    "scalar_string_suite",
+    oracle="""
+        SELECT doc_id,
+               upper(source) AS src_upper,
+               substring(text, 1, 20) AS text_head,
+               length(text) AS text_len,
+               length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS n_vowels,
+               CASE WHEN n_chars >= 400 THEN 'long'
+                    WHEN n_chars >= 150 THEN 'medium'
+                    ELSE 'short' END AS size_class,
+               concat_ws('-', source, lang) AS src_lang
+        FROM documents
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_suite(spark, sf_dir):
+    """String family: upper/substring/length/regexp_replace/CASE/concat_ws."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("source").alias("src_upper"),
+        F.substring("text", 1, 20).alias("text_head"),
+        F.length("text").alias("text_len"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^aeiou]", "")).alias("n_vowels"),
+        F.when(F.col("n_chars") >= 400, "long")
+        .when(F.col("n_chars") >= 150, "medium")
+        .otherwise("short")
+        .alias("size_class"),
+        F.concat_ws("-", "source", "lang").alias("src_lang"),
+    )
+
+
+@register(
+    "scalar_date_parts",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               date_part('dow', ts) AS dow,
+               date_part('hour', ts) AS hod,
+               COUNT(*) AS cnt
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_date_parts(spark, sf_dir):
+    """Date family: trunc + dow/hour extraction. Spark dayofweek is
+    1=Sunday, DuckDB dow is 0=Sunday — normalized to DuckDB's 0-base."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "scalar_json_props",
+    oracle="""
+        SELECT event_type,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY 1
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json_props(spark, sf_dir):
+    """JSON family: get_json_object extraction + typed aggregation
+    (raw_data JSONB access in the reference)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+        F.max(k.cast("long")).alias("max_k"),
+    )
+
+
+@register(
+    "scalar_hash_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+                                  ' +', ' ', 'g')) AS fp,
+               sha256(text) AS text_sha
+        FROM documents
+    """,
+    tags=("scalar", "hash", "text"),
+)
+def scalar_hash_fingerprint(spark, sf_dir):
+    """Hash family: md5 normalized-text fingerprint + sha256 — the
+    reference's exact-dup hashing (SHA-256,
+    reference: src/spark_consumers/deduplication_consumer.py:138-148)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+
+
+@register(
+    "scalar_math_suite",
+    oracle="""
+        SELECT event_id,
+               ROUND(GREATEST(0.0, LEAST(value, 150.0)), 2) AS clipped,
+               ROUND(sqrt(abs(value)), 4) AS root,
+               ROUND(ln(value + 1.0), 4) AS log1p_value,
+               CAST(floor(value / 50.0) AS BIGINT) AS bucket
+        FROM events
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math_suite(spark, sf_dir):
+    """Math family: clip (greatest/least, the reference's confidence cap
+    min(x, 0.90)), sqrt/ln, floor-bucketing."""
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(F.greatest(F.lit(0.0), F.least(v, F.lit(150.0))), 2).alias("clipped"),
+        F.round(F.sqrt(F.abs(v)), 4).alias("root"),
+        F.round(F.log(v + 1.0), 4).alias("log1p_value"),
+        F.floor(v / 50.0).cast("long").alias("bucket"),
+    )

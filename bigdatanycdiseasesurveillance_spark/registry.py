@@ -1,0 +1,66 @@
+"""Query registry — the single source of truth for the driver contract.
+
+Every operator the engine claims (SURVEY.md §2) registers here as a named
+spec: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus, when the
+semantics are SQL-expressible, the equivalent ANSI SQL the DuckDB oracle
+runs on the same parquet tables. ``__spark_entry__.py`` exposes the
+registry verbatim.
+
+Parity rules every spec follows (so order-insensitive value-hash
+comparison succeeds):
+
+- every computed column is aliased identically on both sides;
+- every floating-point output is ``round(x, N)`` on both sides (sums and
+  averages are order-dependent in the last bits across engines);
+- day-grain times are cast to DATE on both sides (Spark date_trunc
+  returns timestamp, DuckDB returns timestamp — DATE is unambiguous);
+- arrays are never emitted raw (element order may differ) — emit
+  deterministic joins (array_join of order-preserving constructs) or
+  counts instead;
+- top-k queries carry a full tie-breaking ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: SparkFn
+    oracle: str | None = None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[SparkFn], SparkFn]:
+    def deco(fn: SparkFn) -> SparkFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""), tags, bench)
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    # Import the query modules for their registration side effects.
+    from . import queries  # noqa: F401
+
+    return dict(_REGISTRY)

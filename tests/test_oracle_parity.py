@@ -1,0 +1,36 @@
+"""The driver's correctness gate, run locally: every registered query
+with an oracle is executed in Spark and DuckDB on the same parquet and
+compared as an order-insensitive normalized row multiset."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatanycdiseasesurveillance_spark.registry import all_specs
+
+from .helpers import assert_parity, duck_con
+
+SPECS = all_specs()
+ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.oracle)
+ROWS_ONLY_NAMES = sorted(n for n, s in SPECS.items() if not s.oracle)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duck_con(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, sf_dir, con, name):
+    spec = SPECS[name]
+    assert_parity(spec.fn(spark, sf_dir), spec.oracle, con, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(spark, sf_dir, name):
+    spec = SPECS[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
