@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline (bench=True) registry queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced end-to-end with the noop sink (full physical
+execution, no driver-side collect overhead). One warm-up of the first
+query amortizes JVM/codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_DIR)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from bigdatanycdiseasesurveillance_spark.registry import all_specs
+    from bigdatanycdiseasesurveillance_spark.session import get_spark
+
+    spark = get_spark("bdnds-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = {n: s for n, s in all_specs().items() if s.bench}
+
+    def run(spec) -> float:
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # Warm-up: first spec once (JVM + codegen + parquet footer caches).
+    first = next(iter(specs.values()))
+    run(first)
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        timings[name] = round(run(spec), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
