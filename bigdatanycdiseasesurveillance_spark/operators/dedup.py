@@ -1,0 +1,266 @@
+"""Deduplication operators (SURVEY §2.11 M1-M3 + training-data dedup).
+
+The reference runs a 3-tier dedup (exact SHA-256, TF-IDF cosine vs the
+last 100 texts, embedding cosine vs the last 50) as a driver-side loop
+with order-dependent caches (reference:
+src/spark_consumers/deduplication_consumer.py:107-286). A distributed
+engine needs deterministic, order-free semantics (SURVEY §7.4 #1):
+candidates come from *blocking* (not arrival order), the canonical
+record of a duplicate group is the lowest id, and every tier is a
+DataFrame plan.
+
+Scale design:
+- exact tier: hash + groupBy — one shuffle on the 16-byte hash;
+- n-gram Jaccard: blocked self-join (equi-join on block keys, so the
+  pair space is per-block, never全-corpus O(n^2));
+- MinHash-LSH: signature = array of per-permutation mins computed as
+  column expressions (xxhash64 — JVM-side, no Python); banding turns
+  near-dup search into equi-joins on band keys; candidates verified
+  with exact Jaccard;
+- SimHash: 64-bit signature via bit-vote aggregation over token hashes,
+  chunk-blocked Hamming candidate generation;
+- embedding tier: cosine pairs within label blocks (stand-in for LSH
+  buckets over real embeddings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import distinct_tokens, fingerprint, word_jaccard
+from ..functions.vectors import cosine_cols
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """M1: exact-duplicate groups by normalized-text hash. Returns one
+    row per distinct content: (fp, canonical_id, dup_count)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def _blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[Column],
+    payload: dict[str, Column],
+) -> DataFrame:
+    """Self-join on block keys producing candidate pairs (id_a < id_b).
+    The equi-join on block keys is what keeps the pair space linear-ish:
+    each block is small, so blocks shuffle independently and no executor
+    ever sees the full corpus."""
+    sel = [F.col(id_col).alias("id")] + [
+        c.alias(f"blk_{i}") for i, c in enumerate(block_cols)
+    ] + [v.alias(k) for k, v in payload.items()]
+    side = df.select(*sel)
+    a = side.select([F.col(c).alias(f"a_{c}") for c in side.columns])
+    b = side.select([F.col(c).alias(f"b_{c}") for c in side.columns])
+    cond = [F.col(f"a_blk_{i}") == F.col(f"b_blk_{i}") for i in range(len(block_cols))]
+    cond.append(F.col("a_id") < F.col("b_id"))
+    return a.join(b, cond)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    chars_col: str = "n_chars",
+    threshold: float = 0.7,
+    char_bucket: int = 50,
+) -> DataFrame:
+    """M2-class n-gram (word) Jaccard near-dup pairs, blocked by
+    (source, length bucket). Returns (id_a, id_b, jaccard)."""
+    pairs = _blocked_pairs(
+        df,
+        id_col,
+        [F.col(source_col), F.floor(F.col(chars_col) / F.lit(char_bucket))],
+        {"tok": distinct_tokens(F.col(text_col))},
+    )
+    j = word_jaccard(F.col("a_tok"), F.col("b_tok"))
+    return (
+        pairs.select(
+            F.col("a_id").alias("id_a"),
+            F.col("b_id").alias("id_b"),
+            F.round(j, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(tokens_col: Column, n_perm: int = 32) -> Column:
+    """MinHash signature as an array<long>: perm i = min over tokens of
+    xxhash64(token, seed=i). Pure column expressions — the whole
+    signature computes inside codegen, no Python, no ML-pipeline
+    intermediate DataFrames."""
+    def perm(i):
+        # single-param lambda: a 2-param lambda would receive the array
+        # INDEX as its second argument (higher-order-function contract)
+        return lambda t: F.xxhash64(t, F.lit(i))
+
+    return F.array(*[F.array_min(F.transform(tokens_col, perm(i))) for i in range(n_perm)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """M2: MinHash-LSH near-dup detection. shingle -> minhash -> band ->
+    bucket-join -> verify. With 32 perms in 8 bands of 4, pairs with
+    Jaccard 0.7 collide in >=1 band w.p. ~0.97; all candidates are then
+    verified with exact Jaccard so the output has no false positives.
+    Returns (id_a, id_b, jaccard) — same contract as jaccard_pairs.
+
+    Scale path: signatures are fixed-width (n_perm longs) regardless of
+    doc size; each band bucket-join is an equi-join on (band, hash) so
+    the shuffle key space is uniform unless the corpus is degenerate.
+    """
+    rows_per_band = n_perm // bands
+    toks = distinct_tokens(F.col(text_col))
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("tok"),
+        minhash_signature(toks, n_perm).alias("sig"),
+    )
+    banded = sigs.select(
+        "id",
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "tok", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_a"), F.col("tok").alias("tok_a")
+    )
+    b = banded.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_b"), F.col("tok").alias("tok_b")
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "tok_a", "tok_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    j = word_jaccard(F.col("tok_a"), F.col("tok_b"))
+    return cand.select(
+        "id_a", "id_b", F.round(j, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_signature(hashes_col: Column, bits: int = 64) -> Column:
+    """SimHash over a precomputed array<long> of token hashes: for each
+    bit b, vote +1/-1 by whether bit b is set across token hashes;
+    signature bit b = (vote > 0). Returned as a long. Column-expression
+    only — the per-bit loop unrolls into JVM bit arithmetic, and hashing
+    each token happens exactly once (callers pass
+    transform(tokens, xxhash64))."""
+    def vote_fn(b):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashes_col, F.lit(0).cast("long"), vote_fn(b))
+        # set bit b via shiftleft (2**63 would overflow a Python->long
+        # literal; shifting keeps it in Java long arithmetic)
+        bit = F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """M2/M3-class SimHash near-dup pairs. Blocking: split the 64-bit
+    signature into (max_hamming/16+1... practical: 4) 16-bit chunks —
+    pairs within Hamming<=max_hamming must agree on >=1 chunk when
+    max_hamming < 4*? (pigeonhole holds for max_hamming <= 3 with 4
+    chunks; larger budgets trade recall). Candidates verified with the
+    true Hamming distance. Returns (id_a, id_b, hamming)."""
+    chunks = 4
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(distinct_tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    sigs = hashed.select("id", simhash_signature(F.col("th"), bits).alias("sig"))
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sig"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("ckey"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sig", "cc.chunk", "cc.ckey")
+    a = banded.select("chunk", "ckey", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = banded.select("chunk", "ckey", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """M3: embedding-cosine near-dup pairs within blocks. The block
+    column stands in for an LSH bucket (BucketedRandomProjectionLSH
+    would generate it for unblocked corpora). Returns
+    (id_a, id_b, cosine_sim)."""
+    side = emb.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
+    )
+    a = side.select(F.col("id").alias("id_a"), F.col("blk"), F.col("v").alias("v_a"))
+    b = side.select(F.col("id").alias("id_b"), F.col("blk"), F.col("v").alias("v_b"))
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine_cols(F.col("v_a"), F.col("v_b"))
+    return pairs.select(
+        "id_a", "id_b", F.round(sim, 4).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (SURVEY §2.11 M5 +
+training-pipeline ANN).
+
+The reference delegates vector search to ChromaDB (reference:
+src/database/chromadb_client.py:194-306: query by text, metadata
+filters, n_results). Here the embedding is a native ArrayType column and
+search is a DataFrame plan:
+
+- brute-force cosine top-k: exact baseline — a single scan with a
+  codegen'd cosine expression and TakeOrderedAndProject. At 100 TB this
+  is the per-partition scan you run when the candidate set is already
+  bucketed;
+- IVF-style bucketed search: restrict the scan to the query's coarse
+  cell (here the `label` column; `ivf_assign` computes cells from
+  centroids when none exist). This is the nprobe=1 scale path — the
+  scan touches 1/k of the corpus;
+- knn-join per block: every vector's top-k neighbors within its cell —
+  the all-pairs building block for embedding dedup and clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine, cosine_cols
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    where: Column | None = None,
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector. The query
+    vector is a literal array, so the comparison is a scan + ordered
+    top-k — no join, no shuffle of the corpus, TakeOrderedAndProject
+    keeps only k rows per partition."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb if where is None else emb.filter(where)
+    sim = cosine(as_double(F.col(vec_col)), as_double(q))
+    return (
+        scored.select(F.col(id_col), F.round(sim, 4).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_per_block(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Top-k neighbors for EVERY vector within its block (IVF cell).
+    Block equi-join keeps the pair space per-cell; the ranking window
+    partitions on the left id so the top-k never leaves the executors.
+    Returns (vec_id, neighbor_id, cosine_sim, rank)."""
+    a = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v_a")
+    )
+    b = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v_b")
+    )
+    pairs = a.join(b, "blk").filter(F.col("vec_id") != F.col("neighbor_id"))
+    sim = F.round(cosine_cols(F.col("v_a"), F.col("v_b")), 4)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.select("vec_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.col("sim").alias("cosine_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ivf_centroids(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", cell_col: str = "label"
+) -> DataFrame:
+    """Per-cell centroids as element-wise means: posexplode -> groupBy
+    (cell, pos) -> avg -> re-assemble ordered array. Fully distributed;
+    output is n_cells rows (broadcastable)."""
+    exploded = emb.select(
+        F.col(cell_col).alias("cell"), F.posexplode(as_double(F.col(vec_col)))
+    ).toDF("cell", "pos", "val")
+    dims = exploded.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+    return dims.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.getField("m")
+        ).alias("centroid")
+    )
+
+
+def ivf_search(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF search: rank cells by centroid similarity to the query, scan
+    only the nprobe closest cells, exact top-k inside them. The
+    centroid table is tiny (collected to pick cells — n_cells rows, not
+    data rows), and the data-side scan is a partition-pruned filter."""
+    cents = ivf_centroids(emb, id_col, vec_col, cell_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    ranked = (
+        cents.select("cell", cosine(F.col("centroid"), as_double(q)).alias("csim"))
+        .orderBy(F.desc("csim"), F.asc("cell"))
+        .limit(nprobe)
+    )
+    probe_cells = [r["cell"] for r in ranked.collect()]
+    return brute_force_topk(
+        emb, query_vec, k, id_col, vec_col, where=F.col(cell_col).isin(probe_cells)
+    )

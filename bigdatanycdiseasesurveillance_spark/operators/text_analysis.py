@@ -1,0 +1,134 @@
+"""Text-analysis operators for training-data pipelines: token stats,
+quality scoring, trigram language-ID, document fingerprinting.
+
+All are native column expressions / DataFrame plans (no Python UDFs):
+at 100 TB these are full-corpus scans, so staying in codegen is the
+difference between scan-bandwidth throughput and a Python bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import (
+    STOPWORDS,
+    fingerprint,
+    stopword_count,
+    token_count,
+    tokens,
+)
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics (token counting for data budgets)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return df.withColumn("n_tokens", n.cast("long")).withColumn(
+        "n_distinct_tokens", F.size(F.array_distinct(toks)).cast("long")
+    ).withColumn(
+        "stop_cnt", stopword_count(F.col(text_col)).cast("long")
+    ).withColumn(
+        "avg_token_len",
+        F.round(total_len.cast("double") / n.cast("double"), 4),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1] from length / stopword ratio /
+    token diversity (the classic pretraining-corpus filters)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_ratio = stopword_count(F.col(text_col)).cast("double") / n
+    length_term = F.least(F.lit(1.0), n / F.lit(60.0))
+    score = F.round(
+        F.least(
+            F.lit(1.0),
+            0.4 * length_term + 0.3 * distinct_ratio + 0.3 * F.least(F.lit(1.0), 4.0 * stop_ratio),
+        ),
+        4,
+    )
+    return (
+        df.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("distinct_ratio", F.round(distinct_ratio, 4))
+        .withColumn("stop_ratio", F.round(stop_ratio, 4))
+        .withColumn("quality_score", score)
+        .withColumn("is_high_quality", score >= 0.6)
+    )
+
+
+def _norm_text(text_col: Column) -> Column:
+    return F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(text_col), "[^a-z0-9 ]", " ")), " +", " "
+    )
+
+
+def char_trigrams(text_col: Column) -> Column:
+    """Distinct character trigrams of normalized text (empty array if
+    the text is shorter than 3 chars — Spark's sequence() would count
+    DOWN for a negative span, so the guard matters)."""
+    norm = _norm_text(text_col)
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(2)), lambda i: norm.substr(i, F.lit(3))
+    )
+    return F.when(n >= 3, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def langid_trigram(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    profile_size: int = 50,
+) -> DataFrame:
+    """Trigram language-ID: learn per-language profiles (top-N most
+    frequent trigrams over the labeled corpus), then classify each doc
+    by profile overlap. Returns (doc_id, lang, predicted_lang, score).
+
+    Fully distributed: profile building is explode+groupBy+rank (the
+    profiles are tiny -> broadcast); scoring is explode + broadcast join
+    + groupBy argmax. Deterministic: rank ties break on trigram asc,
+    argmax ties break on language asc.
+    """
+    grams = docs.select(
+        "doc_id", F.col(label_col).alias("lang"), F.explode(char_trigrams(F.col(text_col))).alias("g")
+    )
+    freq = grams.groupBy("lang", "g").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("g"))
+    profiles = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= profile_size)
+        .select(F.col("lang").alias("profile_lang"), "g")
+    )
+    scored = (
+        grams.join(F.broadcast(profiles), "g")
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    pick = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("profile_lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("profile_lang").alias("predicted_lang"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )
+
+
+def fingerprint_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: md5 of normalized text + duplicate-group
+    flag (rolling-hash-class dedup key)."""
+    out = df.withColumn("fp", fingerprint(F.col(text_col)))
+    groups = out.groupBy("fp").agg(
+        F.count("*").alias("fp_count"), F.min("doc_id").alias("canonical_id")
+    )
+    return out.join(groups, "fp")

@@ -8,6 +8,10 @@ from . import (  # noqa: F401
     core_agg,
     core_join,
     core_window,
+    dedup_q,
+    forecast_q,
     scalar,
+    similarity_q,
+    text_q,
     tpch,
 )

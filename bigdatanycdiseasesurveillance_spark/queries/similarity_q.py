@@ -1,0 +1,84 @@
+"""Similarity-search query corpus (M5 + ANN) over `embeddings`."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..registry import register
+from ..tables import table
+
+
+def _query_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return list(row["embedding"])
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)
+                   AS cosine_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine_sim DESC, e.vec_id
+        LIMIT 10
+    """,
+    tags=("ann", "M5"),
+    bench=True,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """M5: exact brute-force cosine top-10 for a query vector (vec 0) —
+    one scan + TakeOrderedAndProject, cosine fully in codegen."""
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, qv, k=10, where=F.col("vec_id") != 0)
+
+
+@register(
+    "ann_knn_per_label",
+    oracle="""
+        SELECT * FROM (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4)
+                       AS cosine_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                             CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                                b.vec_id) AS BIGINT) AS rank
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+        ) WHERE rank <= 3
+    """,
+    tags=("ann", "knn"),
+    bench=True,
+)
+def ann_knn_per_label(spark, sf_dir):
+    """All-vectors kNN within blocks (IVF-cell-restricted knn-join): the
+    building block for embedding dedup / clustering at scale."""
+    return S.knn_per_block(table(spark, sf_dir, "embeddings"), k=3)
+
+
+@register(
+    "ann_ivf_search",
+    oracle=None,  # centroid computation + probe-cell selection spans two
+    # plans (tiny collect of n_cells rows between them) — validated
+    # structurally in tests/test_similarity.py against brute force.
+    tags=("ann", "ivf"),
+)
+def ann_ivf_search(spark, sf_dir):
+    """IVF search: rank cells by centroid similarity, scan only nprobe=2
+    cells, exact top-k inside — the 1/k-corpus-scan scale path."""
+    qv = _query_vec(spark, sf_dir, 0)
+    return S.ivf_search(table(spark, sf_dir, "embeddings"), qv, k=10, nprobe=2)

@@ -1,0 +1,175 @@
+"""Text-analysis + relevance query corpus over `documents`."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import STOPWORDS
+from ..operators.relevance import (
+    HAZARD_VOCAB,
+    PRIMARY_VOCAB,
+    SECONDARY_VOCAB,
+    extract_relevance,
+)
+from ..operators import text_analysis as TA
+from ..registry import register
+from ..tables import table
+
+_SW = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+_TOKS_CTE = """
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS tok
+        FROM documents
+    )
+"""
+
+
+@register(
+    "txt_token_stats",
+    oracle=_TOKS_CTE
+    + f"""
+        SELECT doc_id,
+               len(tok) AS n_tokens,
+               len(list_distinct(tok)) AS n_distinct_tokens,
+               len(list_filter(tok, t -> list_contains({_SW}, t))) AS stop_cnt,
+               ROUND(list_aggregate(list_transform(tok, t -> length(t)), 'avg'), 4)
+                   AS avg_token_len
+        FROM toks
+    """,
+    tags=("text", "tokens"),
+)
+def txt_token_stats(spark, sf_dir):
+    """Token counting: per-doc token/distinct/stopword counts + mean
+    token length (data-budget accounting)."""
+    d = table(spark, sf_dir, "documents")
+    return TA.token_stats(d).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "stop_cnt", "avg_token_len"
+    )
+
+
+@register(
+    "txt_quality_score",
+    oracle=_TOKS_CTE
+    + f"""
+        , s AS (
+            SELECT doc_id, len(tok) AS n,
+                   CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) AS dr,
+                   CAST(len(list_filter(tok, t -> list_contains({_SW}, t))) AS DOUBLE)
+                       / len(tok) AS sr
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               ROUND(dr, 4) AS distinct_ratio,
+               ROUND(sr, 4) AS stop_ratio,
+               ROUND(LEAST(1.0, 0.4 * LEAST(1.0, n / 60.0)
+                                + 0.3 * dr
+                                + 0.3 * LEAST(1.0, 4.0 * sr)), 4) AS quality_score,
+               ROUND(LEAST(1.0, 0.4 * LEAST(1.0, n / 60.0)
+                                + 0.3 * dr
+                                + 0.3 * LEAST(1.0, 4.0 * sr)), 4) >= 0.6
+                   AS is_high_quality
+        FROM s
+    """,
+    tags=("text", "quality"),
+)
+def txt_quality_score(spark, sf_dir):
+    """Quality scoring: length/diversity/stopword heuristic in [0,1]
+    (pretraining-corpus filter)."""
+    d = table(spark, sf_dir, "documents")
+    return TA.quality_score(d).select(
+        "doc_id", "n_tokens", "distinct_ratio", "stop_ratio", "quality_score", "is_high_quality"
+    )
+
+
+_NORM_SQL = (
+    "regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),"
+    " ' +', ' ', 'g')"
+)
+
+
+@register(
+    "txt_langid_trigram",
+    oracle=f"""
+        WITH norm AS (
+            SELECT doc_id, lang, {_NORM_SQL} AS nt FROM documents
+        ), grams AS (
+            SELECT doc_id, lang,
+                   unnest(list_distinct(
+                       CASE WHEN length(nt) >= 3
+                            THEN list_transform(range(1, length(nt) - 1),
+                                                i -> substr(nt, CAST(i AS INTEGER), 3))
+                            ELSE [] END)) AS g
+            FROM norm
+        ), freq AS (
+            SELECT lang, g, COUNT(*) AS freq FROM grams GROUP BY 1, 2
+        ), prof AS (
+            SELECT lang AS profile_lang, g FROM freq
+            QUALIFY row_number() OVER (PARTITION BY lang ORDER BY freq DESC, g) <= 50
+        ), scored AS (
+            SELECT gr.doc_id, gr.lang, p.profile_lang, COUNT(*) AS score
+            FROM grams gr JOIN prof p USING (g)
+            GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, lang, profile_lang AS predicted_lang,
+               CAST(score AS BIGINT) AS score
+        FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, profile_lang) = 1
+    """,
+    tags=("text", "langid"),
+    bench=True,
+)
+def txt_langid_trigram(spark, sf_dir):
+    """Language-ID: character-trigram profiles learned from the labeled
+    corpus, classification by profile overlap — all explode/groupBy/
+    broadcast-join, no UDFs."""
+    return TA.langid_trigram(table(spark, sf_dir, "documents"))
+
+
+_PV = "[" + ", ".join(f"'{k}'" for k in PRIMARY_VOCAB) + "]"
+_SV = "[" + ", ".join(f"'{k}'" for k in SECONDARY_VOCAB) + "]"
+_HV = "[" + ", ".join(f"'{k}'" for k in HAZARD_VOCAB) + "]"
+
+
+@register(
+    "rel_keyword_extraction",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id, text,
+                   list_filter({_PV}, k -> contains(lower(text), k)) AS p,
+                   len(list_filter({_PV}, k -> contains(lower(text), k))) AS np,
+                   len(list_filter({_SV}, k -> contains(lower(text), k))) AS ns,
+                   len(list_filter({_HV}, k -> contains(lower(text), k))) AS nh
+            FROM documents
+        )
+        SELECT doc_id,
+               -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+               COALESCE(array_to_string(p, ','), '') AS matched_primary,
+               np AS n_primary, ns AS n_secondary, nh AS n_hazard,
+               (length(text) >= 5) AND (np > 0 OR ns >= 2 OR nh > 0) AS is_relevant,
+               CASE WHEN np >= 3 THEN 'severe'
+                    WHEN np >= 2 THEN 'moderate'
+                    ELSE 'mild' END AS severity,
+               ROUND(LEAST(0.9, 0.25 * np + 0.1 * ns), 2) AS confidence
+        FROM m
+    """,
+    tags=("relevance", "U1", "P5"),
+    bench=True,
+)
+def rel_keyword_extraction(spark, sf_dir):
+    """U1/P5: the reference's relevance UDF as pure column expressions
+    (keyword dicts -> higher-order filter; severity/confidence when
+    chains). The stage that was the reference's 105 rec/s bottleneck."""
+    d = table(spark, sf_dir, "documents")
+    return extract_relevance(d).select(
+        "doc_id",
+        "matched_primary",
+        "n_primary",
+        "n_secondary",
+        "n_hazard",
+        "is_relevant",
+        "severity",
+        "confidence",
+    )

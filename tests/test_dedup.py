@@ -1,0 +1,61 @@
+"""Structural checks for the non-SQL-expressible dedup tiers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatanycdiseasesurveillance_spark.operators import dedup as D
+from bigdatanycdiseasesurveillance_spark.tables import table
+
+
+def test_minhash_pairs_are_verified_jaccard(spark, sf_dir):
+    """Every MinHash-LSH pair is exact-verified, so each emitted pair
+    must carry jaccard >= threshold; and pairs that fall in the same
+    blocking bucket of the exact blocked scan must agree."""
+    docs = table(spark, sf_dir, "documents")
+    lsh = D.minhash_lsh_pairs(docs, threshold=0.7)
+    rows = lsh.collect()
+    assert all(r["jaccard"] >= 0.7 for r in rows)
+    # exact pairs within (source, bucket) blocks
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    lsh_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    # any LSH pair that satisfies the blocking constraint must be in the
+    # exact set with the same (rounded) jaccard
+    for pair, j in lsh_pairs.items():
+        if pair in exact:
+            assert abs(exact[pair] - j) < 1e-9
+    # LSH should recover most high-sim exact pairs (recall check: >= 0.9
+    # expected ~0.97 at 8x4 bands for j>=0.7)
+    if exact:
+        recall = len(set(exact) & set(lsh_pairs)) / len(exact)
+        assert recall >= 0.85, f"LSH recall too low: {recall}"
+
+
+def test_exact_dedup_total_preserved(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    groups = D.exact_dedup_groups(docs)
+    assert groups.agg(F.sum("dup_count")).first()[0] == docs.count()
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "entirely different words about database engines and query plans"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs or pairs[(1, 3)] > 0
+
+
+def test_embedding_pairs_symmetric_threshold(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_cosine_pairs(emb, threshold=0.35).collect()
+    assert all(r["cosine_sim"] >= 0.35 for r in pairs)
+    assert all(r["id_a"] < r["id_b"] for r in pairs)

@@ -1,0 +1,48 @@
+"""Structural checks for similarity search."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatanycdiseasesurveillance_spark.operators import similarity as S
+from bigdatanycdiseasesurveillance_spark.tables import table
+
+
+def _qvec(spark, sf_dir, vid=0):
+    row = (
+        table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vid).first()
+    )
+    return list(row["embedding"]), row["label"]
+
+
+def test_ivf_nprobe_all_equals_brute_force(spark, sf_dir):
+    """With nprobe = n_cells, IVF must return exactly the brute-force
+    top-k (same scan, just partitioned)."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv, _ = _qvec(spark, sf_dir)
+    n_cells = emb.select("label").distinct().count()
+    brute = S.brute_force_topk(emb, qv, k=10).collect()
+    ivf = S.ivf_search(emb, qv, k=10, nprobe=n_cells).collect()
+    assert [r["vec_id"] for r in brute] == [r["vec_id"] for r in ivf]
+
+
+def test_ivf_subset_of_probed_cells(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    qv, _ = _qvec(spark, sf_dir)
+    got = S.ivf_search(emb, qv, k=5, nprobe=1).collect()
+    assert len(got) == 5
+    labels = {
+        r["label"]
+        for r in emb.filter(
+            F.col("vec_id").isin([x["vec_id"] for x in got])
+        ).collect()
+    }
+    assert len(labels) == 1  # nprobe=1 -> all hits from one cell
+
+
+def test_knn_rank_contract(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    out = S.knn_per_block(emb, k=3)
+    per = out.groupBy("vec_id").count().agg(F.max("count")).first()[0]
+    assert per <= 3
+    assert out.filter(F.col("vec_id") == F.col("neighbor_id")).count() == 0
