@@ -10,8 +10,10 @@ from . import (  # noqa: F401
     core_window,
     dedup_q,
     forecast_q,
+    mm_cluster_q,
     scalar,
     similarity_q,
+    streaming_q,
     text_q,
     tpch,
 )

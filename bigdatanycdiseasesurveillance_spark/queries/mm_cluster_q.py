@@ -1,0 +1,70 @@
+"""Multimodal + clustering query corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import clustering as C
+from ..operators import multimodal as MM
+from ..registry import register
+from ..tables import table
+
+
+@register(
+    "mm_decode_pipeline",
+    oracle=None,  # decode stage is the documented deterministic stub
+    # (real codecs absent in this container); determinism + plumbing
+    # asserted in tests/test_multimodal.py.
+    tags=("multimodal",),
+)
+def mm_decode_pipeline(spark, sf_dir):
+    """Multimodal plumbing end-to-end: binary payload column -> Arrow
+    mapInPandas decode (stub) -> native resize planning + video frame
+    sampling -> per-media-type rollup."""
+    media = MM.attach_media(table(spark, sf_dir, "documents"))
+    decoded = MM.frame_sample(MM.resize_plan(MM.decode_media(media)))
+    return decoded.groupBy("media_type").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("target_w"), 2).alias("avg_target_w"),
+        F.sum("n_sampled").alias("total_sampled_frames"),
+    )
+
+
+@register(
+    "cluster_kmeans_profile",
+    oracle=None,  # Spark ML KMeans is seeded but its parallel init has
+    # no SQL equivalent; size/assignment invariants in
+    # tests/test_clustering.py.
+    tags=("cluster", "M8"),
+)
+def cluster_kmeans_profile(spark, sf_dir):
+    """M8: Spark ML KMeans (k=5, seed=42) over embeddings; per-cluster
+    sizes, descending."""
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = C.kmeans_clusters(emb, k=5, seed=42)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.desc("size"), F.asc("cluster_id"))
+    )
+
+
+@register(
+    "cluster_grid_dbscan",
+    oracle=None,  # iterative connected-component merge spans multiple
+    # jobs; semantics validated on a known-cluster fixture in
+    # tests/test_clustering.py.
+    tags=("cluster", "M7"),
+)
+def cluster_grid_dbscan(spark, sf_dir):
+    """M7: grid-partitioned DBSCAN over a 2-D embedding projection
+    (first two dims); per-cluster size + centroid profile."""
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    assigned = C.grid_dbscan(pts, eps=0.05, min_samples=4)
+    return C.cluster_profiles(assigned, pts).orderBy(F.desc("size"), F.asc("cluster_id"))

@@ -1,0 +1,60 @@
+"""Streaming query corpus (ST4/ST6/ST7). Each pipeline drains with
+availableNow and returns a batch DataFrame, so the final state is
+deterministic and (for windowed agg / dedup / sessionization)
+SQL-expressible."""
+
+from __future__ import annotations
+
+from ..registry import register
+from ..streaming import pipelines as P
+
+
+@register(
+    "stream_daily_counts",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "ST7", "ST4"),
+)
+def stream_daily_counts(spark, sf_dir):
+    """ST7: watermarked event-time tumbling-window aggregation over the
+    event stream (availableNow drain) — must equal the batch rollup."""
+    return P.streaming_daily_counts(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_counts",
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT event_id) AS n_distinct_events
+        FROM events GROUP BY 1
+    """,
+    tags=("streaming", "ST6"),
+)
+def stream_dedup_counts(spark, sf_dir):
+    """ST6 exact tier: streaming watermark+dropDuplicates — the
+    checkpointed replacement for driver-RAM seen-sets."""
+    return P.streaming_dedup_counts(spark, sf_dir)
+
+
+@register(
+    "stream_sessionize",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+            FROM events
+        )
+        SELECT user_id,
+               CAST(SUM(CASE WHEN pts IS NULL
+                             OR epoch(ts) - epoch(pts) > 1800 THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_sessions
+        FROM o GROUP BY 1
+    """,
+    tags=("streaming", "ST6", "state"),
+)
+def stream_sessionize(spark, sf_dir):
+    """ST6 custom state: applyInPandasWithState sessionization (30-min
+    inactivity gap) — equals the batch lag/cumsum sessionization."""
+    return P.streaming_sessionize(spark, sf_dir, gap_minutes=30)

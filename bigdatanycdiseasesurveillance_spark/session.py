@@ -23,6 +23,9 @@ from pyspark.sql import SparkSession
 # session is created by an external driver (runtime confs only).
 RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
+    # runtime-settable; externally-created sessions otherwise default to
+    # 200 shuffle partitions — wasteful for the per-query shuffles here
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

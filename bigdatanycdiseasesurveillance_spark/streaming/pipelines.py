@@ -1,0 +1,179 @@
+"""Streaming pipelines re-expressing the reference's consumer chain
+(SURVEY §2.9).
+
+The reference's streaming layer is Kafka -> Python-UDF -> JSON files,
+with a hand-rolled poll loop that stops after 3 empty batches
+(reference: src/spark_consumers/relevance_consumer.py:348-506) and
+driver-RAM dedup state (deduplication_consumer.py:107-110). Here:
+
+- drain-and-stop      -> trigger(availableNow=True)          (ST4)
+- multi-sink fanout   -> independent writeStream queries     (ST5)
+- stateful dedup      -> withWatermark + dropDuplicates      (ST6)
+- custom state        -> applyInPandasWithState sessionizer  (ST6)
+- event-time windows  -> window() aggregation + watermark    (ST7)
+
+File-source streams stand in for Kafka topics (same DataFrame API
+surface; `kafka_source` below builds the real thing). Each pipeline
+returns a *batch* DataFrame of the final result so the correctness
+driver can compare it against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream over one parquet table. Schema comes from the
+    batch reader (streaming sources require explicit schemas — the
+    reference leans on schemaInference, SURVEY §1.2 flags that as a
+    smell). The ns->µs ts conversion matches tables.table()."""
+    batch = table(spark, sf_dir, name)  # also applies runtime confs
+    raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    # file streams need a directory; pathGlobFilter selects the table
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    for field in src.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            src = src.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    assert src.schema == batch.schema, "stream/batch schema drift"
+    return src
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a stream into an in-memory table with availableNow (ST4's
+    idiomatic drain-and-stop) and return it as a batch DataFrame."""
+    import tempfile
+
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdnds_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7: event-time tumbling-window daily aggregation over the event
+    stream; availableNow drain; returns (day, event_type, cnt) equal to
+    the batch daily rollup."""
+    src = stream_table(spark, sf_dir, "events")
+    agg = (
+        src.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").cast("date").alias("day"), "event_type", "cnt"
+    )
+
+
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 (exact tier): watermarked streaming dropDuplicates on the
+    event key — the checkpointed replacement for the reference's
+    driver-RAM seen-hashes set. Returns per-type distinct-event counts."""
+    src = stream_table(spark, sf_dir, "events")
+    deduped = src.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    out = _run_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n_distinct_events"))
+
+
+SESSION_SCHEMA = "user_id long, n_sessions long"
+SESSION_STATE_SCHEMA = "n_sessions long, last_ts double"
+
+
+def _make_sessionizer(gap_seconds: float):
+    """Closure (pickle-by-value — executors don't import this repo).
+    Counts sessions per user with a fixed inactivity gap. With
+    availableNow over one file the stream is a single ordered batch per
+    group, so results equal the batch lag/cumsum sessionization."""
+
+    def fn(key, pdf_iter, state):
+        import pandas as _pd
+
+        if state.exists:
+            n_sessions, last_ts = state.get
+        else:
+            n_sessions, last_ts = 0, None
+        # accumulate ALL chunks before sorting — pdf_iter yields a group
+        # in multiple Arrow batches with no cross-chunk ordering
+        ts_all: list[float] = []
+        for pdf in pdf_iter:
+            ts_all.extend(pdf["ts_sec"].tolist())
+        for t in sorted(ts_all):
+            if last_ts is None or (t - last_ts) > gap_seconds:
+                n_sessions += 1
+            last_ts = t
+        state.update((n_sessions, last_ts if last_ts is not None else -1.0))
+        yield _pd.DataFrame([{"user_id": key[0], "n_sessions": n_sessions}])
+
+    return fn
+
+
+def streaming_sessionize(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """ST6 (custom state): applyInPandasWithState sessionization — the
+    engine's replacement for the reference's process-local caches, with
+    checkpointed state. Returns (user_id, n_sessions)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = stream_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("double").alias("ts_sec")
+    )
+    sessions = src.groupBy("user_id").applyInPandasWithState(
+        _make_sessionizer(gap_minutes * 60.0),
+        SESSION_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(sessions, "update")
+    # update-mode memory sink appends every emission; keep the final
+    # per-user row (availableNow on one file -> exactly one emission)
+    return out.groupBy("user_id").agg(F.max("n_sessions").alias("n_sessions"))
+
+
+def kafka_source(
+    spark: SparkSession,
+    brokers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1: the reference's Kafka source shape (6 topics, value cast to
+    string — relevance_consumer.py:364-373). Not exercised in tests (no
+    broker in the harness); the value-parsing contract is the same
+    from_json path the file sources use."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS json_str", "timestamp")
+    )
+
+
+def kafka_sink(df: DataFrame, brokers: str, topic: str, key_col: str):
+    """S7: Kafka producer sink — to_json(struct(*)) value, keyed."""
+    return (
+        df.selectExpr(f"CAST({key_col} AS STRING) AS key", "to_json(struct(*)) AS value")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+    )
