@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     core_join,
     core_window,
     dedup_q,
+    domain_q,
     forecast_q,
     mm_cluster_q,
     scalar,
