@@ -52,12 +52,18 @@ def word_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
 
 def char_shingles(text: Column, k: int = 5) -> Column:
     """Distinct k-char shingles of normalized text (MinHash input).
-    sequence+transform keeps it a single codegen'd expression."""
+    sequence+transform keeps it a single codegen'd expression; the
+    normalized string is bound to a lambda variable (one-element
+    transform) so the regexp runs once per row, not once per shingle."""
+
+    def _shingles(norm: Column) -> Column:
+        n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+        )
+
     norm = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")
-    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
-    )
+    return F.element_at(F.transform(F.array(norm), _shingles), 1)
 
 
 def fingerprint(text: Column) -> Column:

@@ -70,15 +70,23 @@ def _norm_text(text_col: Column) -> Column:
 def char_trigrams(text_col: Column) -> Column:
     """Distinct character trigrams of normalized text (empty array if
     the text is shorter than 3 chars — Spark's sequence() would count
-    DOWN for a negative span, so the guard matters)."""
-    norm = _norm_text(text_col)
-    n = F.length(norm)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - F.lit(2)), lambda i: norm.substr(i, F.lit(3))
-    )
-    return F.when(n >= 3, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    DOWN for a negative span, so the guard matters).
+
+    The normalized string is bound to a lambda variable via a
+    one-element transform() so the regexp normalization runs ONCE per
+    row; referencing it directly inside the per-trigram lambda would
+    re-run the regexes for every element (O(len²) per doc)."""
+
+    def _grams(norm: Column) -> Column:
+        n = F.length(norm)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)), lambda i: norm.substr(i, F.lit(3))
+        )
+        return F.when(n >= 3, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(_norm_text(text_col)), _grams), 1)
 
 
 def langid_trigram(
