@@ -91,14 +91,14 @@ def alias_dim(spark: SparkSession) -> DataFrame:
     (a dim-to-dim join performed once, not per record)."""
     aliases = spark.createDataFrame(ALIASES, "alias string, neighborhood string")
     nb = neighborhood_dim(spark).select("neighborhood", F.col("borough").alias("alias_borough"))
-    return aliases.join(nb, "neighborhood")
+    return aliases.join(F.broadcast(nb), "neighborhood")
 
 
 def subreddit_dim(spark: SparkSession) -> DataFrame:
     """J5 + J7: subreddit -> neighborhood -> borough."""
     sub = spark.createDataFrame(SUBREDDITS, "subreddit string, neighborhood string")
     nb = neighborhood_dim(spark).select("neighborhood", F.col("borough").alias("sub_borough"))
-    return sub.join(nb, "neighborhood")
+    return sub.join(F.broadcast(nb), "neighborhood")
 
 
 def enrich_with_location(

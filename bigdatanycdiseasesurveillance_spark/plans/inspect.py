@@ -1,0 +1,69 @@
+"""Physical-plan introspection (SURVEY §4).
+
+The reference hand-writes its pushdown as SQL strings and never looks at
+a plan; this engine's contract is the opposite — declare the logical
+plan, then ASSERT the physical properties that matter at 100 TB:
+filters reached the scan, small dims broadcast, aggregates have a
+map-side partial pass, the hot path stays in whole-stage codegen, and
+no plan grew an accidental extra shuffle. tests/test_plans.py pins these
+for the headline queries so a regression (e.g. a join falling back to
+sort-merge-join after a schema change) fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The physical plan after AQE initial planning, as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """explain("formatted") output (node list + details) as a string."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    """Number of broadcast joins (hash or nested-loop) in the plan."""
+    plan = executed_plan(df)
+    return len(re.findall(r"Broadcast(HashJoin|NestedLoopJoin)", plan))
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of exchange (shuffle) boundaries in the plan. The single
+    most important scale number: each one is a full network repartition
+    of its input."""
+    return executed_plan(df).count("Exchange hashpartitioning") + executed_plan(
+        df
+    ).count("Exchange rangepartitioning")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters lists from every scan node (non-empty when
+    predicates reached the parquet reader)."""
+    return [
+        m.group(1)
+        for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df))
+        if m.group(1).strip()
+    ]
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """True when the plan contains a map-side partial aggregate before
+    the exchange (Spark's two-phase agg — reduces shuffle volume by the
+    group-key cardinality ratio)."""
+    return "partial_" in executed_plan(df) or bool(
+        re.search(r"HashAggregate.*keys=.*\n(.|\n)*HashAggregate", executed_plan(df))
+    )
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans. Fewer, wider spans = more of
+    the plan runs as generated JVM loops instead of volcano iterators."""
+    return len(set(re.findall(r"\*\((\d+)\)", executed_plan(df))))

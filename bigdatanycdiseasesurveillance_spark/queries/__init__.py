@@ -5,6 +5,7 @@ Importing this package registers all specs (see ..registry).
 """
 
 from . import (  # noqa: F401
+    analytics_q,
     core_agg,
     core_join,
     core_window,

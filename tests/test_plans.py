@@ -1,0 +1,107 @@
+"""Physical-plan pins (SURVEY §4): the scale properties the engine
+promises — pushdown, broadcast dims, partial aggregation, codegen —
+asserted on the headline queries so they can't silently regress."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatanycdiseasesurveillance_spark.plans import (
+    broadcast_join_count,
+    codegen_stage_count,
+    executed_plan,
+    has_partial_aggregation,
+    pushed_filters,
+    shuffle_count,
+)
+from bigdatanycdiseasesurveillance_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def q(name, spark, sf_dir):
+    return SPECS[name].fn(spark, sf_dir)
+
+
+def test_tpch_q3_filters_pushed_to_scan(spark, sf_dir):
+    """Date/segment predicates must reach the parquet readers, not run
+    post-scan — at 100 TB this is the difference between scanning a
+    partition and scanning the table."""
+    df = q("tpch_q3_shipping_priority", spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("c_mktsegment" in p for p in pushed), pushed
+    assert any("o_orderdate" in p for p in pushed), pushed
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_tpch_q5_broadcasts_small_dims(spark, sf_dir):
+    """region/nation (KB-sized) must broadcast; only the fact-side joins
+    may shuffle."""
+    df = q("tpch_q5_regional_revenue", spark, sf_dir)
+    assert broadcast_join_count(df) >= 2, executed_plan(df)
+
+
+def test_location_cascade_is_all_broadcast(spark, sf_dir):
+    """The J2-J7 cascade joins four tiny dims — every one must be a
+    broadcast join and the fact side must not shuffle for any of them."""
+    df = q("loc_fallback_resolution", spark, sf_dir)
+    # 4 cascade joins + the subreddit dim-to-dim build join
+    assert broadcast_join_count(df) >= 4, executed_plan(df)
+    # the only exchanges allowed are those Spark plans for the dim
+    # sides' broadcast preparation, never a fact-side hash partitioning
+    assert "Exchange hashpartitioning" not in executed_plan(df)
+
+
+def test_daily_counts_partial_aggregation(spark, sf_dir):
+    """A1/A2 rollups must run map-side partial aggregation so the
+    shuffle carries group partials, not raw events."""
+    df = q("agg_daily_type_counts", spark, sf_dir)
+    assert has_partial_aggregation(df)
+    assert shuffle_count(df) <= 2  # one for the agg, one for the sort
+
+
+def test_relevance_is_pure_codegen(spark, sf_dir):
+    """U1's keyword extraction replaces a Python UDF with native column
+    expressions — the plan must contain no Python evaluation nodes."""
+    df = q("rel_keyword_extraction", spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert codegen_stage_count(df) >= 1
+
+
+def test_text_suite_no_python_nodes(spark, sf_dir):
+    """Token stats / quality / langid are full-corpus scans at 100 TB —
+    they must stay JVM-side end to end."""
+    for name in ("txt_token_stats", "txt_quality_score", "txt_langid_trigram"):
+        plan = executed_plan(q(name, spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_langid_profile_join_broadcasts(spark, sf_dir):
+    """The per-language trigram profiles are tiny (n_langs * 50 rows) —
+    scoring must broadcast them against the exploded gram stream."""
+    df = q("txt_langid_trigram", spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, executed_plan(df)
+
+
+def test_anomaly_zscore_single_shuffle_chain(spark, sf_dir):
+    """W3's expanding-window z-score needs exactly one hash shuffle (the
+    groupBy/day rollup) plus the window's partitioning — no more."""
+    df = q("win_anomaly_zscore", spark, sf_dir)
+    assert shuffle_count(df) <= 2, executed_plan(df)
+
+
+def test_asof_join_no_cartesian(spark, sf_dir):
+    """The as-of join must plan as an equi-join + window, never a
+    cartesian/broadcast-nested-loop over the fact table."""
+    plan = executed_plan(q("join_asof_purchase_click", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["agg_top_event_types", "win_latest_per_user", "dedup_exact_hash"],
+)
+def test_no_python_nodes_anywhere_core(spark, sf_dir, name):
+    plan = executed_plan(q(name, spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
