@@ -149,15 +149,17 @@ def enrich_with_location(
             F.col("zip_prefix").alias("__zp"), F.col("borough").alias("pfx_borough")
         )
     )
-    alias_rows = alias_dim(spark).collect()  # handful of rows, build one expr
+    # alias -> (neighborhood, borough) is static Python data — building
+    # the when-chain from the constants avoids a collect() Spark job
+    nb_borough = {n[0]: n[1] for n in NEIGHBORHOODS}
     text_lc = F.lower(F.col(text_col))
     alias_nbhd = F.lit(None).cast("string")
     alias_borough = F.lit(None).cast("string")
     # reverse-fold so earlier aliases in the table win ties
-    for r in reversed(alias_rows):
-        hit = F.instr(text_lc, r["alias"]) > 0
-        alias_nbhd = F.when(hit, F.lit(r["neighborhood"])).otherwise(alias_nbhd)
-        alias_borough = F.when(hit, F.lit(r["alias_borough"])).otherwise(alias_borough)
+    for alias, nbhd in reversed(ALIASES):
+        hit = F.instr(text_lc, alias) > 0
+        alias_nbhd = F.when(hit, F.lit(nbhd)).otherwise(alias_nbhd)
+        alias_borough = F.when(hit, F.lit(nb_borough[nbhd])).otherwise(alias_borough)
 
     out = (
         records.join(sub, F.lower(F.col(subreddit_col)) == F.col("__sub"), "left")

@@ -41,3 +41,19 @@ def cosine(a: Column, b: Column) -> Column:
 def cosine_cols(a: Column, b: Column) -> Column:
     """Cosine over raw float arrays: casts then computes."""
     return cosine(as_double(a), as_double(b))
+
+
+def unit(vec: Column) -> Column:
+    """Unit-normalized double vector. Pairwise plans should project this
+    ONCE per side before the join — cosine then degenerates to a single
+    dot() per pair instead of dot + two norms (3x less array work on the
+    O(pairs) hot path, and the cast/norm runs O(n) not O(pairs))."""
+    v = as_double(vec)
+
+    def _scale(u: Column) -> Column:
+        n = F.sqrt(F.aggregate(F.transform(u, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+        return F.transform(u, lambda x: x / n)
+
+    # bind v via a one-element transform so the cast doesn't re-run per
+    # element of the norm + scale passes
+    return F.element_at(F.transform(F.array(v), _scale), 1)

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text_funcs import distinct_tokens, fingerprint, word_jaccard
-from ..functions.vectors import cosine_cols
+from ..functions.vectors import dot, unit
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -255,12 +255,12 @@ def embedding_cosine_pairs(
     would generate it for unblocked corpora). Returns
     (id_a, id_b, cosine_sim)."""
     side = emb.select(
-        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), unit(F.col(vec_col)).alias("v")
     )
     a = side.select(F.col("id").alias("id_a"), F.col("blk"), F.col("v").alias("v_a"))
     b = side.select(F.col("id").alias("id_b"), F.col("blk"), F.col("v").alias("v_b"))
     pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
-    sim = cosine_cols(F.col("v_a"), F.col("v_b"))
+    sim = dot(F.col("v_a"), F.col("v_b"))
     return pairs.select(
         "id_a", "id_b", F.round(sim, 4).alias("cosine_sim")
     ).filter(F.col("cosine_sim") >= threshold)

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, cosine_cols
+from ..functions.vectors import as_double, cosine, dot, unit
 
 
 def brute_force_topk(
@@ -58,15 +58,17 @@ def knn_per_block(
     """Top-k neighbors for EVERY vector within its block (IVF cell).
     Block equi-join keeps the pair space per-cell; the ranking window
     partitions on the left id so the top-k never leaves the executors.
-    Returns (vec_id, neighbor_id, cosine_sim, rank)."""
-    a = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v_a")
+    Returns (vec_id, neighbor_id, cosine_sim, rank).
+
+    Each side projects a unit vector BEFORE the join, so the per-pair
+    cost is one dot product; norms/casts run O(n), not O(pairs)."""
+    side = emb.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), unit(F.col(vec_col)).alias("u")
     )
-    b = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v_b")
-    )
+    a = side.select(F.col("id").alias("vec_id"), "blk", F.col("u").alias("v_a"))
+    b = side.select(F.col("id").alias("neighbor_id"), "blk", F.col("u").alias("v_b"))
     pairs = a.join(b, "blk").filter(F.col("vec_id") != F.col("neighbor_id"))
-    sim = F.round(cosine_cols(F.col("v_a"), F.col("v_b")), 4)
+    sim = F.round(dot(F.col("v_a"), F.col("v_b")), 4)
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         pairs.select("vec_id", "neighbor_id", sim.alias("sim"))

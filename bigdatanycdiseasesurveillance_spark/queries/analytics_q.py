@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_cols
+from ..functions.vectors import dot, unit
 from ..registry import register
 from ..tables import table
 
@@ -56,16 +56,12 @@ def cluster_coherence(spark, sf_dir):
         table(spark, sf_dir, "embeddings")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 100)
-        .select("label", "vec_id", "embedding")
+        .select("label", "vec_id", unit(F.col("embedding")).alias("u"))
     )
-    a = member.select(
-        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a")
-    )
-    b = member.select(
-        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b")
-    )
+    a = member.select(F.col("label"), F.col("vec_id").alias("id_a"), F.col("u").alias("v_a"))
+    b = member.select(F.col("label"), F.col("vec_id").alias("id_b"), F.col("u").alias("v_b"))
     pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_cols(F.col("v_a"), F.col("v_b"))
+    cos = dot(F.col("v_a"), F.col("v_b"))
     return (
         pairs.select("label", cos.alias("cos"))
         .groupBy("label")
