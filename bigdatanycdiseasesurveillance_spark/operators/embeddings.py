@@ -1,0 +1,95 @@
+"""Embedding generation (SURVEY §2.11 M4) as Arrow-batched mapInPandas.
+
+The reference encodes with sentence-transformers all-MiniLM-L6-v2 on the
+driver, record by record (reference:
+src/spark_consumers/embedding_consumer.py:97-170, model load at 48-60).
+Engine form: mapInPandas with an executor-local lazily-initialized model
+singleton — the model loads once per Python worker, batches arrive as
+Arrow frames, and the 384-dim output is a native array<float> column.
+
+The real model isn't available in this container, so the encoder
+resolves in order:
+1. sentence-transformers, if importable (the production path);
+2. a deterministic hash-based pseudo-encoder (hermetic test path) —
+   dim d of a text = hash(text, d) scaled to [-1, 1], L2-normalized.
+
+Both paths share the exact same Spark plumbing: schema, batch shape,
+partitioning. Tests pin determinism and batch-size independence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def encode_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    dim: int = 384,
+    model_name: str = "all-MiniLM-L6-v2",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Append an L2-normalized embedding column. One mapInPandas pass;
+    the model/encoder initializes once per worker (not per batch)."""
+    fields = docs.schema.fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    out_schema = T.StructType(fields)
+    cols = docs.columns
+
+    # closure (pickle-by-value): executors don't have this repo on their
+    # sys.path when the driver runs from another cwd
+    def encode_batches(batch_iter):
+        import hashlib
+
+        import numpy as np
+
+        model = None
+        try:  # production path, absent in this container
+            from sentence_transformers import SentenceTransformer  # type: ignore
+
+            model = SentenceTransformer(model_name)
+        except Exception:
+            model = None
+
+        def pseudo_encode(texts):
+            # deterministic per text: dim d = md5(text||d) -> [-1, 1]
+            out = np.empty((len(texts), dim), dtype=np.float64)
+            for i, t in enumerate(texts):
+                h = hashlib.md5((t or "").encode("utf-8")).digest()
+                seed = int.from_bytes(h[:8], "big", signed=False)
+                rng = np.random.default_rng(seed)
+                out[i] = rng.uniform(-1.0, 1.0, dim)
+            norms = np.linalg.norm(out, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            return out / norms
+
+        for pdf in batch_iter:
+            texts = pdf[text_col].fillna("").tolist()
+            if model is not None:
+                vecs = model.encode(texts, normalize_embeddings=True)
+            else:
+                vecs = pseudo_encode(texts)
+            pdf = pdf[cols].copy()
+            pdf[out_col] = [v.astype("float32") for v in vecs]
+            yield pdf
+
+    return docs.mapInPandas(encode_batches, out_schema)
+
+
+def embedding_profile(encoded: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Per-group embedding sanity profile: count, dim, mean L2 norm
+    (≈1.0 for a normalized encoder) — the aggregate the loader logs
+    (embedding_consumer.py:296-301), distributed."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    return encoded.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min(F.size("embedding")).cast("long").alias("dim"),
+        F.round(F.avg(norm), 4).alias("mean_l2_norm"),
+    )

@@ -191,3 +191,32 @@ def agg_doc_source_stats(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "agg_rollup_daily",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type,
+               CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE), event_type)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY ROLLUP(CAST(date_trunc('day', ts) AS DATE), event_type)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup_daily(spark, sf_dir):
+    """Hierarchical rollup (day, event_type) -> day -> grand total in
+    ONE pass — the multi-grain aggregate the reference materializes as
+    separate views (daily counts + global stats), computed as a single
+    shuffle with grouping sets."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    return ev.rollup("day", "event_type").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -207,3 +207,52 @@ def setop_user_overlap(spark, sf_dir):
     for part in parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+        WITH dim AS (
+            SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) * 1.5 AS weight
+            FROM (SELECT DISTINCT event_type FROM events)
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))
+                              * CAST(d.weight AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS weighted_value
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY e.event_type
+    """,
+    tags=("join", "skew", "salting"),
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-aware join: the fact table's event_type keys are heavily
+    skewed (5 distinct keys over the whole corpus), so the dim join uses
+    explicit SALT-way key splitting (operators/skew.salted_join) — each
+    hot key spreads over 8 shuffle buckets. The oracle is the PLAIN
+    join: salting must be a pure physical rewrite with identical
+    results."""
+    from ..operators.skew import salted_join
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "weight",
+            F.row_number().over(Window.orderBy("event_type")).cast("double") * 1.5,
+        )
+    )
+    joined = salted_join(
+        ev.select("event_type", "value"), dim, on="event_type", salt=8,
+        left_salt_from=["event_type", "value"],
+    )
+    # decimal accumulation: exact regardless of summation order, so the
+    # salted plan matches the oracle bit-for-bit
+    weighted = F.col("value").cast("decimal(18,2)") * F.col("weight").cast("decimal(18,2)")
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum(weighted), 2).cast("double").alias("weighted_value"),
+    )

@@ -82,3 +82,20 @@ def ann_ivf_search(spark, sf_dir):
     cells, exact top-k inside — the 1/k-corpus-scan scale path."""
     qv = _query_vec(spark, sf_dir, 0)
     return S.ivf_search(table(spark, sf_dir, "embeddings"), qv, k=10, nprobe=2)
+
+
+@register(
+    "emb_encode_profile",
+    oracle=None,  # the hash-based pseudo-encoder (hermetic stand-in for
+    # sentence-transformers) is not SQL-expressible; determinism and
+    # batch-shape invariants are pinned in tests/test_embeddings.py.
+    tags=("embedding", "M4"),
+)
+def emb_encode_profile(spark, sf_dir):
+    """M4: mapInPandas embedding generation over documents (executor-
+    local encoder singleton, Arrow batches) + per-language profile of
+    the encoded corpus."""
+    from ..operators.embeddings import embedding_profile, encode_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return embedding_profile(encode_documents(docs, dim=64), "lang")
