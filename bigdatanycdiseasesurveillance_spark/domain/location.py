@@ -118,8 +118,16 @@ def enrich_with_location(
     3. zip -> neighborhood (J4), zip prefix -> borough (J2);
     4. text alias scan (J6) — first alias contained in lowercased text.
 
-    Adds: neighborhood, borough, location_source.
+    Adds: neighborhood, borough, location_source. Sources that lack one
+    of the signal columns (e.g. reddit posts have no zip) contribute a
+    null signal for it — same as the reference's absent-field handling.
     """
+
+    def _c(name: str, typ: str = "string") -> F.Column:
+        return F.col(name) if name in records.columns else F.lit(None).cast(typ)
+
+    sub_c, zip_c, text_c = _c(subreddit_col), _c(zip_col), _c(text_col)
+    lat_c, lon_c = _c(lat_col, "double"), _c(lon_col, "double")
     sub = F.broadcast(
         subreddit_dim(spark).select(
             F.col("subreddit").alias("__sub"),
@@ -152,7 +160,7 @@ def enrich_with_location(
     # alias -> (neighborhood, borough) is static Python data — building
     # the when-chain from the constants avoids a collect() Spark job
     nb_borough = {n[0]: n[1] for n in NEIGHBORHOODS}
-    text_lc = F.lower(F.col(text_col))
+    text_lc = F.lower(text_c)
     alias_nbhd = F.lit(None).cast("string")
     alias_borough = F.lit(None).cast("string")
     # reverse-fold so earlier aliases in the table win ties
@@ -162,17 +170,17 @@ def enrich_with_location(
         alias_borough = F.when(hit, F.lit(nb_borough[nbhd])).otherwise(alias_borough)
 
     out = (
-        records.join(sub, F.lower(F.col(subreddit_col)) == F.col("__sub"), "left")
+        records.join(sub, F.lower(sub_c) == F.col("__sub"), "left")
         .join(
             bbox,
-            (F.col(lat_col) >= F.col("lat_min"))
-            & (F.col(lat_col) <= F.col("lat_max"))
-            & (F.col(lon_col) >= F.col("lon_min"))
-            & (F.col(lon_col) <= F.col("lon_max")),
+            (lat_c >= F.col("lat_min"))
+            & (lat_c <= F.col("lat_max"))
+            & (lon_c >= F.col("lon_min"))
+            & (lon_c <= F.col("lon_max")),
             "left",
         )
-        .join(nz, F.col(zip_col) == F.col("__zip"), "left")
-        .join(bz, F.substring(F.col(zip_col), 1, 3) == F.col("__zp"), "left")
+        .join(nz, zip_c == F.col("__zip"), "left")
+        .join(bz, F.substring(zip_c, 1, 3) == F.col("__zp"), "left")
     )
     neighborhood = F.coalesce(
         F.col("sub_nbhd"), F.col("geo_nbhd"), F.col("zip_nbhd"), alias_nbhd
