@@ -48,6 +48,24 @@ def main() -> None:
         timings[name] = round(run(spec), 4)
 
     total = round(sum(timings.values()), 4)
+
+    # Stage throughputs in records/sec for direct comparison against the
+    # reference's BASELINE.md numbers (relevance ~105 rec/s, dedup 10-50,
+    # location 5-20, embedding ~1000).
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    stage_inputs = {
+        "relevance": ("rel_keyword_extraction", n_docs),
+        "dedup": ("dedup_jaccard_pairs", n_docs),
+        "location": ("loc_fallback_resolution", n_events),
+        "embedding": ("emb_encode_profile", n_docs),
+    }
+    throughput = {
+        stage: round(n / timings[qname], 1)
+        for stage, (qname, n) in stage_inputs.items()
+        if qname in timings and timings[qname] > 0
+    }
+
     print(
         json.dumps(
             {
@@ -55,6 +73,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "throughput_rec_s": throughput,
                 "sf": sf,
             }
         )

@@ -107,6 +107,10 @@ def langid_trigram(
     grams = docs.select(
         "doc_id", F.col(label_col).alias("lang"), F.explode(char_trigrams(F.col(text_col))).alias("g")
     )
+    # both the profile build and the scoring join consume the exploded
+    # gram stream — persist it so normalization+explode runs one scan,
+    # not two (at 100 TB this is a stage output you'd materialize anyway)
+    grams = grams.persist()
     freq = grams.groupBy("lang", "g").agg(F.count("*").alias("freq"))
     w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("g"))
     profiles = (

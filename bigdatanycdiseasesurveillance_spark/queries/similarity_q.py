@@ -90,6 +90,7 @@ def ann_ivf_search(spark, sf_dir):
     # sentence-transformers) is not SQL-expressible; determinism and
     # batch-shape invariants are pinned in tests/test_embeddings.py.
     tags=("embedding", "M4"),
+    bench=True,
 )
 def emb_encode_profile(spark, sf_dir):
     """M4: mapInPandas embedding generation over documents (executor-
