@@ -167,6 +167,55 @@ def minhash_lsh_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Duplicate GROUPS from near-dup pairs: iterative minimum-label
+    propagation (the standard large-graph connected-components loop,
+    also what GraphFrames runs). Each member resolves to the smallest
+    doc id reachable through the pair graph — the deterministic
+    "canonical = first id of the similarity group" semantics SURVEY
+    §7.4 #1 requires in place of the reference's arrival-order caches.
+
+    Pair lists are quadratic on templated corpora; groups are the
+    scale-honest dedup contract (one row per member, size bounded by the
+    corpus). Iterations = graph diameter (near-dup graphs are dense
+    cliques, so 2-3 in practice); each is one join + one groupBy on the
+    node key. Returns (doc_id, canonical_id).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    # localCheckpoint per iteration truncates lineage — without it the
+    # plan doubles every round (each labels embeds the previous one) and
+    # the driver OOMs on graphs needing more than a few hops
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges["s"] == labels["node"]).select(
+            F.col("d").alias("node"), "comp"
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        # labels only decrease; an unchanged sum means a fixpoint
+        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("canonical_id"))
+
+
 def simhash_signature(hashes_col: Column, bits: int = 64) -> Column:
     """SimHash over a precomputed array<long> of token hashes: for each
     bit b, vote +1/-1 by whether bit b is set across token hashes;

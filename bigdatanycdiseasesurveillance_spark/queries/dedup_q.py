@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators import dedup as D
 from ..registry import register
 from ..tables import table
@@ -104,3 +106,52 @@ def dedup_embedding_cosine(spark, sf_dir):
     """M3: embedding-cosine near-dup pairs within blocks (label = LSH
     bucket stand-in). Cosine is a codegen'd zip_with/aggregate — no UDF."""
     return D.embedding_cosine_pairs(table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@register(
+    "dedup_duplicate_groups",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, source, n_chars,
+                   list_distinct(list_filter(string_split(lower(text), ' '),
+                                             t -> t <> '')) AS tok
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM toks a JOIN toks b
+              ON a.source = b.source
+             AND floor(a.n_chars / 50) = floor(b.n_chars / 50)
+             AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+                  (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
+                  >= 0.7
+        ), edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ), walk(node, comp) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+            WHERE w.comp < e.d
+        ), labels AS (
+            SELECT node AS doc_id, MIN(comp) AS canonical_id
+            FROM walk GROUP BY node
+        )
+        SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM labels GROUP BY canonical_id HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "M2", "groups"),
+)
+def dedup_duplicate_groups(spark, sf_dir):
+    """Near-dup GROUPS: blocked Jaccard pairs -> iterative min-label
+    connected components -> (canonical_id, group_size). The group-level
+    contract stays linear in corpus size even when the pair list is
+    quadratic (templated corpora) — this is the operator a 100 TB dedup
+    pipeline actually materializes."""
+    pairs = D.jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.7)
+    labels = D.connected_components(pairs)
+    return (
+        labels.groupBy("canonical_id")
+        .agg(F.count("*").cast("long").alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )

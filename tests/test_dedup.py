@@ -59,3 +59,27 @@ def test_embedding_pairs_symmetric_threshold(spark, sf_dir):
     pairs = D.embedding_cosine_pairs(emb, threshold=0.35).collect()
     assert all(r["cosine_sim"] >= 0.35 for r in pairs)
     assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_connected_components_known_graph(spark):
+    """CC on a hand-built graph: {1-2-3 chain}, {5-6}, isolated 9 (no
+    edges -> not labeled)."""
+    from bigdatanycdiseasesurveillance_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["canonical_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path needs multiple propagation rounds — exercises the
+    iteration/convergence logic, not just one hop."""
+    from bigdatanycdiseasesurveillance_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["canonical_id"] for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(12)}
