@@ -137,3 +137,48 @@ def scalar_math_suite(spark, sf_dir):
         F.round(F.log(v + 1.0), 4).alias("log1p_value"),
         F.floor(v / 50.0).cast("long").alias("bucket"),
     )
+
+
+@register(
+    "sql_dashboard_severity",
+    oracle="""
+        WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+        SELECT event_type,
+               CASE WHEN event_type IN ('error')            THEN 'severe'
+                    WHEN event_type IN ('purchase','signup') THEN 'moderate'
+                    ELSE 'mild' END AS severity,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(AVG(value), 2) AS avg_value
+        FROM events, mx
+        WHERE ts >= mx.max_ts - INTERVAL 72 HOURS
+        GROUP BY event_type
+        ORDER BY cnt DESC, event_type
+        LIMIT 10
+    """,
+    tags=("sql", "P7", "A3", "O1"),
+)
+def sql_dashboard_severity(spark, sf_dir):
+    """The dashboard query shape (reference: src/dashboard/app.py:43-195)
+    expressed through the engine's SQL surface: registered temp views +
+    spark.sql, with the P7 trailing-time-window predicate (anchored to
+    the corpus max timestamp, not wall clock, for determinism), the CASE
+    severity mapping, and ORDER BY count LIMIT top-N."""
+    from ..tables import table
+
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+        SELECT event_type,
+               CASE WHEN event_type IN ('error')             THEN 'severe'
+                    WHEN event_type IN ('purchase','signup') THEN 'moderate'
+                    ELSE 'mild' END AS severity,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(AVG(value), 2) AS avg_value
+        FROM events CROSS JOIN mx
+        WHERE ts >= mx.max_ts - INTERVAL 72 HOURS
+        GROUP BY event_type
+        ORDER BY cnt DESC, event_type
+        LIMIT 10
+        """
+    )
