@@ -220,3 +220,23 @@ def agg_rollup_daily(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HyperLogLog++ sketch estimates have no DuckDB
+    # equivalent; relative-error bound vs the exact count is pinned in
+    # tests/test_oracle_parity.py::test_approx_distinct_error_bound.
+    tags=("agg", "A9", "sketch"),
+)
+def agg_approx_distinct(spark, sf_dir):
+    """A9 at scale: approx_count_distinct (HyperLogLog++, rsd=0.01)
+    next to the exact count per event_type. At 100 TB the exact distinct
+    needs a full shuffle of the key space; the sketch is a fixed-size
+    mergeable state that never shuffles raw values — this query is the
+    side-by-side the engine offers for that trade."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    )

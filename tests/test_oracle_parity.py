@@ -34,3 +34,14 @@ def test_rows_only_runs(spark, sf_dir, name):
     df = spec.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ estimate must sit within 5x the configured rsd of exact."""
+    from bigdatanycdiseasesurveillance_spark.registry import all_specs
+
+    rows = all_specs()["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        exact, approx = r["exact_users"], r["approx_users"]
+        assert abs(approx - exact) <= max(1, 0.05 * exact), r

@@ -61,3 +61,57 @@ def test_multi_sink_fanout(spark, sf_dir, tmp_path):
     n_clean = spark.read.parquet(str(tmp_path / "clean")).count()
     assert n_flagged + n_clean == total
     assert n_flagged == table(spark, sf_dir, "events").filter("event_type = 'error'").count()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """ST7 semantics pin: with a 10-minute watermark on 1-hour windows,
+    a row arriving after the watermark passed its window is dropped from
+    the append-mode result; an in-watermark late row is counted."""
+    import json
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    base = [
+        {"k": "a", "ts": "2024-01-01T00:05:00"},
+        {"k": "a", "ts": "2024-01-01T00:20:00"},
+        {"k": "a", "ts": "2024-01-01T03:00:00"},  # advances watermark to 02:50
+    ]
+    late = [
+        {"k": "a", "ts": "2024-01-01T02:55:00"},  # within watermark -> kept
+        {"k": "a", "ts": "2024-01-01T00:30:00"},  # window [00:00,01:00) closed -> dropped
+    ]
+    (d / "f0.jsonl").write_text("\n".join(json.dumps(r) for r in base))
+    schema = "k string, ts timestamp"
+    src = spark.readStream.schema(schema).json(str(d))
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .count()
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "wm_out")
+
+    def drain():
+        q = (
+            agg.select(F.col("w.start").alias("w_start"), "k", "count")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # batch 1: base rows; watermark advances to 02:50
+    (d / "f1.jsonl").write_text("\n".join(json.dumps(r) for r in late))
+    drain()  # batch 2: one late-but-allowed row, one too-late row
+    # append mode emits only closed windows: [00:00,01:00) closes (end <
+    # watermark 02:50) with count 2 — its 00:30 straggler arrived after
+    # the close and was DROPPED; the 02:55 row sits in a still-open
+    # window, so nothing else is emitted
+    rows = {
+        (str(r["w_start"]), r["count"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert rows == {("2024-01-01 00:00:00", 2)}
