@@ -108,6 +108,7 @@ def ivf_search(
     vec_col: str = "embedding",
     cell_col: str = "label",
     nprobe: int = 1,
+    where: Column | None = None,
 ) -> DataFrame:
     """IVF search: rank cells by centroid similarity to the query, scan
     only the nprobe closest cells, exact top-k inside them. The
@@ -121,6 +122,7 @@ def ivf_search(
         .limit(nprobe)
     )
     probe_cells = [r["cell"] for r in ranked.collect()]
-    return brute_force_topk(
-        emb, query_vec, k, id_col, vec_col, where=F.col(cell_col).isin(probe_cells)
-    )
+    cond = F.col(cell_col).isin(probe_cells)
+    if where is not None:
+        cond = cond & where
+    return brute_force_topk(emb, query_vec, k, id_col, vec_col, where=cond)

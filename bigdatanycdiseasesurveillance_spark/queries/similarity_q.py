@@ -72,16 +72,41 @@ def ann_knn_per_label(spark, sf_dir):
 
 @register(
     "ann_ivf_search",
-    oracle=None,  # centroid computation + probe-cell selection spans two
-    # plans (tiny collect of n_cells rows between them) — validated
-    # structurally in tests/test_similarity.py against brute force.
+    oracle="""
+        -- positions hardcoded to the testdata's 64-dim embeddings (the
+        -- engine side derives dimension from the data; DuckDB range()
+        -- needs a constant)
+        WITH pos AS (SELECT CAST(range AS INTEGER) + 1 AS p FROM range(64)),
+        cent AS (
+            SELECT label, list(avg_val ORDER BY p) AS centroid
+            FROM (SELECT label, p, AVG(CAST(embedding[p] AS DOUBLE)) AS avg_val
+                  FROM embeddings CROSS JOIN pos GROUP BY label, p)
+            GROUP BY label
+        ), q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        ), probe AS (
+            SELECT label FROM cent, q
+            ORDER BY list_cosine_similarity(centroid, qv) DESC, label
+            LIMIT 2
+        )
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)
+                   AS cosine_sim
+        FROM embeddings e, q
+        WHERE e.label IN (SELECT label FROM probe) AND e.vec_id <> 0
+        ORDER BY cosine_sim DESC, e.vec_id
+        LIMIT 10
+    """,
     tags=("ann", "ivf"),
 )
 def ann_ivf_search(spark, sf_dir):
     """IVF search: rank cells by centroid similarity, scan only nprobe=2
     cells, exact top-k inside — the 1/k-corpus-scan scale path."""
     qv = _query_vec(spark, sf_dir, 0)
-    return S.ivf_search(table(spark, sf_dir, "embeddings"), qv, k=10, nprobe=2)
+    return S.ivf_search(
+        table(spark, sf_dir, "embeddings"), qv, k=10, nprobe=2,
+        where=F.col("vec_id") != 0,
+    )
 
 
 @register(

@@ -149,3 +149,158 @@ def tpch_q5_regional_revenue(spark, sf_dir):
             )
         )
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "semi", "exists"),
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (adapted to this schema's dates): EXISTS
+    decorrelates to a LEFT SEMI join — no row multiplication, the probe
+    side streams, and the date filters push to both scans."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("tpch", "pushdown"),
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure filter + global agg — every predicate must reach
+    the parquet scan; zero joins, one partial-agg exchange of one row
+    per task. Decimal accumulation keeps the sum order-exact."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast(
+        "decimal(18,2)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    oracle="""
+        SELECT CAST(ROUND(
+                 100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE)
+                   AS promo_share_pct,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    tags=("tpch", "join", "conditional-agg"),
+)
+def tpch_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14: broadcast dim join + conditional aggregation. The part
+    table broadcasts; the single-month shipdate filter prunes the fact
+    scan; the CASE folds into the partial aggregate."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4)
+            .cast("double")
+            .alias("promo_share_pct"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 300
+        )
+        SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               ROUND(SUM(l.l_quantity), 2) AS total_qty
+        FROM orders o
+        JOIN big ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+    tags=("tpch", "having", "topk"),
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18: HAVING subquery becomes an aggregate + semi-style join
+    chain; the big-order key set is small after the quantity threshold,
+    so it broadcasts into the fact joins; top-k is TakeOrdered."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["big_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
