@@ -112,3 +112,30 @@ def correlation(df: DataFrame, col_a: Column, col_b: Column) -> DataFrame:
     """A12: Pearson correlation of two series
     (reference: src/dashboard/app_upgraded.py:614-616)."""
     return df.agg(F.round(F.corr(col_a, col_b), 4).alias("corr_value"))
+
+
+def profile_table(df, cols: list[str]):
+    """Data-profiling rollup (the Deequ-style training-pipeline
+    primitive): one output row per profiled column with null count,
+    distinct count, min/max (as strings for heterogenous types). One
+    pass per column batch — each profile is a global aggregate, so the
+    whole profile is a handful of single-row shuffles unioned together.
+    """
+    from pyspark.sql import functions as F
+
+    parts = []
+    for c in cols:
+        parts.append(
+            df.agg(
+                F.lit(c).alias("column"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long")).cast("long").alias("n_null"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+                F.min(F.col(c).cast("string")).alias("min_str"),
+                F.max(F.col(c).cast("string")).alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -240,3 +240,59 @@ def agg_approx_distinct(spark, sf_dir):
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
     )
+
+
+@register(
+    "agg_value_percentiles",
+    oracle="""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50,
+               ROUND(quantile_cont(value, 0.9), 4) AS p90,
+               ROUND(quantile_cont(value, 0.95), 4) AS p95
+        FROM events GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB quantile_cont). At 100 TB the engine swaps this for
+    percentile_approx — same query shape, sketch-sized shuffle."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+@register(
+    "agg_profile_documents",
+    oracle="""
+        SELECT 'doc_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+               MIN(CAST(doc_id AS VARCHAR)) AS min_str,
+               MAX(CAST(doc_id AS VARCHAR)) AS max_str
+        FROM documents
+        UNION ALL
+        SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT lang) AS BIGINT),
+               MIN(CAST(lang AS VARCHAR)), MAX(CAST(lang AS VARCHAR))
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+               MIN(CAST(n_chars AS VARCHAR)), MAX(CAST(n_chars AS VARCHAR))
+        FROM documents
+    """,
+    tags=("agg", "profile"),
+)
+def agg_profile_documents(spark, sf_dir):
+    """Per-column data profile of the documents corpus — null counts,
+    distinct counts, min/max — the ingest-validation rollup a training
+    pipeline runs before accepting a new data drop."""
+    return agg.profile_table(
+        table(spark, sf_dir, "documents"), ["doc_id", "lang", "n_chars"]
+    )
