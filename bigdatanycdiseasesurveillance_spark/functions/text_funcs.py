@@ -43,10 +43,13 @@ def word_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
 
     |A ∩ B| / (|A| + |B| - |A ∩ B|) — avoids array_union so only one
     set operation runs per pair (the hot path of the dedup self-join).
+    try_divide: two EMPTY token sets have an undefined Jaccard -> NULL
+    (ANSI mode would otherwise abort the whole job on one blank doc).
     """
     inter = F.size(F.array_intersect(a_tokens, b_tokens)).cast("double")
-    return inter / (
-        F.size(a_tokens).cast("double") + F.size(b_tokens).cast("double") - inter
+    return F.try_divide(
+        inter,
+        F.size(a_tokens).cast("double") + F.size(b_tokens).cast("double") - inter,
     )
 
 

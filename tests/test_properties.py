@@ -1,0 +1,101 @@
+"""Property-based checks (hypothesis) for the column-expression
+libraries: invariants that must hold for ANY input, not just fixtures.
+Each property generates a batch of random rows, builds ONE DataFrame,
+and checks the invariant over all rows — one Spark job per example."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from bigdatanycdiseasesurveillance_spark.functions.text_funcs import (
+    char_shingles,
+    distinct_tokens,
+    fingerprint,
+    word_jaccard,
+)
+from bigdatanycdiseasesurveillance_spark.functions.vectors import dot, unit
+
+TEXT = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs")),
+    max_size=60,
+)
+VEC = st.lists(
+    st.floats(min_value=-5, max_value=5, allow_nan=False, width=32).filter(
+        lambda x: abs(x) > 1e-3
+    ),
+    min_size=4,
+    max_size=4,
+)
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,  # Spark job latency varies wildly under suite load
+    suppress_health_check=list(HealthCheck),
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=20))
+def test_jaccard_bounded_symmetric_reflexive(spark, pairs):
+    df = spark.createDataFrame(pairs, "a string, b string")
+    out = df.select(
+        word_jaccard(distinct_tokens(F.col("a")), distinct_tokens(F.col("b"))).alias("jab"),
+        word_jaccard(distinct_tokens(F.col("b")), distinct_tokens(F.col("a"))).alias("jba"),
+        word_jaccard(distinct_tokens(F.col("a")), distinct_tokens(F.col("a"))).alias("jaa"),
+        (F.size(distinct_tokens(F.col("a"))) > 0).alias("a_nonempty"),
+    ).collect()
+    for r in out:
+        if r["jab"] is not None and not math.isnan(r["jab"]):
+            assert -1e-9 <= r["jab"] <= 1 + 1e-9
+            assert abs(r["jab"] - r["jba"]) < 1e-9  # symmetric
+        if r["a_nonempty"]:
+            assert abs(r["jaa"] - 1.0) < 1e-9  # reflexive
+
+
+ASCII_TEXT = st.text(
+    alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz0123456789 !,."),
+    max_size=60,
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(ASCII_TEXT, min_size=1, max_size=20))
+def test_fingerprint_normalization_invariance(spark, texts):
+    """Fingerprint ignores ASCII case and whitespace runs — the
+    exact-dedup equivalence classes the reference's SHA tier implies.
+    (ASCII only: Unicode case mappings like 'ŉ'->'ʼN' are not
+    length-preserving and are out of scope for the normalizer.)"""
+    rows = [(t, t.upper(), " ".join(t.split()) + " ") for t in texts]
+    df = spark.createDataFrame(rows, "t string, up string, ws string")
+    out = df.select(
+        (fingerprint(F.col("t")) == fingerprint(F.col("up"))).alias("case_inv"),
+        (fingerprint(F.col("t")) == fingerprint(F.col("ws"))).alias("ws_inv"),
+    ).collect()
+    assert all(r["case_inv"] and r["ws_inv"] for r in out)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(VEC, min_size=1, max_size=20))
+def test_unit_vectors_have_norm_one(spark, vecs):
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    out = df.select(dot(unit(F.col("v")), unit(F.col("v"))).alias("nn")).collect()
+    assert all(abs(r["nn"] - 1.0) < 1e-9 for r in out)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(TEXT.filter(lambda t: len(t.strip()) >= 5), min_size=1, max_size=10))
+def test_shingles_subset_closure(spark, texts):
+    """Every 5-char shingle of a text is a substring of its normalized
+    form, and shingle arrays are distinct."""
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select(
+        char_shingles(F.col("t")).alias("sh"),
+        F.regexp_replace(F.lower(F.col("t")), "[^a-z0-9 ]", "").alias("norm"),
+    ).collect()
+    for r in out:
+        assert len(r["sh"]) == len(set(r["sh"]))
+        for s in r["sh"]:
+            assert s in r["norm"]
