@@ -61,13 +61,21 @@ def knn_per_block(
     Returns (vec_id, neighbor_id, cosine_sim, rank).
 
     Each side projects a unit vector BEFORE the join, so the per-pair
-    cost is one dot product; norms/casts run O(n), not O(pairs)."""
+    cost is one dot product; norms/casts run O(n), not O(pairs). The
+    block join is salted 8 ways: cell counts are few (an IVF corpus has
+    thousands of cells but a label-blocked one may have 10), so without
+    salting the pair-generation shuffle runs on n_blocks tasks; salting
+    spreads each block over 8 buckets with identical results."""
+    from .skew import salted_join
+
     side = emb.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"), unit(F.col(vec_col)).alias("u")
     )
     a = side.select(F.col("id").alias("vec_id"), "blk", F.col("u").alias("v_a"))
     b = side.select(F.col("id").alias("neighbor_id"), "blk", F.col("u").alias("v_b"))
-    pairs = a.join(b, "blk").filter(F.col("vec_id") != F.col("neighbor_id"))
+    pairs = salted_join(a, b, on="blk", salt=8, left_salt_from=["vec_id"]).filter(
+        F.col("vec_id") != F.col("neighbor_id")
+    )
     sim = F.round(dot(F.col("v_a"), F.col("v_b")), 4)
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
