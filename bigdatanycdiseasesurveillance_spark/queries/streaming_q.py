@@ -58,3 +58,36 @@ def stream_sessionize(spark, sf_dir):
     """ST6 custom state: applyInPandasWithState sessionization (30-min
     inactivity gap) — equals the batch lag/cumsum sessionization."""
     return P.streaming_sessionize(spark, sf_dir, gap_minutes=30)
+
+
+@register(
+    "stream_relevance_split",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id, text,
+                   len(list_filter(['join','filter','window','stream','hash',
+                                    'merge','sort','scan'],
+                                   k -> contains(lower(text), k))) AS np,
+                   len(list_filter(['group','batch','query','table','row',
+                                    'key','data'],
+                                   k -> contains(lower(text), k))) AS ns,
+                   len(list_filter(['error','slow','fail'],
+                                   k -> contains(lower(text), k))) AS nh
+            FROM documents
+        )
+        SELECT (length(text) >= 5) AND (np > 0 OR ns >= 2 OR nh > 0)
+                   AS is_relevant,
+               CASE WHEN np >= 3 THEN 'severe'
+                    WHEN np >= 2 THEN 'moderate' ELSE 'mild' END AS severity,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM m GROUP BY 1, 2
+    """,
+    tags=("streaming", "ST1", "ST5", "relevance"),
+)
+def stream_relevance_split(spark, sf_dir):
+    """ST1/ST5: the reference's streaming relevance stage — documents
+    arrive as a stream, the relevance operator (native columns, no UDF)
+    runs on the micro-batches, and the relevant/irrelevant split is
+    aggregated per severity. availableNow drain; equals the batch
+    computation exactly."""
+    return P.streaming_relevance_split(spark, sf_dir)

@@ -177,3 +177,18 @@ def kafka_sink(df: DataFrame, brokers: str, topic: str, key_col: str):
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)
     )
+
+
+def streaming_relevance_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1/ST5: relevance scoring on a document stream, aggregated into
+    (is_relevant, severity) counts — the streaming form of the
+    reference's relevance consumer with its relevant/irrelevant fanout
+    (relevance_consumer.py:447-474) collapsed into one grouped sink."""
+    from ..operators.relevance import extract_relevance
+
+    src = stream_table(spark, sf_dir, "documents")
+    analyzed = extract_relevance(src)
+    agg = analyzed.groupBy("is_relevant", "severity").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    return _run_to_memory(agg, "complete").select("is_relevant", "severity", "cnt")

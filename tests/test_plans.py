@@ -5,6 +5,7 @@ asserted on the headline queries so they can't silently regress."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from bigdatanycdiseasesurveillance_spark.plans import (
     broadcast_join_count,
@@ -105,3 +106,49 @@ def test_asof_join_no_cartesian(spark, sf_dir):
 def test_no_python_nodes_anywhere_core(spark, sf_dir, name):
     plan = executed_plan(q(name, spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing pre-partitions both tables on the join key at WRITE
+    time, so the join plans with NO exchange on either side — the
+    co-located-join strategy for repeatedly-joined 100 TB fact tables.
+    """
+    import uuid
+
+    from bigdatanycdiseasesurveillance_spark.tables import table as t
+
+    # warehouse.dir is static — tables land in the session default
+    # (./spark-warehouse, gitignored) and are dropped in finally
+    suffix = uuid.uuid4().hex[:8]
+    ev, ev2 = f"ev_b_{suffix}", f"ev2_b_{suffix}"
+    events = t(spark, sf_dir, "events")
+    (
+        events.select("event_id", "user_id", "value")
+        .write.bucketBy(8, "user_id").sortBy("user_id")
+        .mode("overwrite").saveAsTable(ev)
+    )
+    (
+        events.select("event_id", "user_id", "event_type")
+        .write.bucketBy(8, "user_id").sortBy("user_id")
+        .mode("overwrite").saveAsTable(ev2)
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # small test tables would broadcast; force the sort-merge path
+        # the bucketing is designed for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table(ev).alias("a")
+            .join(spark.table(ev2).alias("b"), "user_id")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = executed_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        # no shuffle ANYWHERE: bucket layout satisfies the join's AND
+        # the downstream groupBy's distribution requirement
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {ev}")
+        spark.sql(f"DROP TABLE IF EXISTS {ev2}")
