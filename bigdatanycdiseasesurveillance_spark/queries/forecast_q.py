@@ -43,9 +43,40 @@ def forecast_linear_trend(spark, sf_dir):
 
 @register(
     "forecast_grouped_pandas",
-    oracle=None,  # per-group model fit (OLS + day-of-week offsets) via
-    # applyInPandas — the reference's intended distributed design; golden
-    # determinism check in tests/test_forecast.py.
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   event_type, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ), prep AS (
+            SELECT event_type, CAST(cnt AS DOUBLE) AS cnt,
+                   CAST(date_diff('day', DATE '2024-01-01', day) AS DOUBLE) AS x,
+                   dayofweek(day) AS dow
+            FROM daily
+        ), fit AS (
+            SELECT event_type,
+                   regr_slope(cnt, x) AS slope,
+                   regr_intercept(cnt, x) AS icpt,
+                   MAX(x) AS mx
+            FROM prep GROUP BY 1
+        ), resid AS (
+            SELECT p.event_type, p.dow,
+                   AVG(p.cnt - (f.icpt + f.slope * p.x)) AS dow_off
+            FROM prep p JOIN fit f USING (event_type) GROUP BY 1, 2
+        ), hor AS (
+            SELECT f.event_type, t.h, f.mx + t.h AS xi, f.slope, f.icpt
+            FROM fit f, generate_series(1, 7) t(h)
+        )
+        SELECT h.event_type,
+               CAST(h.h AS BIGINT) AS horizon_day,
+               ROUND(GREATEST(0.0,
+                     h.icpt + h.slope * h.xi + COALESCE(r.dow_off, 0.0)), 4)
+                   AS predicted,
+               'ols_dow' AS method
+        FROM hor h
+        LEFT JOIN resid r
+          ON r.event_type = h.event_type AND r.dow = CAST(h.xi AS INTEGER) % 7
+    """,
     tags=("forecast", "U2"),
 )
 def forecast_grouped_pandas(spark, sf_dir):
