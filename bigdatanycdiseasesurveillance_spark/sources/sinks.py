@@ -99,3 +99,35 @@ def _exists(spark: SparkSession, path: str) -> bool:
     # local-fs check is enough for the harness; on a cluster this is a
     # FileSystem.exists call against the same path
     return os.path.exists(path)
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> int:
+    """Operational sink maintenance: rewrite a parquet table into
+    `target_files` files (default: one per ~128 MB). Streaming/upsert
+    sinks accrete small files; at cluster scale small files dominate
+    task-scheduling and NameNode/listing overhead, so compaction runs on
+    a schedule. Returns the file count after rewrite."""
+    df = spark.read.parquet(path)
+    if target_files is None:
+        total_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        target_files = max(1, total_bytes // (128 * 1024 * 1024))
+    tmp = path.rstrip("/") + ".__compacting"
+    df.coalesce(int(target_files)).write.mode("overwrite").parquet(tmp)
+    out = spark.read.parquet(tmp)
+    out.write.mode("overwrite").parquet(path)
+    n = len(
+        [
+            f
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+    )
+    return n

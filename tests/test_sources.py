@@ -169,3 +169,20 @@ def test_csv_roundtrip(spark, tmp_path):
     write_csv_report(df, path)
     back = read_csv(spark, path, "disease string, cnt int, score double")
     assert back.collect() == df.collect()
+
+
+def test_compact_table(spark, tmp_path):
+    from bigdatanycdiseasesurveillance_spark.sources.sinks import compact_table
+
+    path = str(tmp_path / "fragmented")
+    # simulate a streaming sink's small-file accretion: 12 appends
+    for i in range(12):
+        spark.createDataFrame([(i, f"v{i}")], "k long, v string").write.mode(
+            "append"
+        ).parquet(path)
+    before = spark.read.parquet(path)
+    rows_before = sorted(map(tuple, before.collect()))
+    n_files = compact_table(spark, path, target_files=2)
+    assert n_files <= 2
+    after = spark.read.parquet(path)
+    assert sorted(map(tuple, after.collect())) == rows_before
