@@ -66,8 +66,11 @@ def ann_cosine_topk(spark, sf_dir):
 )
 def ann_knn_per_label(spark, sf_dir):
     """All-vectors kNN within blocks (IVF-cell-restricted knn-join): the
-    building block for embedding dedup / clustering at scale."""
-    return S.knn_per_block(table(spark, sf_dir, "embeddings"), k=3)
+    building block for embedding dedup / clustering at scale. Runs the
+    GEMM formulation (one Arrow transfer per vector, BLAS pair work);
+    the pure-DataFrame knn_per_block variant computes the same result
+    and is cross-checked in tests/test_similarity.py."""
+    return S.knn_per_block_gemm(table(spark, sf_dir, "embeddings"), k=3)
 
 
 @register(
@@ -125,3 +128,37 @@ def emb_encode_profile(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return embedding_profile(encode_documents(docs, dim=64), "lang")
+
+
+@register(
+    "ann_filtered_search",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id, e.label,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)
+                   AS cosine_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0 AND e.label IN (1, 3, 5) AND e.vec_id % 2 = 0
+        ORDER BY cosine_sim DESC, e.vec_id
+        LIMIT 10
+    """,
+    tags=("ann", "M5", "filtered"),
+)
+def ann_filtered_search(spark, sf_dir):
+    """M5 with metadata filters: the reference's ChromaDB
+    query(where={borough/severity}) (chromadb_client.py:194-306) is a
+    plain filter() fused into the similarity scan — predicates push to
+    the parquet scan, then cosine + TakeOrdered run on the survivors."""
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(
+        emb,
+        qv,
+        k=10,
+        where=(F.col("vec_id") != 0)
+        & F.col("label").isin(1, 3, 5)
+        & (F.col("vec_id") % 2 == 0),
+        extra_cols=["label"],
+    )

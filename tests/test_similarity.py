@@ -46,3 +46,19 @@ def test_knn_rank_contract(spark, sf_dir):
     per = out.groupBy("vec_id").count().agg(F.max("count")).first()[0]
     assert per <= 3
     assert out.filter(F.col("vec_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_knn_gemm_equals_dataframe_variant(spark, sf_dir):
+    """The GEMM (applyInPandas) and pure-DataFrame knn formulations must
+    produce identical top-k — same rounding, same tie-breaks."""
+    from bigdatanycdiseasesurveillance_spark.operators.similarity import (
+        knn_per_block,
+        knn_per_block_gemm,
+    )
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    cols = ["vec_id", "neighbor_id", "cosine_sim", "rank"]
+    a = sorted(map(tuple, knn_per_block(emb, k=3).select(cols).collect()))
+    b = sorted(map(tuple, knn_per_block_gemm(emb, k=3).select(cols).collect()))
+    assert a == b
