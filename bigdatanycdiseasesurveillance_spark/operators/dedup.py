@@ -94,6 +94,79 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_gemm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    chars_col: str = "n_chars",
+    threshold: float = 0.7,
+    char_bucket: int = 50,
+) -> DataFrame:
+    """jaccard_pairs via per-block binary GEMM (applyInPandas).
+
+    Same blocking and output contract as jaccard_pairs; the pair work
+    runs as one matrix multiply per block: rows = docs, columns = the
+    block's token vocabulary, intersections = B @ B.T, unions from row
+    sums. Each doc's text crosses the wire once instead of once per
+    candidate pair (the measured cost of the join formulation — see
+    knn_per_block_gemm). Tokenization mirrors functions.text_funcs.tokens
+    exactly: lower, split on single spaces, drop empties, distinct.
+    """
+    schema = f"id_a long, id_b long, jaccard double"
+
+    def block_pairs(pdf):  # closure: executors don't import this repo
+        import numpy as np
+        import pandas as _pd
+
+        empty = _pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        m = len(pdf)
+        if m < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        token_sets = [
+            frozenset(t for t in (s or "").lower().split(" ") if t)
+            for s in pdf[text_col]
+        ]
+        vocab = {}
+        for ts in token_sets:
+            for t in ts:
+                vocab.setdefault(t, len(vocab))
+        if not vocab:
+            return empty
+        B = np.zeros((m, len(vocab)), dtype=np.float32)
+        for i, ts in enumerate(token_sets):
+            for t in ts:
+                B[i, vocab[t]] = 1.0
+        # counts are small integers — exact in float32 GEMM — but the
+        # division and 4-decimal rounding must run in float64 or the
+        # rounded values carry float32 noise (0.8333 -> 0.83329999...)
+        inter = (B @ B.T).astype(np.float64)
+        sizes = inter.diagonal()
+        union = sizes[:, None] + sizes[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            J = np.round(np.where(union > 0, inter / union, np.nan), 4)
+        ia, ib = np.where(J >= threshold)
+        keep = ids[ia] < ids[ib]
+        return _pd.DataFrame(
+            {
+                "id_a": ids[ia][keep],
+                "id_b": ids[ib][keep],
+                "jaccard": J[ia, ib][keep],
+            }
+        )
+
+    blocked = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col(source_col).alias("__blk_src"),
+        F.floor(F.col(chars_col) / F.lit(char_bucket)).alias("__blk_len"),
+    )
+    return blocked.groupBy("__blk_src", "__blk_len").applyInPandas(
+        block_pairs, schema
+    )
+
+
 def minhash_signature(tokens_col: Column, n_perm: int = 32) -> Column:
     """MinHash signature as an array<long>: perm i = min over tokens of
     xxhash64(token, seed=i). Pure column expressions — the whole

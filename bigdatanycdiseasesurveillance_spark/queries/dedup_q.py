@@ -57,8 +57,12 @@ def dedup_exact_hash(spark, sf_dir):
 )
 def dedup_jaccard_pairs(spark, sf_dir):
     """M2-class word-Jaccard near-dup pairs, blocked by (source, length
-    bucket) so the pair space never goes O(n²) on the full corpus."""
-    return D.jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.7)
+    bucket) so the pair space never goes O(n²) on the full corpus.
+    Runs the per-block GEMM formulation (each text crosses the wire
+    once; pair intersections are one matrix multiply per block); the
+    pure-DataFrame jaccard_pairs computes the same result and is
+    cross-checked in tests/test_dedup.py."""
+    return D.jaccard_pairs_gemm(table(spark, sf_dir, "documents"), threshold=0.7)
 
 
 @register(

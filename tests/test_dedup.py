@@ -83,3 +83,18 @@ def test_connected_components_long_chain(spark):
     )
     got = {r["doc_id"]: r["canonical_id"] for r in connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(12)}
+
+
+def test_jaccard_gemm_equals_dataframe_variant(spark, sf_dir):
+    """GEMM and pure-DataFrame Jaccard formulations must agree exactly
+    (same tokenization, blocking, rounding, threshold)."""
+    from bigdatanycdiseasesurveillance_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_gemm,
+    )
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, jaccard_pairs(docs, threshold=0.7).collect()))
+    b = sorted(map(tuple, jaccard_pairs_gemm(docs, threshold=0.7).collect()))
+    assert a == b
