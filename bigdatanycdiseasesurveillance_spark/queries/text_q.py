@@ -123,9 +123,12 @@ _NORM_SQL = (
 )
 def txt_langid_trigram(spark, sf_dir):
     """Language-ID: character-trigram profiles learned from the labeled
-    corpus, classification by profile overlap — all explode/groupBy/
-    broadcast-join, no UDFs."""
-    return TA.langid_trigram(table(spark, sf_dir, "documents"))
+    corpus, classification by profile overlap. Profile build is
+    explode/groupBy/rank; scoring ships the tiny collected profiles in
+    a mapInPandas closure (one scan, no second explode/join/window).
+    The all-DataFrame langid_trigram computes the same result and is
+    cross-checked in tests/test_oracle_parity.py."""
+    return TA.langid_trigram_fast(table(spark, sf_dir, "documents"))
 
 
 _PV = "[" + ", ".join(f"'{k}'" for k in PRIMARY_VOCAB) + "]"

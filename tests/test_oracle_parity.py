@@ -45,3 +45,18 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     for r in rows:
         exact, approx = r["exact_users"], r["approx_users"]
         assert abs(approx - exact) <= max(1, 0.05 * exact), r
+
+
+def test_langid_fast_equals_dataframe_variant(spark, sf_dir):
+    """mapInPandas-scored language-ID must match the explode/join/window
+    formulation exactly (same normalization, profiles, tie-breaks)."""
+    from bigdatanycdiseasesurveillance_spark.operators.text_analysis import (
+        langid_trigram,
+        langid_trigram_fast,
+    )
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, langid_trigram(docs).collect()))
+    b = sorted(map(tuple, langid_trigram_fast(docs).collect()))
+    assert a == b

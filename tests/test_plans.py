@@ -71,18 +71,23 @@ def test_relevance_is_pure_codegen(spark, sf_dir):
 
 
 def test_text_suite_no_python_nodes(spark, sf_dir):
-    """Token stats / quality / langid are full-corpus scans at 100 TB —
-    they must stay JVM-side end to end."""
-    for name in ("txt_token_stats", "txt_quality_score", "txt_langid_trigram"):
+    """Token stats / quality are full-corpus scans at 100 TB — they must
+    stay JVM-side end to end. (langid deliberately runs its scoring as
+    Arrow-batched mapInPandas — see the next test.)"""
+    for name in ("txt_token_stats", "txt_quality_score"):
         plan = executed_plan(q(name, spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
-def test_langid_profile_join_broadcasts(spark, sf_dir):
-    """The per-language trigram profiles are tiny (n_langs * 50 rows) —
-    scoring must broadcast them against the exploded gram stream."""
+def test_langid_scoring_is_single_scan(spark, sf_dir):
+    """Language-ID scoring ships the tiny collected profiles inside a
+    mapInPandas closure: the returned plan must be ONE scan + the
+    Python map — no join, no exchange, no window (the gram explode and
+    profile join were the measured cost of the all-DataFrame form)."""
     df = q("txt_langid_trigram", spark, sf_dir)
-    assert broadcast_join_count(df) >= 1, executed_plan(df)
+    plan = executed_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan and "Exchange" not in plan and "Window" not in plan, plan
 
 
 def test_anomaly_zscore_single_shuffle_chain(spark, sf_dir):
