@@ -296,3 +296,27 @@ def agg_profile_documents(spark, sf_dir):
     return agg.profile_table(
         table(spark, sf_dir, "documents"), ["doc_id", "lang", "n_chars"]
     )
+
+
+@register(
+    "agg_cube_region_type",
+    oracle="""
+        SELECT user_id % 5 AS region, event_type,
+               CAST(GROUPING(user_id % 5, event_type) AS BIGINT) AS gid,
+               COUNT(*) AS cnt
+        FROM events
+        GROUP BY CUBE(user_id % 5, event_type)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube_region_type(spark, sf_dir):
+    """CUBE over (region, event_type): all four grouping sets in one
+    shuffle — the cross-dimensional rollup the reference materializes
+    as separate dashboard queries."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "region", F.col("user_id") % 5
+    )
+    return ev.cube("region", "event_type").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("cnt"),
+    )
