@@ -197,3 +197,45 @@ def ivf_search(
     if where is not None:
         cond = cond & where
     return brute_force_topk(emb, query_vec, k, id_col, vec_col, where=cond)
+
+
+def rp_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature: bit b = sign of the dot product
+    with seeded hyperplane b, packed into an integer bucket key. Cosine-
+    similar vectors agree on most signs, so near-dups collide; the
+    signature is a handful of dot products per row, all in codegen."""
+    v = as_double(vec_col)
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(v, p) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def rp_lsh_pairs(
+    emb: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """M3 at scale: embedding near-dup pairs WITHOUT a precomputed block
+    column — random-projection buckets bound the candidate set (the
+    unblocked-corpus replacement for label blocking / Spark ML's
+    BucketedRandomProjectionLSH), then exact cosine verifies. Returns
+    (id_a, id_b, cosine_sim)."""
+    side = emb.select(
+        F.col(id_col).alias("id"),
+        rp_signature(F.col(vec_col), planes).alias("bucket"),
+        unit(F.col(vec_col)).alias("u"),
+    )
+    a = side.select(F.col("id").alias("id_a"), "bucket", F.col("u").alias("v_a"))
+    b = side.select(F.col("id").alias("id_b"), "bucket", F.col("u").alias("v_b"))
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    sim = F.round(dot(F.col("v_a"), F.col("v_b")), 4)
+    return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
+        F.col("cosine_sim") >= threshold
+    )
