@@ -208,3 +208,33 @@ def ann_rp_lsh_pairs(spark, sf_dir):
     verifies — the unblocked-corpus scale path for embedding dedup."""
     emb = table(spark, sf_dir, "embeddings")
     return S.rp_lsh_pairs(emb, _RP_PLANES, threshold=0.3)
+
+
+@register(
+    "search_documents_by_text",
+    oracle=None,  # routes through the hash pseudo-encoder (hermetic
+    # stand-in for sentence-transformers) — not SQL-expressible;
+    # determinism pinned in tests/test_similarity.py.
+    tags=("ann", "M5", "query_texts"),
+)
+def search_documents_by_text(spark, sf_dir):
+    """M5 end-to-end, the ChromaDB query_texts surface
+    (chromadb_client.py:194-306): encode the corpus AND a free-text
+    query with the same encoder, apply a where_document-style contains
+    filter, return top-10 documents by cosine. The encoder is the
+    deterministic M4 mapInPandas stage; everything after it is the
+    filtered brute-force scan."""
+    from ..operators.embeddings import encode_documents
+
+    docs = table(spark, sf_dir, "documents")
+    encoded = encode_documents(docs, dim=64)
+    qdf = spark.createDataFrame([("q", "sample document text zero")], "qid string, text string")
+    qvec = list(encode_documents(qdf, dim=64).first()["embedding"])
+    return S.brute_force_topk(
+        encoded,
+        qvec,
+        k=10,
+        id_col="doc_id",
+        where=F.col("text").contains("the"),  # where_document $contains
+        extra_cols=["lang"],
+    )

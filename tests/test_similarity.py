@@ -62,3 +62,19 @@ def test_knn_gemm_equals_dataframe_variant(spark, sf_dir):
     a = sorted(map(tuple, knn_per_block(emb, k=3).select(cols).collect()))
     b = sorted(map(tuple, knn_per_block_gemm(emb, k=3).select(cols).collect()))
     assert a == b
+
+
+def test_search_by_text_deterministic(spark, sf_dir):
+    """query_texts search: same query text -> identical top-k across
+    runs; the contains-filter restricts candidates."""
+    from bigdatanycdiseasesurveillance_spark.registry import all_specs
+
+    fn = all_specs()["search_documents_by_text"].fn
+    a = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    b = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    assert a == b
+    assert 0 < len(a) <= 10
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    docs = {r["doc_id"]: r["text"] for r in table(spark, sf_dir, "documents").collect()}
+    assert all("the" in docs[row[0]] for row in a)
