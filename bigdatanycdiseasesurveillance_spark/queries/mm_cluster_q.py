@@ -52,9 +52,51 @@ def cluster_kmeans_profile(spark, sf_dir):
 
 @register(
     "cluster_grid_dbscan",
-    oracle=None,  # iterative connected-component merge spans multiple
-    # jobs; semantics validated on a known-cluster fixture in
-    # tests/test_clustering.py.
+    oracle="""
+        -- brute-force DBSCAN: the engine's grid cells are candidate
+        -- pruning only (exact distance filter after), so the edge set
+        -- is identical. POWER() mirrors the Spark **2 expression.
+        WITH RECURSIVE pts AS (
+            SELECT vec_id AS pid,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y
+            FROM embeddings
+        ), edges AS (
+            SELECT a.pid, b.pid AS qid
+            FROM pts a JOIN pts b
+              ON POWER(a.x - b.x, 2) + POWER(a.y - b.y, 2) <= 0.05 * 0.05
+        ), core AS (
+            SELECT pid FROM edges GROUP BY pid HAVING COUNT(*) >= 4
+        ), core_edges AS (
+            SELECT e.pid, e.qid
+            FROM edges e
+            JOIN core c1 ON e.pid = c1.pid
+            JOIN core c2 ON e.qid = c2.pid
+            WHERE e.pid <> e.qid
+        ), walk(node, comp) AS (
+            SELECT pid, pid FROM core
+            UNION
+            SELECT ce.qid, w.comp
+            FROM walk w JOIN core_edges ce ON ce.pid = w.node
+            WHERE w.comp < ce.qid
+        ), core_label AS (
+            SELECT node AS pid, MIN(comp) AS cluster_id FROM walk GROUP BY node
+        ), border AS (
+            SELECT e.pid, MIN(cl.cluster_id) AS cluster_id
+            FROM edges e JOIN core_label cl ON e.qid = cl.pid
+            WHERE e.pid NOT IN (SELECT pid FROM core)
+            GROUP BY e.pid
+        ), assigned AS (
+            SELECT pid, cluster_id FROM core_label
+            UNION ALL SELECT pid, cluster_id FROM border
+        )
+        SELECT a.cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS size,
+               ROUND(AVG(p.x), 4) AS centroid_x,
+               ROUND(AVG(p.y), 4) AS centroid_y
+        FROM assigned a JOIN pts p ON a.pid = p.pid
+        GROUP BY a.cluster_id
+    """,
     tags=("cluster", "M7"),
 )
 def cluster_grid_dbscan(spark, sf_dir):
