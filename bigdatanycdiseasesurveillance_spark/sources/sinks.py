@@ -131,3 +131,35 @@ def compact_table(
         ]
     )
     return n
+
+
+def write_gold_version(df: DataFrame, base_dir: str) -> int:
+    """W5/S13: versioned gold-table write — each refresh lands in
+    version=N+1 (the engine's replacement for the reference's
+    pick-latest-file-by-mtime, app.py:206-210: monotonically numbered
+    directories instead of filesystem timestamps). Returns the version
+    written."""
+    version = latest_gold_version(base_dir) + 1
+    df.write.mode("overwrite").parquet(os.path.join(base_dir, f"version={version}"))
+    return version
+
+
+def latest_gold_version(base_dir: str) -> int:
+    """Highest committed version under base_dir (0 when none)."""
+    if not os.path.isdir(base_dir):
+        return 0
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(base_dir)
+        if d.startswith("version=") and d.split("=", 1)[1].isdigit()
+    ]
+    return max(versions, default=0)
+
+
+def read_latest_gold(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Read the newest gold version (W5's latest-row-per-group applied
+    to table versions)."""
+    v = latest_gold_version(base_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no gold versions under {base_dir}")
+    return spark.read.parquet(os.path.join(base_dir, f"version={v}"))

@@ -186,3 +186,18 @@ def test_compact_table(spark, tmp_path):
     assert n_files <= 2
     after = spark.read.parquet(path)
     assert sorted(map(tuple, after.collect())) == rows_before
+
+
+def test_gold_versioning(spark, tmp_path):
+    from bigdatanycdiseasesurveillance_spark.sources.sinks import (
+        read_latest_gold,
+        write_gold_version,
+    )
+
+    base = str(tmp_path / "gold_daily")
+    v1 = spark.createDataFrame([("a", 1)], "k string, cnt int")
+    v2 = spark.createDataFrame([("a", 2), ("b", 5)], "k string, cnt int")
+    assert write_gold_version(v1, base) == 1
+    assert write_gold_version(v2, base) == 2
+    latest = read_latest_gold(spark, base)
+    assert sorted(map(tuple, latest.collect())) == [("a", 2), ("b", 5)]
