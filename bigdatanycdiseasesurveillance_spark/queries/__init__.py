@@ -4,7 +4,16 @@ star schema, each with a DuckDB oracle when SQL-expressible.
 Importing this package registers all specs (see ..registry).
 """
 
+# Registration order matters: the round driver's correctness gate walks
+# the registry in insertion order and covers a bounded prefix per round
+# (round 1 stopped at exactly 50 of 74). The modules whose queries lacked
+# driver rows in CORRECTNESS_r01.json register first so round 2 covers
+# them; prior-round-green modules follow.
 from . import (  # noqa: F401
+    similarity_q,
+    streaming_q,
+    text_q,
+    tpch,
     analytics_q,
     core_agg,
     core_join,
@@ -14,8 +23,4 @@ from . import (  # noqa: F401
     forecast_q,
     mm_cluster_q,
     scalar,
-    similarity_q,
-    streaming_q,
-    text_q,
-    tpch,
 )
