@@ -45,6 +45,70 @@ def kmeans_clusters(
     )
 
 
+def lloyd_kmeans_2d(
+    points: DataFrame,
+    k: int = 5,
+    iters: int = 8,
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """M8, deterministic variant: Lloyd's k-means on 2-D points (the
+    reference clusters geographic coordinates,
+    spatial_clustering.py:342-378) with SQL-expressible semantics so the
+    DuckDB oracle can replay it exactly:
+
+    - init: the k points with the smallest ids, cluster ids 0..k-1 in
+      id order (no sampling — reproducible everywhere);
+    - assignment: nearest centroid by squared distance, ties to the
+      smallest cluster id;
+    - update: per-cluster mean, ROUNDED to 6 decimals each iteration so
+      cross-engine float-sum last-bit drift cannot compound;
+    - fixed `iters` iterations (no convergence test — both sides run
+      the same count).
+
+    Scale: points never leave the cluster; each iteration is one
+    broadcast of k centroid literals + one k-key groupBy. Only the k
+    centroid rows are collected per iteration. Returns
+    (id, cluster_id)."""
+    pts = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    init = pts.orderBy("pid").limit(k).collect()
+    centroids = [(i, float(r["x"]), float(r["y"])) for i, r in enumerate(init)]
+    assigned = None
+    for _ in range(iters):
+        dists = [
+            (
+                cid,
+                (F.col("x") - F.lit(cx)) * (F.col("x") - F.lit(cx))
+                + (F.col("y") - F.lit(cy)) * (F.col("y") - F.lit(cy)),
+            )
+            for cid, cx, cy in centroids
+        ]
+        bound = pts.select(
+            "pid", "x", "y", *[d.alias(f"d{cid}") for cid, d in dists]
+        )
+        m = F.least(*[F.col(f"d{cid}") for cid, _ in dists])
+        pick = None
+        for cid, _ in dists:  # ascending cid → ties break to smallest id
+            cond = F.col(f"d{cid}") == m
+            pick = F.when(cond, cid) if pick is None else pick.when(cond, cid)
+        assigned = bound.select("pid", "x", "y", pick.alias("cluster_id"))
+        new_c = (
+            assigned.groupBy("cluster_id")
+            .agg(F.round(F.avg("x"), 6).alias("cx"), F.round(F.avg("y"), 6).alias("cy"))
+            .orderBy("cluster_id")
+            .collect()
+        )
+        centroids = [(int(r["cluster_id"]), float(r["cx"]), float(r["cy"])) for r in new_c]
+    return assigned.select(
+        F.col("pid").alias(id_col), F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
 def grid_dbscan(
     points: DataFrame,
     eps: float,
@@ -114,6 +178,7 @@ def grid_dbscan(
     # with shared attribute ids trips Spark's ambiguity check otherwise
     labels = core.select(F.col("pid").alias("lid"), F.col("pid").alias("label"))
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_rounds):
         neighbor_min = (
             core_edges.join(labels, core_edges.qid == F.col("lid"))
@@ -139,7 +204,17 @@ def grid_dbscan(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Min-label propagation converges in graph-diameter rounds; a
+        # chain-shaped core graph longer than max_rounds would otherwise
+        # return silently-split clusters.
+        raise RuntimeError(
+            f"grid_dbscan: label propagation did not converge within "
+            f"{max_rounds} rounds (core-graph diameter exceeds the cap); "
+            f"raise max_rounds"
+        )
     core_labeled = labels.select(F.col("lid"), F.col("label").alias("cluster_id"))
     border = (
         edges.join(core_labeled, edges.qid == F.col("lid"))

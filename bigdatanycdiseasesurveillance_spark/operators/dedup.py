@@ -271,6 +271,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         msgs = edges.join(labels, edges["s"] == labels["node"]).select(
             F.col("d").alias("node"), "comp"
@@ -284,8 +285,18 @@ def connected_components(
         # labels only decrease; an unchanged sum means a fixpoint
         new_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Labels only decrease, so a still-shrinking sum at the cap means
+        # components that should merge are still split — fail loudly
+        # instead of returning silently-wrong groups on chain graphs.
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not converge "
+            f"within {max_iter} iterations (graph diameter exceeds the cap); "
+            f"raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("canonical_id"))
 
 

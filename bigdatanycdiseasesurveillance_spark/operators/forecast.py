@@ -102,7 +102,9 @@ def _make_fit_group():
         rows = []
         for h in range(1, 8):
             xi = mx + h
-            d = int(xi) % 7
+            # day_idx 0 = 2024-01-01, a Monday; dow is Sunday=0 (Spark
+            # dayofweek - 1), so the date at day_idx xi has dow (xi+1)%7.
+            d = (int(xi) + 1) % 7
             pred = max(0.0, icpt + slope * xi + dow_off.get(d, 0.0))
             rows.append(
                 {

@@ -75,7 +75,8 @@ def forecast_linear_trend(spark, sf_dir):
                'ols_dow' AS method
         FROM hor h
         LEFT JOIN resid r
-          ON r.event_type = h.event_type AND r.dow = CAST(h.xi AS INTEGER) % 7
+          ON r.event_type = h.event_type
+         AND r.dow = (CAST(h.xi AS INTEGER) + 1) % 7
     """,
     tags=("forecast", "U2"),
 )

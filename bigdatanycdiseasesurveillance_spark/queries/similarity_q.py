@@ -198,7 +198,7 @@ _RP_SIG_SQL = """(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [0.304
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
         FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.3
     """,
     tags=("ann", "M3", "lsh", "dedup"),
 )

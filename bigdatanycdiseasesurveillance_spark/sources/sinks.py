@@ -58,6 +58,7 @@ def upsert_last_writer_wins(
     merged.write.mode("overwrite").parquet(tmp)
     out = spark.read.parquet(tmp)
     out.write.mode("overwrite").parquet(path)
+    _remove_dir(tmp)
     return spark.read.parquet(path)
 
 
@@ -101,6 +102,12 @@ def _exists(spark: SparkSession, path: str) -> bool:
     return os.path.exists(path)
 
 
+def _remove_dir(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def compact_table(
     spark: SparkSession, path: str, target_files: int | None = None
 ) -> int:
@@ -122,6 +129,7 @@ def compact_table(
     df.coalesce(int(target_files)).write.mode("overwrite").parquet(tmp)
     out = spark.read.parquet(tmp)
     out.write.mode("overwrite").parquet(path)
+    _remove_dir(tmp)
     n = len(
         [
             f
@@ -145,13 +153,18 @@ def write_gold_version(df: DataFrame, base_dir: str) -> int:
 
 
 def latest_gold_version(base_dir: str) -> int:
-    """Highest committed version under base_dir (0 when none)."""
+    """Highest COMMITTED version under base_dir (0 when none). A version
+    counts only if Spark's _SUCCESS marker is present — a crash mid-write
+    leaves a partial version=N directory that must never be read as
+    latest."""
     if not os.path.isdir(base_dir):
         return 0
     versions = [
         int(d.split("=", 1)[1])
         for d in os.listdir(base_dir)
-        if d.startswith("version=") and d.split("=", 1)[1].isdigit()
+        if d.startswith("version=")
+        and d.split("=", 1)[1].isdigit()
+        and os.path.exists(os.path.join(base_dir, d, "_SUCCESS"))
     ]
     return max(versions, default=0)
 
