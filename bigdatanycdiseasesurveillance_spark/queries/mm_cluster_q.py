@@ -31,22 +31,79 @@ def mm_decode_pipeline(spark, sf_dir):
     )
 
 
+def _kmeans_oracle(k: int = 5, iters: int = 8) -> str:
+    """Replay lloyd_kmeans_2d exactly: deterministic smallest-id init,
+    nearest-centroid assignment with ties to the smallest cluster id,
+    per-iteration centroid means rounded to 6 decimals (so cross-engine
+    float-sum drift cannot compound), fixed iteration count."""
+    parts = [
+        """WITH pts AS (
+            SELECT vec_id AS pid,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y
+            FROM embeddings
+        ), c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY pid) - 1 AS cid, x AS cx, y AS cy
+            FROM (SELECT pid, x, y FROM pts ORDER BY pid LIMIT {k})
+        )""".format(k=k)
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            """, a{t} AS (
+            SELECT p.pid, p.x, p.y, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.pid
+                       ORDER BY (p.x - c.cx) * (p.x - c.cx)
+                              + (p.y - c.cy) * (p.y - c.cy), c.cid
+                   ) AS rn
+            FROM pts p CROSS JOIN c{p} c
+        ), s{t} AS (
+            SELECT pid, x, y, cid FROM a{t} WHERE rn = 1
+        ), c{t} AS (
+            SELECT cid, ROUND(AVG(x), 6) AS cx, ROUND(AVG(y), 6) AS cy
+            FROM s{t} GROUP BY cid
+        )""".format(t=t, p=t - 1)
+        )
+    parts.append(
+        """
+        SELECT CAST(cid AS BIGINT) AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS size,
+               ROUND(AVG(x), 4) AS centroid_x,
+               ROUND(AVG(y), 4) AS centroid_y
+        FROM s{t} GROUP BY cid
+        """.format(t=iters)
+    )
+    return "".join(parts)
+
+
 @register(
     "cluster_kmeans_profile",
-    oracle=None,  # Spark ML KMeans is seeded but its parallel init has
-    # no SQL equivalent; size/assignment invariants in
-    # tests/test_clustering.py.
+    oracle=_kmeans_oracle(),
     tags=("cluster", "M8"),
 )
 def cluster_kmeans_profile(spark, sf_dir):
-    """M8: Spark ML KMeans (k=5, seed=42) over embeddings; per-cluster
-    sizes, descending."""
+    """M8, oracle-backed: deterministic Lloyd k-means (k=5, 8 fixed
+    iterations, smallest-id init) over the 2-D embedding projection —
+    the reference clusters geographic coordinates
+    (spatial_clustering.py:342-378). Per-cluster size + centroid.
+    The Spark ML KMeans operator (parallel init, not SQL-replayable)
+    remains available as operators.clustering.kmeans_clusters with
+    invariant tests."""
     emb = table(spark, sf_dir, "embeddings")
-    assigned = C.kmeans_clusters(emb, k=5, seed=42)
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    assigned = C.lloyd_kmeans_2d(pts, k=5, iters=8)
     return (
-        assigned.groupBy("cluster_id")
-        .agg(F.count("*").alias("size"))
-        .orderBy(F.desc("size"), F.asc("cluster_id"))
+        assigned.join(pts, "vec_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("size"),
+            F.round(F.avg("x"), 4).alias("centroid_x"),
+            F.round(F.avg("y"), 4).alias("centroid_y"),
+        )
     )
 
 
