@@ -1,0 +1,163 @@
+"""Recall/containment oracles for the hash-bucketed dedup tiers.
+
+MinHash-LSH and SimHash cannot be value-hash-checked against DuckDB
+(DuckDB has no xxhash64), so the driver records them rows-only. These
+tests are the CORRECTNESS-adjacent gate instead: at sf0.001 the exact
+ground truth is computable, and we assert
+
+1. containment — every emitted pair appears in the exact ground truth
+   at the same threshold with the same score (zero false positives:
+   both operators exact-verify their candidates, so any violation is a
+   real bug, not hash noise);
+2. recall — the fraction of ground-truth pairs recovered meets the
+   structural bound of the blocking scheme (banding theory for MinHash,
+   the chunk pigeonhole for SimHash). Fails on recall regression.
+
+Reference accuracy claim these bounds beat: ~95% fuzzy / <5% FP
+(reference: docs/TICKET_3.2_SUMMARY.md:226-229); the engine's verified
+designs are exact-precision by construction, so FP rate is 0%.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from bigdatanycdiseasesurveillance_spark.operators import dedup as D
+from bigdatanycdiseasesurveillance_spark.operators.dedup import (
+    simhash_signature,
+)
+from bigdatanycdiseasesurveillance_spark.functions.text_funcs import (
+    distinct_tokens,
+)
+from bigdatanycdiseasesurveillance_spark.tables import table
+
+THRESHOLD = 0.7
+N_PERM, BANDS = 32, 8
+ROWS_PER_BAND = N_PERM // BANDS
+
+
+def _exact_jaccard_pairs(sf_dir: str) -> dict[tuple[int, int], float]:
+    """Unblocked all-pairs word-Jaccard ground truth in DuckDB, with
+    tokenization mirroring functions.text_funcs.distinct_tokens (lower,
+    split on single spaces, drop empties, distinct) and the engine's
+    round-to-4 threshold semantics."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(string_split(lower(text), ' '),
+                                             t -> t <> '')) AS tok
+            FROM read_parquet('{sf_dir}/documents.parquet')
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                     / (len(a.tok) + len(b.tok)
+                        - len(list_intersect(a.tok, b.tok))), 4) AS j
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) > 0
+        """
+    ).fetchall()
+    return {(r[0], r[1]): r[2] for r in rows if r[2] >= THRESHOLD}
+
+
+def test_minhash_lsh_containment_and_banding_recall(spark, sf_dir):
+    exact = _exact_jaccard_pairs(sf_dir)
+    assert exact, "ground truth empty — corpus changed?"
+
+    docs = table(spark, sf_dir, "documents")
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(
+            docs, n_perm=N_PERM, bands=BANDS, threshold=THRESHOLD
+        ).collect()
+    }
+
+    # Containment: candidates are exact-verified, so every emitted pair
+    # must be a true pair with the identical rounded Jaccard. FP rate 0.
+    for pair, j in lsh.items():
+        assert pair in exact, f"false positive pair {pair}"
+        assert abs(exact[pair] - j) < 1e-9, (pair, exact[pair], j)
+
+    # Banding-theory recall bound: a pair with true Jaccard s collides
+    # in >= 1 of b bands of r rows w.p. p(s) = 1 - (1 - s^r)^b. All
+    # pairs share the same 32 permutations, so per-pair collisions are
+    # CORRELATED and the independent-Bernoulli sigma understates the
+    # spread (measured here: 0.9668 vs 0.9731 expected on 54k pairs,
+    # well outside 3 independent sigmas). Floor = expected - 3 points
+    # of correlated-hash slack; a banding/blocking bug drops recall far
+    # below this, a seed-family wobble does not.
+    ps = np.array(
+        [1.0 - (1.0 - s**ROWS_PER_BAND) ** BANDS for s in exact.values()]
+    )
+    expected = float(ps.mean())
+    floor = expected - 0.03
+    recall = len(set(exact) & set(lsh)) / len(exact)
+    assert recall >= floor, (
+        f"MinHash-LSH recall {recall:.4f} below banding bound "
+        f"{floor:.4f} (expected {expected:.4f}, n={len(exact)})"
+    )
+    # The seeds and corpus are fixed, so recall is deterministic: pin
+    # the measured value as an exact regression floor too.
+    assert recall >= 0.96, f"recall regressed from measured 0.9668: {recall:.4f}"
+
+
+def test_simhash_containment_and_pigeonhole_recall(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+
+    # Exact ground truth over the SAME signatures: collect the per-doc
+    # 64-bit signature (one long per doc — test-scale only) and compute
+    # all-pairs Hamming in numpy.
+    sigs = (
+        docs.select(
+            F.col("doc_id"),
+            F.transform(
+                distinct_tokens(F.col("text")), lambda t: F.xxhash64(t)
+            ).alias("th"),
+        )
+        .select("doc_id", simhash_signature(F.col("th")).alias("sig"))
+        .collect()
+    )
+    ids = np.array([r["doc_id"] for r in sigs])
+    vals = np.array([r["sig"] for r in sigs], dtype=np.uint64)
+    xor = vals[:, None] ^ vals[None, :]
+    ham = np.zeros_like(xor, dtype=np.int64)
+    for b in range(64):
+        ham += ((xor >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+    iu = np.triu_indices(len(ids), k=1)
+    exact = {}
+    for i, j, h in zip(iu[0], iu[1], ham[iu]):
+        a, b2 = int(ids[i]), int(ids[j])
+        if a > b2:
+            a, b2 = b2, a
+        exact[(a, b2)] = int(h)
+
+    emitted = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_pairs(docs, max_hamming=8).collect()
+    }
+
+    # Containment: every emitted pair's Hamming must equal the exact
+    # distance and respect the budget.
+    for pair, h in emitted.items():
+        assert pair in exact and exact[pair] == h <= 8, (pair, h)
+
+    # Pigeonhole: with 4 chunks of 16 bits, any pair within Hamming 3
+    # must agree on at least one chunk, so recall over that subset is
+    # exactly 1.0 — a miss is a blocking bug, never sampling noise.
+    within3 = {p for p, h in exact.items() if h <= 3}
+    missed = within3 - set(emitted)
+    assert not missed, f"pigeonhole violation: {sorted(missed)[:5]}"
+
+    # Documented trade (operators/dedup.py:334-339): recall over
+    # 4 <= h <= 8 is best-effort under 16-bit chunk blocking (measured
+    # 0.475 on this corpus — deterministic, signatures are seeded
+    # hashes). Pin a floor just under it so chunking regressions that
+    # silently drop pairs still fail the suite.
+    band4_8 = {p for p, h in exact.items() if 4 <= h <= 8}
+    if band4_8:
+        recall = len(band4_8 & set(emitted)) / len(band4_8)
+        assert recall >= 0.45, f"SimHash mid-band recall collapsed: {recall:.3f}"
