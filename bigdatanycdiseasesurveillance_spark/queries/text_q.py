@@ -176,3 +176,91 @@ def rel_keyword_extraction(spark, sf_dir):
         "severity",
         "confidence",
     )
+
+
+def _health_relevance_oracle() -> str:
+    """Generated from the SAME vocabulary constants the Spark side uses
+    (domain.health_relevance) so the two can never drift apart."""
+    from ..domain.health_relevance import (
+        DISEASE_KEYWORDS,
+        HAZARD_KEYWORDS,
+        MILD_WORDS,
+        MODERATE_WORDS,
+        SEVERE_WORDS,
+        SYMPTOM_KEYWORDS,
+    )
+
+    def any_contains(words):
+        return " OR ".join(f"contains(t, '{w}')" for w in words)
+
+    disease_cases = ", ".join(
+        f"CASE WHEN {any_contains(kws)} THEN '{name}' END"
+        for name, kws in DISEASE_KEYWORDS.items()
+    )
+    sym_list = "[" + ", ".join(f"'{s}'" for s in SYMPTOM_KEYWORDS) + "]"
+    return f"""
+        WITH m AS (
+            SELECT doc_id, lower(trim(text)) AS t,
+                   length(trim(text)) >= 5 AS long_enough
+            FROM documents
+        ), x AS (
+            SELECT doc_id, long_enough,
+                   list_filter([{disease_cases}], d -> d IS NOT NULL) AS dis,
+                   list_filter({sym_list}, s -> contains(t, s)) AS sym,
+                   ({any_contains(HAZARD_KEYWORDS)}) AS hazard,
+                   CASE WHEN {any_contains(SEVERE_WORDS)} THEN 'severe'
+                        WHEN {any_contains(MODERATE_WORDS)} THEN 'moderate'
+                        WHEN {any_contains(MILD_WORDS)} THEN 'mild'
+                        ELSE 'unknown' END AS sev_m
+            FROM m
+        )
+        SELECT doc_id,
+               COALESCE(array_to_string(dis, ','), '') AS diseases,
+               COALESCE(array_to_string(sym, ','), '') AS symptoms,
+               CAST(len(dis) AS BIGINT) AS n_diseases,
+               CAST(len(sym) AS BIGINT) AS n_symptoms,
+               hazard AS has_hazard,
+               long_enough AND (len(dis) > 0 OR len(sym) >= 2 OR hazard)
+                   AS is_relevant,
+               CASE WHEN long_enough THEN sev_m ELSE 'unknown' END AS severity,
+               ROUND(CASE
+                   WHEN NOT long_enough THEN 0.0
+                   WHEN len(dis) > 0 OR len(sym) >= 2 OR hazard THEN
+                       LEAST(0.90, 0.6
+                             + 0.1 * LEAST(CAST(len(dis) AS DOUBLE), 2.0)
+                             + CASE WHEN len(sym) >= 2
+                                    THEN 0.05 * LEAST(CAST(len(sym) AS DOUBLE), 3.0)
+                                    ELSE 0.0 END
+                             + CASE WHEN sev_m <> 'unknown' THEN 0.05 ELSE 0.0 END)
+                   ELSE 0.2 END, 2) AS confidence,
+               CASE WHEN long_enough THEN 'keyword_analysis'
+                    ELSE 'insufficient_text' END AS reason
+        FROM x
+    """
+
+
+@register(
+    "rel_health_domain",
+    oracle=_health_relevance_oracle(),
+    tags=("relevance", "U1", "domain"),
+)
+def rel_health_domain(spark, sf_dir):
+    """U1 with the reference's REAL domain preset: the 12-disease /
+    23-symptom / 8-hazard dictionaries and the exact severity ladder +
+    confidence formula (relevance_consumer.py:124-264), as pure column
+    expressions over `documents`."""
+    from ..domain.health_relevance import analyze_health_relevance
+
+    d = table(spark, sf_dir, "documents")
+    return analyze_health_relevance(d).select(
+        "doc_id",
+        "diseases",
+        "symptoms",
+        "n_diseases",
+        "n_symptoms",
+        "has_hazard",
+        "is_relevant",
+        "severity",
+        "confidence",
+        "reason",
+    )
