@@ -238,3 +238,77 @@ def search_documents_by_text(spark, sf_dir):
         where=F.col("text").contains("the"),  # where_document $contains
         extra_cols=["lang"],
     )
+
+
+@register(
+    "ann_composite_filter_search",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id, e.label,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)
+                   AS cosine_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+          AND (e.label IN (1, 3)
+               OR (e.label >= 6 AND e.vec_id < 300))
+        ORDER BY cosine_sim DESC, e.vec_id
+        LIMIT 10
+    """,
+    tags=("ann", "M5", "filtered", "chroma"),
+)
+def ann_composite_filter_search(spark, sf_dir):
+    """M5 with Chroma's COMPOSITE metadata filters: the $and/$or/$in
+    where-dict surface (chromadb_client.py:194-306) compiled to a
+    boolean Column by functions.chroma_filter and fused into the
+    similarity scan like any pushable predicate."""
+    from ..functions.chroma_filter import where_to_column
+
+    where = where_to_column(
+        {
+            "$or": [
+                {"label": {"$in": [1, 3]}},
+                {"$and": [{"label": {"$gte": 6}}, {"vec_id": {"$lt": 300}}]},
+            ]
+        }
+    )
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(
+        emb, qv, k=10, where=where & (F.col("vec_id") != 0), extra_cols=["label"]
+    )
+
+
+@register(
+    "search_where_document_composite",
+    oracle="""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE (contains(text, 'the') AND NOT contains(text, 'zero'))
+           OR contains(text, 'sample document text one')
+        ORDER BY doc_id
+    """,
+    tags=("search", "M5", "chroma", "where_document"),
+)
+def search_where_document_composite(spark, sf_dir):
+    """Chroma's where_document composition ($and/$or/$contains/
+    $not_contains, chromadb_client.py:221-259) compiled by
+    functions.chroma_filter.where_document_to_column and applied as a
+    plain scan predicate over the documents table."""
+    from ..functions.chroma_filter import where_document_to_column
+
+    wd = where_document_to_column(
+        {
+            "$or": [
+                {"$and": [{"$contains": "the"}, {"$not_contains": "zero"}]},
+                {"$contains": "sample document text one"},
+            ]
+        }
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(wd)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
