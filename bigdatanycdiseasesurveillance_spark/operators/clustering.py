@@ -19,7 +19,7 @@ label table — no step ever materializes O(n^2) pairs globally.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -42,6 +42,29 @@ def kmeans_clusters(
     model = KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
     return model.transform(feats).select(
         F.col(id_col), F.col("prediction").cast("long").alias("cluster_id")
+    )
+
+
+def seeded_jitter(id_col: Column, seed: int = 42, scale: float = 0.02) -> Column:
+    """M9: deterministic coordinate jitter in [-scale, scale) (the
+    reference seeds numpy and adds uniform(-0.02, 0.02) so same-borough
+    records don't collapse to one point,
+    spatial_clustering.py:249-263). Engine form: a 31-bit LCG on the
+    row id — pure integer arithmetic, so ANY engine reproduces it
+    bit-for-bit (np.random.uniform would differ per runtime); replayable
+    on retries, unlike rand(). The id is reduced mod 2^31 first so the
+    multiply stays inside int64 at any id scale."""
+    m = F.lit(2147483648)
+    r = ((id_col % m) * F.lit(1103515245) + F.lit(12345 + seed)) % m
+    return (r.cast("double") / F.lit(2147483648.0)) * F.lit(2 * scale) - F.lit(scale)
+
+
+def jitter_sql(id_expr: str, seed: int = 42, scale: float = 0.02) -> str:
+    """The DuckDB-equivalent expression of seeded_jitter (exact integer
+    LCG, identical double result)."""
+    return (
+        f"(((({id_expr}) % 2147483648) * 1103515245 + {12345 + seed}) % 2147483648)"
+        f" / 2147483648.0 * {2 * scale} - {scale}"
     )
 
 

@@ -107,17 +107,22 @@ def cluster_kmeans_profile(spark, sf_dir):
     )
 
 
-@register(
-    "cluster_grid_dbscan",
-    oracle="""
-        -- brute-force DBSCAN: the engine's grid cells are candidate
-        -- pruning only (exact distance filter after), so the edge set
-        -- is identical. POWER() mirrors the Spark **2 expression.
-        WITH RECURSIVE pts AS (
+_DBSCAN_PTS_PLAIN = """
             SELECT vec_id AS pid,
                    CAST(embedding[1] AS DOUBLE) AS x,
                    CAST(embedding[2] AS DOUBLE) AS y
             FROM embeddings
+"""
+
+
+def _dbscan_oracle(pts_sql: str) -> str:
+    """Brute-force DBSCAN over an arbitrary points CTE: the engine's
+    grid cells are candidate pruning only (exact distance filter after),
+    so the edge set is identical. POWER() mirrors the Spark **2
+    expression."""
+    return """
+        WITH RECURSIVE pts AS (
+{pts}
         ), edges AS (
             SELECT a.pid, b.pid AS qid
             FROM pts a JOIN pts b
@@ -153,7 +158,12 @@ def cluster_kmeans_profile(spark, sf_dir):
                ROUND(AVG(p.y), 4) AS centroid_y
         FROM assigned a JOIN pts p ON a.pid = p.pid
         GROUP BY a.cluster_id
-    """,
+    """.format(pts=pts_sql)
+
+
+@register(
+    "cluster_grid_dbscan",
+    oracle=_dbscan_oracle(_DBSCAN_PTS_PLAIN),
     tags=("cluster", "M7"),
 )
 def cluster_grid_dbscan(spark, sf_dir):
@@ -164,6 +174,40 @@ def cluster_grid_dbscan(spark, sf_dir):
         "vec_id",
         F.col("embedding")[0].cast("double").alias("x"),
         F.col("embedding")[1].cast("double").alias("y"),
+    )
+    assigned = C.grid_dbscan(pts, eps=0.05, min_samples=4)
+    return C.cluster_profiles(assigned, pts).orderBy(F.desc("size"), F.asc("cluster_id"))
+
+
+def _jittered_pts_sql() -> str:
+    from ..operators.clustering import jitter_sql
+
+    return """
+            SELECT vec_id AS pid,
+                   CAST(embedding[1] AS DOUBLE) + ({jx}) AS x,
+                   CAST(embedding[2] AS DOUBLE) + ({jy}) AS y
+            FROM embeddings
+""".format(jx=jitter_sql("vec_id", seed=42), jy=jitter_sql("vec_id", seed=43))
+
+
+@register(
+    "cluster_dbscan_jittered",
+    oracle=_dbscan_oracle(_jittered_pts_sql()),
+    tags=("cluster", "M7", "M9"),
+)
+def cluster_dbscan_jittered(spark, sf_dir):
+    """M9 + M7: the reference seeds numpy and jitters coordinates by
+    uniform(-0.02, 0.02) before DBSCAN so same-borough records don't
+    collapse onto one point (spatial_clustering.py:249-263). Engine
+    form: an exact integer-LCG jitter (seeded_jitter) both engines
+    replay bit-for-bit, feeding the same grid-DBSCAN path."""
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        (F.col("embedding")[0].cast("double") + C.seeded_jitter(F.col("vec_id"), seed=42))
+        .alias("x"),
+        (F.col("embedding")[1].cast("double") + C.seeded_jitter(F.col("vec_id"), seed=43))
+        .alias("y"),
     )
     assigned = C.grid_dbscan(pts, eps=0.05, min_samples=4)
     return C.cluster_profiles(assigned, pts).orderBy(F.desc("size"), F.asc("cluster_id"))
