@@ -144,8 +144,12 @@ def streaming_sessionize(
         GroupStateTimeout.NoTimeout,
     )
     out = _run_to_memory(sessions, "update")
-    # update-mode memory sink appends every emission; keep the final
-    # per-user row (availableNow on one file -> exactly one emission)
+    # update-mode memory sink appends one row per (user, micro-batch)
+    # emission. n_sessions is CUMULATIVE per user (state carries it
+    # across batches), so max() == the final emission under any number
+    # of micro-batches — not just the single-batch availableNow case.
+    # Multi-batch equivalence with batch sessionization is pinned by
+    # tests/test_streaming.py::test_sessionize_multibatch_equals_batch.
     return out.groupBy("user_id").agg(F.max("n_sessions").alias("n_sessions"))
 
 

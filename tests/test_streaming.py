@@ -157,3 +157,75 @@ def test_foreachbatch_streaming_upsert(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(target).count() == n_src
+
+
+def test_sessionize_multibatch_equals_batch(spark, tmp_path):
+    """VERDICT guard: the update-mode memory-sink 'keep the max' rule
+    must survive MULTI-batch input, not just the one-file availableNow
+    case. Two parquet files forced into separate micro-batches
+    (maxFilesPerTrigger=1) must reproduce the batch lag/cumsum
+    sessionization, and the sink must show multiple emissions per user
+    (proving >1 batch actually ran)."""
+    import os
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_min = 30
+    d = tmp_path / "events_src"
+    d.mkdir()
+    # file A then file B, B strictly later in event time (drain-and-stop
+    # arrival-order contract); user 1 appears in both batches.
+    hour = 3600
+    batch_a = [(1, 0.0), (1, 600.0), (2, 0.0)]
+    batch_b = [(1, 2 * hour * 1.0), (2, 900.0), (2, 3 * hour * 1.0)]
+    for name, rows in (("a", batch_a), ("b", batch_b)):
+        spark.createDataFrame(rows, "user_id long, ts_sec double").coalesce(
+            1
+        ).write.parquet(str(d / name))
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    src = (
+        spark.readStream.schema("user_id long, ts_sec double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    sessions = src.groupBy("user_id").applyInPandasWithState(
+        P._make_sessionizer(gap_min * 60.0),
+        P.SESSION_SCHEMA,
+        P.SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = f"mb_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    raw = spark.table(name).collect()
+
+    # multiple emissions per user proves the stream really ran >1 batch
+    n_users = len({r["user_id"] for r in raw})
+    assert len(raw) > n_users, f"expected multi-batch emissions, got {raw}"
+
+    got = {}
+    for r in raw:  # keep-the-max rule under test
+        got[r["user_id"]] = max(got.get(r["user_id"], 0), r["n_sessions"])
+
+    # batch oracle: sessions = 1 + count(gaps > gap) over time-sorted events
+    events: dict[int, list[float]] = {}
+    for u, t in batch_a + batch_b:
+        events.setdefault(u, []).append(t)
+    want = {}
+    for u, ts in events.items():
+        ts = sorted(ts)
+        want[u] = 1 + sum(
+            1 for i in range(1, len(ts)) if ts[i] - ts[i - 1] > gap_min * 60
+        )
+    assert got == want, f"stream {got} != batch {want}"
