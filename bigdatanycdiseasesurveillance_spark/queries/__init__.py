@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     streaming_q,
     text_q,
     tpch,
+    mm_cluster_q,
     analytics_q,
     core_agg,
     core_join,
@@ -21,6 +22,5 @@ from . import (  # noqa: F401
     dedup_q,
     domain_q,
     forecast_q,
-    mm_cluster_q,
     scalar,
 )
