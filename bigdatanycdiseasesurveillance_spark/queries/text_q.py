@@ -264,3 +264,90 @@ def rel_health_domain(spark, sf_dir):
         "confidence",
         "reason",
     )
+
+
+def _winnow_fps_cte(k: int = 8, w: int = 4, b: int = 257, m: int = 1_000_000_007) -> str:
+    """Shared oracle CTE: per-doc winnowed fingerprints, replaying
+    operators.fingerprint.winnow_set bit-for-bit (exact integer
+    polynomial hashes). Gram hashes materialize ONCE per doc (unnest of
+    one list_transform), windows via a frame-bounded MIN — the same
+    no-refold structure the Spark side pins with lambda bindings."""
+    return f"""
+        WITH gs AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, length(text) - {k} + 2),
+                     i -> {{'i': i, 'h': list_reduce(list_prepend(CAST(0 AS BIGINT),
+                              list_transform(range(i, i + {k}),
+                                p -> CAST(ascii(substr(text, CAST(p AS INTEGER), 1)) AS BIGINT))),
+                            (acc, c) -> (acc * {b} + c) % {m})}})) AS s
+            FROM documents
+        ), wins AS (
+            SELECT doc_id, s.i AS i,
+                   min(s.h) OVER (PARTITION BY doc_id ORDER BY s.i
+                                  ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+                   count(*) OVER (PARTITION BY doc_id) AS nh
+            FROM gs
+        ), fps AS (
+            SELECT DISTINCT doc_id, fp AS fingerprint
+            FROM wins WHERE i <= nh - {w - 1}
+        )
+    """
+
+
+@register(
+    "txt_winnow_profile",
+    oracle=_winnow_fps_cte()
+    + """
+        SELECT d.doc_id,
+               CAST(COALESCE(f.cnt, 0) AS BIGINT) AS n_fingerprints,
+               f.mn AS min_fp
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, COUNT(*) AS cnt, MIN(fingerprint) AS mn
+                   FROM fps GROUP BY doc_id) f
+          ON d.doc_id = f.doc_id
+    """,
+    tags=("text", "fingerprint", "winnowing"),
+)
+def txt_winnow_profile(spark, sf_dir):
+    """Document fingerprinting via winnowing (rolling k-gram hashes,
+    window minima — SIGMOD'03): per-doc fingerprint count + smallest
+    fingerprint. Exact integer arithmetic, value-hash-matched against
+    the DuckDB replay."""
+    from ..operators.fingerprint import winnow_set
+
+    d = table(spark, sf_dir, "documents")
+    fp = winnow_set(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(fp).cast("long").alias("n_fingerprints"),
+        F.array_min(fp).alias("min_fp"),
+    )
+
+
+@register(
+    "dedup_fingerprint_pairs",
+    oracle=_winnow_fps_cte()
+    + """
+        , rare AS (
+            SELECT fingerprint FROM fps GROUP BY fingerprint HAVING COUNT(*) <= 50
+        ), kept AS (
+            SELECT f.doc_id, f.fingerprint FROM fps f JOIN rare USING (fingerprint)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM kept a JOIN kept b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    """,
+    tags=("dedup", "fingerprint", "winnowing", "M2"),
+)
+def dedup_fingerprint_pairs(spark, sf_dir):
+    """Partial-overlap/containment candidates: docs sharing >= 3
+    winnowed fingerprints, with fingerprints present in > 50 docs
+    dropped first (common-shingle cutoff). Bucketed on the fingerprint
+    value — linear shuffle, never all-pairs; the containment tier the
+    reference's whole-doc dedup signatures cannot see."""
+    from ..operators.fingerprint import fingerprint_pairs
+
+    return fingerprint_pairs(table(spark, sf_dir, "documents"))
