@@ -526,3 +526,215 @@ def tpch_q7_volume_shipping(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem
+            GROUP BY l_partkey
+        )
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN per_part a ON a.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND CAST(l.l_quantity AS BIGINT) * 2 * a.cnt < a.sum_qty
+    """,
+    tags=("tpch", "correlated-scalar"),
+)
+def tpch_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar AVG subquery (revenue from
+    below-half-average-quantity orders). Expressed as the de-correlated
+    plan Catalyst itself produces: a per-part partial aggregate joined
+    back to the fact. The threshold compare is pure integer arithmetic
+    (2*qty*cnt < sum_qty) so oracle parity never rides on float
+    summation order."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("a_partkey"))
+        .filter(
+            F.col("l_quantity").cast("long") * 2 * F.col("cnt") < F.col("sum_qty")
+        )
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+    tags=("tpch", "semi-anti"),
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS with an inequality
+    correlation (same order, different supplier) — the sole-blame
+    pattern (reduced schema: l_returnflag='R' stands in for the
+    receipt-after-commit lateness test). Spark plans the EXISTS as a
+    left-semi and the NOT EXISTS as a left-anti join, both on the
+    orderkey equi-condition with the suppkey inequality as a join
+    residual — no correlated re-execution per row."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+    )
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q22_dormant_balance",
+    oracle="""
+        WITH pos AS (
+            SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_pos
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT SUBSTR(c.c_name, 17, 2) AS cntrycode,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+        FROM customer c, pos
+        WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) * pos.n_pos
+                  > pos.sum_cents
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY 1
+    """,
+    tags=("tpch", "scalar-subquery"),
+)
+def tpch_q22_dormant_balance(spark, sf_dir):
+    """TPC-H Q22 shape: global scalar aggregate subquery (above-average
+    balance) + NOT EXISTS anti-join (reduced schema: "no urgent order"
+    stands in for "no order"; name-suffix digits stand in for the phone
+    country code). The 1-row aggregate cross-joins as a broadcast; the
+    above-average test is integer cents*count > sum_cents so parity is
+    exact. Anti-join right side is pre-filtered before the shuffle."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    pos = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(cents).cast("long").alias("sum_cents"),
+            F.count("*").cast("long").alias("n_pos"),
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(cents * F.col("n_pos") > F.col("sum_cents"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 17, 2).alias("cntrycode"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+        WITH unit AS (
+            SELECT l_partkey, l_suppkey,
+                   ROUND(l_extendedprice / l_quantity, 4) AS unit_price
+            FROM lineitem WHERE l_quantity > 0
+        )
+        SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, u.unit_price
+        FROM unit u
+        JOIN part p ON p.p_partkey = u.l_partkey
+        JOIN supplier s ON s.s_suppkey = u.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_size <= 5
+          AND u.unit_price = (SELECT MIN(u2.unit_price) FROM unit u2
+                              WHERE u2.l_partkey = u.l_partkey)
+    """,
+    tags=("tpch", "correlated-min"),
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated MIN subquery — for each part, the
+    supplier(s) quoting the minimum unit price (reduced schema:
+    lineitem unit price stands in for partsupp supplycost). The
+    correlated MIN becomes a window-min over the partkey partition —
+    one shuffle, no self-join — then dim joins (part filtered+broadcast,
+    supplier->nation broadcast). Prices round to 4dp on BOTH sides
+    before the min-equality so parity never rides on double tails."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    unit = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias(
+            "unit_price"
+        ),
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        unit.withColumn("min_price", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("min_price"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("p_partkey", "p_brand", "s_name", "n_name", "unit_price")
+    )
