@@ -91,3 +91,43 @@ def stream_relevance_split(spark, sf_dir):
     aggregated per severity. availableNow drain; equals the batch
     computation exactly."""
     return P.streaming_relevance_split(spark, sf_dir)
+
+
+@register(
+    "stream_click_attribution",
+    oracle="""
+        WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+             p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT c.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_attributed
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        GROUP BY c.user_id
+    """,
+    tags=("streaming", "stream-stream-join"),
+)
+def stream_click_attribution(spark, sf_dir):
+    """Stream-stream watermarked join: purchases attributed to a
+    same-user click within the hour. Watermarks on BOTH sides plus the
+    time-range join condition give bounded state (clicks evict at
+    watermark - 1h). availableNow drain equals the batch range join."""
+    return P.streaming_click_purchase_join(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_events
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("streaming", "ST6"),
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """ST6 bounded-state dedup: dropDuplicatesWithinWatermark evicts key
+    state once the watermark passes event_time + delta — the scale-safe
+    form of streaming dedup (plain dropDuplicates state never ages out).
+    Equals batch DISTINCT on the drained stream."""
+    return P.streaming_dedup_within_watermark(spark, sf_dir)

@@ -196,3 +196,65 @@ def streaming_relevance_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("cnt")
     )
     return _run_to_memory(agg, "complete").select("is_relevant", "severity", "cnt")
+
+
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked inner join (the operator family the
+    reference approximates with driver-side correlation buffers):
+    purchases attributed to a click by the same user within the hour.
+
+    Both sides carry watermarks and the join condition bounds p_ts in
+    [c_ts, c_ts + 1h], so the state store can evict a click row as soon
+    as the purchase-side watermark passes c_ts + 1h — bounded state at
+    any stream length, the property the driver-RAM approach lacks.
+    Returns (user_id, n_attributed) pair counts."""
+    ev = stream_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    out = _run_to_memory(joined, "append")
+    return (
+        out.groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count("*").cast("long").alias("n_attributed"))
+    )
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ST6 (bounded-state tier): dropDuplicatesWithinWatermark — unlike
+    plain streaming dropDuplicates (whose key state lives forever),
+    state for a key is evicted once the watermark passes its event time
+    + delta, so memory is bounded by the dup-arrival window, not the
+    key space. The cross-micro-batch drop guarantee is pinned in
+    tests/test_streaming.py with crafted duplicate batches."""
+    src = stream_table(spark, sf_dir, "events")
+    deduped = src.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = _run_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_distinct_events")
+    )

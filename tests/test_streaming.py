@@ -229,3 +229,83 @@ def test_sessionize_multibatch_equals_batch(spark, tmp_path):
             1 for i in range(1, len(ts)) if ts[i] - ts[i - 1] > gap_min * 60
         )
     assert got == want, f"stream {got} != batch {want}"
+
+
+def test_dedup_within_watermark_drops_cross_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must drop a duplicate key arriving
+    in a LATER micro-batch while its event time is inside the watermark
+    delta — the cross-batch guarantee plain batch distinct can't model
+    and unbounded dropDuplicates pays for with immortal state."""
+    import time
+    import uuid as _uuid
+
+    d = tmp_path / "dup_src"
+    d.mkdir()
+    schema = "event_id long, ts timestamp, event_type string"
+    base = "2024-01-01 10:{m:02d}:00"
+    batch_a = [
+        (1, base.format(m=0), "click"),
+        (2, base.format(m=1), "view"),
+    ]
+    # event 1 repeats 5 minutes later (inside the 1h delta) in batch B;
+    # event 3 is genuinely new
+    batch_b = [
+        (1, base.format(m=5), "click"),
+        (3, base.format(m=6), "view"),
+    ]
+    for name, rows in (("a", batch_a), ("b", batch_b)):
+        spark.createDataFrame(
+            [(i, __import__("datetime").datetime.fromisoformat(t), e) for i, t, e in rows],
+            schema,
+        ).coalesce(1).write.parquet(str(d / name))
+        time.sleep(1.1)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    deduped = src.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"ddw_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ddw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert got == [1, 2, 3], got
+
+
+def test_stream_stream_join_equals_batch_range_join(spark, sf_dir):
+    """The watermarked stream-stream join must equal the batch time-range
+    join on the same drained input."""
+    got = {
+        (r["user_id"], r["n_attributed"])
+        for r in P.streaming_click_purchase_join(spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    want = {
+        (r["cu"], r["n"])
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("cu")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want
