@@ -397,3 +397,90 @@ def embedding_cosine_pairs(
     return pairs.select(
         "id_a", "id_b", F.round(sim, 4).alias("cosine_sim")
     ).filter(F.col("cosine_sim") >= threshold)
+
+
+def minhash_md5_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """M2 (oracle-replayable tier): MinHash-LSH whose hash family is
+    md5-derived — ``conv(substr(md5(seed || ':' || token),1,15),16,10)``
+    — which DuckDB reproduces bit-for-bit, so the ENTIRE pipeline
+    (signatures, banding, candidate join, exact-Jaccard verify) is
+    SQL-checkable end to end. The xxhash64 variant (minhash_lsh_pairs)
+    stays the throughput path; this one is the correctness witness for
+    the same algorithm.
+
+    Shape: tokens explode once; the 16 per-seed hashes are parallel
+    column expressions over the exploded rows (each token hashed once
+    per seed — no per-seed re-tokenization); signature = groupBy min;
+    bands = fixed concat of signature slots; candidates = equi-join on
+    (band, band_signature); every candidate is exact-verified, so no
+    false positives survive.
+    """
+    rows_per_band = n_hashes // bands
+    toks = df.select(
+        F.col(id_col).alias("id"), distinct_tokens(F.col(text_col)).alias("tok")
+    )
+    tok_rows = toks.select("id", F.explode("tok").alias("t"))
+    hashed = tok_rows.select(
+        "id",
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{s}:"), F.col("t"))), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias(f"h{s}")
+            for s in range(n_hashes)
+        ],
+    )
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(n_hashes)]
+    )
+    banded = (
+        sig.join(toks, "id")
+        .select(
+            "id",
+            "tok",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            ).alias("bsig"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("id", "tok", "bb.band", "bb.bsig")
+    )
+    a = banded.select(
+        "band", "bsig", F.col("id").alias("id_a"), F.col("tok").alias("tok_a")
+    )
+    b = banded.select(
+        "band", "bsig", F.col("id").alias("id_b"), F.col("tok").alias("tok_b")
+    )
+    cand = (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "tok_a", "tok_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    j = word_jaccard(F.col("tok_a"), F.col("tok_b"))
+    return cand.select("id_a", "id_b", F.round(j, 4).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )

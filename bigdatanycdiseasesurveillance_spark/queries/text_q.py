@@ -11,6 +11,7 @@ from ..operators.relevance import (
     SECONDARY_VOCAB,
     extract_relevance,
 )
+from ..operators import dedup as D
 from ..operators import text_analysis as TA
 from ..registry import register
 from ..tables import table
@@ -351,3 +352,53 @@ def dedup_fingerprint_pairs(spark, sf_dir):
     from ..operators.fingerprint import fingerprint_pairs
 
     return fingerprint_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_md5",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(string_split(lower(text), ' '),
+                                             t -> t <> '')) AS tok
+            FROM documents
+        ), tokr AS (
+            SELECT doc_id, unnest(tok) AS t FROM toks
+        ), hashed AS (
+            SELECT doc_id, s.seed,
+                   CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || t),
+                                        1, 15)) AS BIGINT) AS h
+            FROM tokr CROSS JOIN (SELECT unnest(range(16)) AS seed) s
+        ), sig AS (
+            SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY doc_id, seed
+        ), bands AS (
+            SELECT doc_id, seed // 4 AS band,
+                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bsig
+            FROM sig GROUP BY doc_id, seed // 4
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
+                     (len(ta.tok) + len(tb.tok)
+                      - len(list_intersect(ta.tok, tb.tok))), 4) AS jaccard
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.id_a
+        JOIN toks tb ON tb.doc_id = c.id_b
+        WHERE ROUND(CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
+                    (len(ta.tok) + len(tb.tok)
+                     - len(list_intersect(ta.tok, tb.tok))), 4) >= 0.7
+    """,
+    tags=("dedup", "M2", "lsh", "oracle-replayable"),
+)
+def dedup_minhash_md5(spark, sf_dir):
+    """M2 with a SQL-replayable hash family: the full MinHash-LSH
+    pipeline (md5-derived per-seed hashes -> groupBy-min signatures ->
+    banding -> candidate equi-join -> exact-Jaccard verify) checked
+    end-to-end against DuckDB. The xxhash64 variant stays the fast
+    path; this row is the driver-verifiable witness that the banding
+    algorithm itself is right."""
+    return D.minhash_md5_pairs(table(spark, sf_dir, "documents"))
