@@ -738,3 +738,314 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("p_partkey", "p_brand", "s_name", "n_name", "unit_price")
     )
+
+
+def _cents(col):
+    """Exact integer cents from a 2-decimal money double — every
+    gating comparison in q8/q9/q11/q15 rides on BIGINT arithmetic, so
+    oracle parity never depends on float summation order."""
+    return F.round(col * 100, 0).cast("long")
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+        WITH v AS (
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(ROUND(l.l_extendedprice*100,0) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount*100,0) AS BIGINT)) AS vol,
+                   sn.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = cn.n_regionkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+              AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                    AND TIMESTAMP '1997-12-31 00:00:00'
+        )
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                             THEN vol ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+        FROM v GROUP BY o_year
+    """,
+    tags=("tpch", "conditional-agg"),
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's market by year
+    — a conditional aggregate RATIO over an 8-table join. The share
+    numerator/denominator accumulate as exact BIGINT ten-thousandths;
+    only the final division is floating point, so the 4dp rounding is
+    engine-stable. Five dims broadcast; the fact chain shuffles once
+    per fact-fact hop."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = table(spark, sf_dir, "supplier")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).alias("vol")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol,
+            "supp_nation",
+        )
+    )
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("vol")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.sum("vol").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+        WITH a AS (
+            SELECT sn.n_name AS nation,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(ROUND(l.l_extendedprice*100,0) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount*100,0) AS BIGINT))
+                     - 10 * CAST(l.l_quantity AS BIGINT)
+                          * CAST(ROUND(p.p_retailprice*100,0) AS BIGINT) AS amount
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE p.p_name LIKE '%widget%'
+        )
+        SELECT nation, o_year,
+               CAST(SUM(amount) AS DOUBLE) / 10000.0 AS sum_profit
+        FROM a GROUP BY nation, o_year
+    """,
+    tags=("tpch", "join-agg"),
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier-nation and year with a LIKE
+    name filter (reduced schema: 10% of retailprice stands in for
+    partsupp supplycost). Profit accumulates in exact BIGINT
+    ten-thousandths; the LIKE filter prunes part before its broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    amount = (
+        _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+        - 10 * F.col("l_quantity").cast("long") * _cents(F.col("p_retailprice"))
+    ).alias("amount")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount,
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            (F.sum("amount").cast("double") / 10000.0).alias("sum_profit")
+        )
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+        WITH val AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM lineitem GROUP BY l_partkey
+        ), tot AS (SELECT CAST(SUM(v) AS BIGINT) AS t FROM val)
+        SELECT l_partkey AS p_partkey,
+               CAST(v AS DOUBLE) / 100.0 AS part_value
+        FROM val, tot
+        WHERE v * 10000 > t * 8
+    """,
+    tags=("tpch", "having-scalar"),
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: GROUP BY ... HAVING sum > fraction * global sum
+    (reduced schema: lineitem extendedprice stands in for partsupp
+    stock value; threshold share 0.0008). The global total is a 1-row
+    broadcast; the HAVING comparison is exact BIGINT cents, so the
+    boundary part can't flip between engines."""
+    li = table(spark, sf_dir, "lineitem")
+    val = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("v")
+    )
+    tot = val.agg(F.sum("v").cast("long").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("v") * 10000 > F.col("t") * 8)
+        .select(
+            "p_partkey",
+            (F.col("v").cast("double") / 100.0).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT)))
+                        AS BIGINT) AS r
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        ), m AS (SELECT MAX(r) AS mr FROM rev)
+        SELECT s.s_suppkey, s.s_name,
+               CAST(rev.r AS DOUBLE) / 10000.0 AS total_revenue
+        FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey, m
+        WHERE rev.r = m.mr
+    """,
+    tags=("tpch", "max-view"),
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the revenue view + MAX(view) equality join —
+    supplier(s) hitting the quarter's max revenue. Revenue is exact
+    BIGINT ten-thousandths so the max-equality can't be split by float
+    tails; the max is a 1-row broadcast, not a second scan of the
+    grouped view."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+        )
+        .cast("long")
+        .alias("r")
+    )
+    m = rev.agg(F.max("r").alias("mr"))
+    return (
+        rev.crossJoin(F.broadcast(m))
+        .filter(F.col("r") == F.col("mr"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("r").cast("double") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+        WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(COUNT(DISTINCT b.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM bridge b
+        JOIN part p ON p.p_partkey = b.l_partkey
+        WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+          AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND b.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("tpch", "not-in", "count-distinct"),
+)
+def tpch_q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part group with a
+    NOT IN supplier exclusion (reduced schema: negative acctbal stands
+    in for the complaints LIKE filter; lineitem's distinct
+    (part, supp) pairs stand in for partsupp). NOT IN with a non-null
+    key list is a left-anti join; the exclusion list broadcasts."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    bridge = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        bridge.join(F.broadcast(bad), bridge.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_excess_stock_suppliers",
+    oracle="""
+        SELECT s.s_name, ROUND(s.s_acctbal, 2) AS s_acctbal
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+          AND s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_name LIKE 'red%'
+            GROUP BY l.l_suppkey, l.l_partkey
+            HAVING SUM(CAST(l.l_quantity AS BIGINT)) > 100
+          )
+    """,
+    tags=("tpch", "nested-in"),
+)
+def tpch_q20_excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN subqueries — suppliers in one nation
+    who moved >100 units of any 'red' part (reduced schema: shipped
+    quantity stands in for availqty vs half-demand). The inner
+    grouped-HAVING set becomes a left-semi join; quantity sums are
+    BIGINT so the HAVING boundary is exact."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    qualifying = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .filter(F.col("q") > 100)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
