@@ -10,27 +10,6 @@ from ..registry import register
 from ..tables import table
 
 
-@register(
-    "mm_decode_pipeline",
-    oracle=None,  # decode stage is the documented deterministic stub
-    # (real codecs absent in this container); determinism + plumbing
-    # asserted in tests/test_multimodal.py.
-    tags=("multimodal",),
-)
-def mm_decode_pipeline(spark, sf_dir):
-    """Multimodal plumbing end-to-end: binary payload column -> Arrow
-    mapInPandas decode (stub) -> native resize planning + video frame
-    sampling -> per-media-type rollup."""
-    media = MM.attach_media(table(spark, sf_dir, "documents"))
-    decoded = MM.frame_sample(MM.resize_plan(MM.decode_media(media)))
-    return decoded.groupBy("media_type").agg(
-        F.count("*").alias("n_assets"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg("target_w"), 2).alias("avg_target_w"),
-        F.sum("n_sampled").alias("total_sampled_frames"),
-    )
-
-
 def _kmeans_oracle(k: int = 5, iters: int = 8) -> str:
     """Replay lloyd_kmeans_2d exactly: deterministic smallest-id init,
     nearest-centroid assignment with ties to the smallest cluster id,
@@ -211,3 +190,26 @@ def cluster_dbscan_jittered(spark, sf_dir):
     )
     assigned = C.grid_dbscan(pts, eps=0.05, min_samples=4)
     return C.cluster_profiles(assigned, pts).orderBy(F.desc("size"), F.asc("cluster_id"))
+
+
+# registered last: rows-only forever (stub decode), so it cedes its
+# slot in the driver's covered registration prefix to oracle-backed rows.
+@register(
+    "mm_decode_pipeline",
+    oracle=None,  # decode stage is the documented deterministic stub
+    # (real codecs absent in this container); determinism + plumbing
+    # asserted in tests/test_multimodal.py.
+    tags=("multimodal",),
+)
+def mm_decode_pipeline(spark, sf_dir):
+    """Multimodal plumbing end-to-end: binary payload column -> Arrow
+    mapInPandas decode (stub) -> native resize planning + video frame
+    sampling -> per-media-type rollup."""
+    media = MM.attach_media(table(spark, sf_dir, "documents"))
+    decoded = MM.frame_sample(MM.resize_plan(MM.decode_media(media)))
+    return decoded.groupBy("media_type").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("target_w"), 2).alias("avg_target_w"),
+        F.sum("n_sampled").alias("total_sampled_frames"),
+    )

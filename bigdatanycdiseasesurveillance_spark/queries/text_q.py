@@ -402,3 +402,96 @@ def dedup_minhash_md5(spark, sf_dir):
     path; this row is the driver-verifiable witness that the banding
     algorithm itself is right."""
     return D.minhash_md5_pairs(table(spark, sf_dir, "documents"))
+
+
+# --- deterministic sampling (operators/sampling.py) -------------------
+# thresholds precomputed so the Spark code and the oracle SQL embed the
+# IDENTICAL integers: membership is exact, never float-boundary.
+
+_S_SCALE = 1 << 60
+_S_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_S_DEFAULT = 0.1
+_S_TEST = 0.2
+
+
+def _strat_threshold_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(r * _S_SCALE)}"
+        for s, r in _S_RATES.items()
+    )
+    return f"CASE {cases} ELSE {int(_S_DEFAULT * _S_SCALE)} END"
+
+
+@register(
+    "sample_stratified_sources",
+    oracle=f"""
+        WITH dev AS (
+            SELECT source, n_chars,
+                   CAST(('0x' || substr(md5('strat:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS d
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM dev
+        WHERE d < {_strat_threshold_sql()}
+        GROUP BY source
+    """,
+    tags=("sampling", "training-data"),
+)
+def sample_stratified_sources(spark, sf_dir):
+    """Deterministic stratified sampling — keep 100% of src0, 50% of
+    src1, 25% of src2, 10% elsewhere, by md5-hash deviate of doc_id.
+    Membership is a pure function of the data (layout/parallelism
+    independent — rand(seed) is not), which is why the oracle can
+    replay it row-for-row."""
+    from ..operators.sampling import sample_stratified
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        sample_stratified(
+            docs, "doc_id", "source", _S_RATES, default_rate=_S_DEFAULT
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "split_train_test_profile",
+    oracle=f"""
+        WITH dev AS (
+            SELECT source, n_chars,
+                   CAST(('0x' || substr(md5('split:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS d
+            FROM documents
+        )
+        SELECT source,
+               CASE WHEN d < {int(_S_TEST * _S_SCALE)}
+                    THEN 'test' ELSE 'train' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM dev
+        GROUP BY 1, 2
+    """,
+    tags=("sampling", "training-data"),
+)
+def split_train_test_profile(spark, sf_dir):
+    """Deterministic 80/20 train/test split by hash deviate — disjoint
+    and exhaustive by construction (one deviate, one threshold). The
+    per-(source, split) profile is what a data-mixing stage consumes."""
+    from ..operators.sampling import train_test_split
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", test_rate=_S_TEST)
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
