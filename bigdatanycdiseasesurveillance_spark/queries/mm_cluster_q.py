@@ -140,24 +140,6 @@ def _dbscan_oracle(pts_sql: str) -> str:
     """.format(pts=pts_sql)
 
 
-@register(
-    "cluster_grid_dbscan",
-    oracle=_dbscan_oracle(_DBSCAN_PTS_PLAIN),
-    tags=("cluster", "M7"),
-)
-def cluster_grid_dbscan(spark, sf_dir):
-    """M7: grid-partitioned DBSCAN over a 2-D embedding projection
-    (first two dims); per-cluster size + centroid profile."""
-    emb = table(spark, sf_dir, "embeddings")
-    pts = emb.select(
-        "vec_id",
-        F.col("embedding")[0].cast("double").alias("x"),
-        F.col("embedding")[1].cast("double").alias("y"),
-    )
-    assigned = C.grid_dbscan(pts, eps=0.05, min_samples=4)
-    return C.cluster_profiles(assigned, pts).orderBy(F.desc("size"), F.asc("cluster_id"))
-
-
 def _jittered_pts_sql() -> str:
     from ..operators.clustering import jitter_sql
 
@@ -187,6 +169,24 @@ def cluster_dbscan_jittered(spark, sf_dir):
         .alias("x"),
         (F.col("embedding")[1].cast("double") + C.seeded_jitter(F.col("vec_id"), seed=43))
         .alias("y"),
+    )
+    assigned = C.grid_dbscan(pts, eps=0.05, min_samples=4)
+    return C.cluster_profiles(assigned, pts).orderBy(F.desc("size"), F.asc("cluster_id"))
+
+
+@register(
+    "cluster_grid_dbscan",
+    oracle=_dbscan_oracle(_DBSCAN_PTS_PLAIN),
+    tags=("cluster", "M7"),
+)
+def cluster_grid_dbscan(spark, sf_dir):
+    """M7: grid-partitioned DBSCAN over a 2-D embedding projection
+    (first two dims); per-cluster size + centroid profile."""
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
     )
     assigned = C.grid_dbscan(pts, eps=0.05, min_samples=4)
     return C.cluster_profiles(assigned, pts).orderBy(F.desc("size"), F.asc("cluster_id"))

@@ -495,3 +495,72 @@ def split_train_test_profile(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+# --- PII redaction (operators/redaction.py) ---------------------------
+
+
+def _pii_oracle() -> str:
+    from ..operators.redaction import pii_sql_exprs
+
+    inject = (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||"
+        " CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' see https://ex.org/doc/' ||"
+        " CAST(doc_id AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' ||"
+        " CAST(doc_id % 250 AS VARCHAR) || '.1' ELSE '' END"
+    )
+    redacted, counts = pii_sql_exprs(inject)
+    return f"""
+        SELECT doc_id,
+               {counts['url']} AS n_url,
+               {counts['email']} AS n_email,
+               {counts['ip']} AS n_ip,
+               {counts['phone']} AS n_phone,
+               md5({redacted}) AS redacted_md5
+        FROM documents
+    """
+
+
+@register(
+    "txt_pii_redaction",
+    oracle=_pii_oracle(),
+    tags=("text", "pii", "training-data"),
+)
+def txt_pii_redaction(spark, sf_dir):
+    """PII scrub stage: deterministic synthetic PII (the corpus has
+    none) is injected per doc_id, then redacted to typed tokens with
+    per-category counts. md5 of the scrubbed text is the witness that
+    both engines produced byte-identical redactions."""
+    from ..operators.redaction import pii_counts, redact_text
+
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" see https://ex.org/doc/"), did.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" host 10.0."), (did % 250).cast("string"), F.lit(".1")),
+        ).otherwise(F.lit("")),
+    )
+    counts = pii_counts(pii_text)
+    return d.select(
+        "doc_id",
+        counts["url"].alias("n_url"),
+        counts["email"].alias("n_email"),
+        counts["ip"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+        F.md5(redact_text(pii_text)).alias("redacted_md5"),
+    )
