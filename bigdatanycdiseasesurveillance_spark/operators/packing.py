@@ -1,0 +1,130 @@
+"""Sequence packing — turning a document corpus into fixed-token-budget
+training sequences. Two industry-standard strategies:
+
+1. `pack_concat_chunks` — concatenate the (deterministically ordered)
+   token stream and slice it into budget-sized chunks; documents may
+   span a chunk boundary. This is the classic GPT-style pretraining
+   layout. It is pure window arithmetic (one cumulative sum), fully
+   SQL-expressible, and scales as a single sort-free window pass when
+   the ordering key is the partition key's sort order.
+
+2. `pack_greedy_ffd` — first-fit-decreasing bin packing WITHIN hash
+   buckets via applyInPandas: no document crosses a sequence boundary
+   (the layout instruction-tuning pipelines need). Exact FFD is
+   inherently sequential, so the scale design shards the corpus into
+   independent buckets (each a few thousand docs), packs each bucket in
+   one Arrow batch, and namespaces pack ids by bucket. Packing quality
+   loses nothing measurable: utilization is pinned >= 90% in tests
+   while cross-bucket FFD could at best save one partial pack per
+   bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk accounting: each doc's half-open token span
+    [start_tok, end_tok) in the global stream, and the chunk ids it
+    touches. A doc spans `last_chunk - first_chunk + 1` sequences.
+
+    Single window over a deterministic total order (id_col). At 100 TB
+    the order key would be (shard, position) so the window partitions
+    by shard and never global-sorts; the global form here matches the
+    oracle exactly.
+    """
+    w = (
+        Window.orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end = F.sum(n_tokens_col).over(w).cast("long")
+    start = end - F.col(n_tokens_col)
+    return df.select(
+        id_col,
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        start.alias("start_tok"),
+        end.alias("end_tok"),
+        F.floor(start / budget).cast("long").alias("first_chunk"),
+        F.floor((end - 1) / budget).cast("long").alias("last_chunk"),
+        (F.floor((end - 1) / budget) - F.floor(start / budget) + 1)
+        .cast("long")
+        .alias("n_chunks_spanned"),
+    )
+
+
+PACK_SCHEMA = (
+    "doc_id long, n_tokens long, bucket int, pack_id long, pack_slot int"
+)
+
+
+def pack_greedy_ffd(
+    df: DataFrame,
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 256,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """First-fit-decreasing packing within hash buckets. Docs larger
+    than the budget get a dedicated pack (flagged by pack_slot = -1).
+    Deterministic: bucket = crc-free md5-independent pmod of the id,
+    FFD order = (tokens desc, id). pack_id = bucket * 2^40 + local."""
+
+    def pack_bucket(key, pdf):
+        # closure: executors don't have this repo on sys.path.
+        # applyInPandas hands the WHOLE group as one pandas frame
+        # (unlike applyInPandasWithState's chunk iterator).
+        import pandas as _pd
+
+        (bucket,) = key
+        rows = sorted(
+            zip(pdf["doc_id"].tolist(), pdf["n_tokens"].tolist()),
+            key=lambda r: (-r[1], r[0]),
+        )
+        packs: list[list[tuple[int, int]]] = []
+        remaining: list[int] = []
+        out = []
+        for doc_id, n in rows:
+            if n > budget:
+                out.append((doc_id, n, bucket, len(packs), -1))
+                packs.append([(doc_id, n)])
+                remaining.append(0)
+                continue
+            for i, room in enumerate(remaining):
+                if n <= room:
+                    packs[i].append((doc_id, n))
+                    remaining[i] = room - n
+                    out.append((doc_id, n, bucket, i, len(packs[i]) - 1))
+                    break
+            else:
+                packs.append([(doc_id, n)])
+                remaining.append(budget - n)
+                out.append((doc_id, n, bucket, len(packs) - 1, 0))
+        base = bucket << 40
+        return _pd.DataFrame(
+            [
+                {
+                    "doc_id": d,
+                    "n_tokens": n,
+                    "bucket": b,
+                    "pack_id": base + p,
+                    "pack_slot": s,
+                }
+                for d, n, b, p, s in out
+            ]
+        )
+
+    prepared = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
+    return prepared.groupBy("bucket").applyInPandas(pack_bucket, PACK_SCHEMA)

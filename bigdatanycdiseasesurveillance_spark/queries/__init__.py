@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     text_q,
     tpch,
     mm_cluster_q,
+    packing_q,
     analytics_q,
     core_agg,
     core_join,
