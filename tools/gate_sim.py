@@ -1,0 +1,93 @@
+"""Simulate the driver's correctness gate: run every queries() entry and
+compare to oracle_sql() in DuckDB.
+
+Usage:  cd /tmp && python /root/repo/tools/gate_sim.py [sf_dir]
+
+MUST run from OUTSIDE the repo (e.g. /tmp): the driver's executors do
+not have the repo on sys.path, so pandas-UDF closure-pickling bugs only
+reproduce in that configuration. The script refuses to run from the
+repo root for that reason.
+"""
+import os
+import sys, math, datetime
+
+sys.path.insert(0, "/root/repo")
+import duckdb
+from pyspark.sql import SparkSession
+
+if os.path.realpath(os.getcwd()) == os.path.realpath("/root/repo"):
+    sys.exit("run from /tmp (or any non-repo cwd), not the repo root")
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return round(v, 6)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(norm_cell(r[i]) for i in order) for r in rows), key=repr
+    )
+
+
+def main():
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    import __spark_entry__ as E
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    fails = []
+    for name, fn in qs.items():
+        try:
+            df = fn(spark, SF)
+            scols = df.columns
+            srows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            fails.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL {name}: spark error {e}")
+            continue
+        if name not in oracles:
+            print(f"ok(rows-only) {name}: {len(srows)} rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            fails.append((name, f"ORACLE ERROR: {e}"))
+            print(f"FAIL {name}: oracle error {e}")
+            continue
+        if sorted(scols) != sorted(ocols):
+            fails.append((name, f"schema {sorted(scols)} vs {sorted(ocols)}"))
+            print(f"FAIL {name}: schema mismatch")
+            continue
+        sn, on = norm_rows(scols, srows), norm_rows(ocols, orows)
+        if sn != on:
+            diff = next((i for i in range(min(len(sn), len(on))) if sn[i] != on[i]), None)
+            msg = f"rows {len(sn)} vs {len(on)}"
+            if diff is not None:
+                msg += f"; first diff @{diff}: {sn[diff]} vs {on[diff]}"
+            fails.append((name, msg))
+            print(f"FAIL {name}: {msg}")
+        else:
+            print(f"OK {name}: {len(sn)} rows")
+    print(f"\n{len(qs) - len(fails)}/{len(qs)} pass")
+    sys.exit(1 if fails else 0)
+
+
+main()
