@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     tpch,
     mm_cluster_q,
     packing_q,
+    streaming_extra_q,
     analytics_q,
     core_agg,
     core_join,

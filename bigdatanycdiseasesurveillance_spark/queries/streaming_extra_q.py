@@ -1,0 +1,27 @@
+"""Streaming queries registered AFTER the driver-gate prefix (their
+rows come in a later round; the prefix slots stay reserved for the
+judge-priority queries still missing driver rows)."""
+
+from __future__ import annotations
+
+from ..registry import register
+from ..streaming import pipelines as P
+
+
+@register(
+    "stream_static_enrichment",
+    oracle="""
+        SELECT c.c_mktsegment,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "stream-static-join"),
+)
+def stream_static_enrichment(spark, sf_dir):
+    """Stream-static broadcast join: order stream enriched with the
+    customer dim, revenue by market segment (exact cents). The static
+    side needs no state store and re-resolves per micro-batch."""
+    return P.streaming_enrich_orders(spark, sf_dir)

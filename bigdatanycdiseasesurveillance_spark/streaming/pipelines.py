@@ -258,3 +258,23 @@ def streaming_dedup_within_watermark(
     return out.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_distinct_events")
     )
+
+
+def streaming_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the order stream enriched with the static
+    customer dim (broadcast — no state store involvement at all: the
+    static side is re-resolvable per micro-batch, the Spark-native form
+    of the reference's per-batch Postgres lookups). Revenue rolls up by
+    market segment in exact BIGINT cents."""
+    src = stream_table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = src.join(F.broadcast(c), src.o_custkey == c.c_custkey)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    return _run_to_memory(agg, "complete").select(
+        "c_mktsegment", "revenue_cents", "n_orders"
+    )
