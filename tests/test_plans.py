@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from bigdatanycdiseasesurveillance_spark.plans import (
+    formatted_plan,
     broadcast_join_count,
     codegen_stage_count,
     executed_plan,
@@ -157,3 +158,21 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {ev}")
         spark.sql(f"DROP TABLE IF EXISTS {ev2}")
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    """Column pruning pin: a 2-column projection over the 11-column
+    lineitem must scan ONLY those columns (ReadSchema) — a scan that
+    reads all columns for a narrow projection is wrong at any scale."""
+    df = q("tpch_q6_forecast_revenue", spark, sf_dir)
+    fp = formatted_plan(df)
+    rs = [l for l in fp.splitlines() if "ReadSchema" in l]
+    assert rs, fp
+    schema_line = rs[0]
+    # q6 needs exactly shipdate (filter), quantity (filter),
+    # extendedprice + discount (aggregate): 4 of 11 columns
+    for col in ("l_shipdate", "l_quantity", "l_extendedprice", "l_discount"):
+        assert col in schema_line, schema_line
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+                "l_comment", "l_tax", "l_linestatus"):
+        assert col not in schema_line, schema_line

@@ -156,11 +156,13 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     write_partitioned_parquet(df, path, ["event_date"], mode="overwrite")
     back = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-02")
     assert back.count() == 10
-    # date filter must prune to the single matching partition directory
+    # the date filter must land in PartitionFilters (directory pruning),
+    # NOT in the data filters — at 100 TB this is the difference between
+    # listing one partition and scanning every file's footer
     plan = back._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan or len(
-        [d for d in os.listdir(path) if d.startswith("event_date=")]
-    ) == 3
+    assert "PartitionFilters" in plan and "event_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
 
 
 def test_csv_roundtrip(spark, tmp_path):
