@@ -484,3 +484,92 @@ def minhash_md5_pairs(
     return cand.select("id_a", "id_b", F.round(j, 4).alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def simhash_md5_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 48,
+    chunk_bits: int = 16,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """M2 (oracle-replayable tier): SimHash whose per-token hashes are
+    md5-derived, so signatures, chunk blocking, and Hamming verify all
+    replay bit-for-bit in DuckDB (the xxhash64 simhash_pairs stays the
+    throughput path). 48-bit signature (top bit headroom keeps every
+    intermediate a positive BIGINT in both engines), 3x16-bit chunk
+    blocking: pairs within Hamming distance 2 are guaranteed a shared
+    chunk (pigeonhole); beyond that recall is partial and documented —
+    identical trade to the fast path.
+
+    Shape: tokens explode once; the 48 per-bit votes are parallel
+    conditional sums in ONE groupBy (no per-bit re-scan); the signature
+    reassembles with shiftleft; candidates come from a 3-way chunk
+    equi-join, verified by bit_count(xor).
+    """
+    n_chunks = n_bits // chunk_bits
+    toks = df.select(
+        F.col(id_col).alias("id"), distinct_tokens(F.col(text_col)).alias("tok")
+    )
+    tok_rows = toks.select("id", F.explode("tok").alias("t"))
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sim:"), F.col("t"))), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("h")
+    )
+    hashed = tok_rows.select("id", h)
+    votes = hashed.groupBy("id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b) % 2).alias(f"ones{b}")
+            for b in range(n_bits)
+        ],
+    )
+    sig = votes.select(
+        "id",
+        sum(
+            [
+                F.when(
+                    2 * F.col(f"ones{b}") > F.col("n"),
+                    F.shiftleft(F.lit(1).cast("long"), b),
+                ).otherwise(F.lit(0).cast("long"))
+                for b in range(n_bits)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("sig"),
+    )
+    chunked = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        (
+                            F.shiftright(F.col("sig"), c * chunk_bits)
+                            % (1 << chunk_bits)
+                        ).alias("chunk"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sig", "cc.c", "cc.chunk")
+    a = chunked.select(
+        "c", "chunk", F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    b = chunked.select(
+        "c", "chunk", F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["c", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+    )

@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     mm_cluster_q,
     packing_q,
     streaming_extra_q,
+    dedup_extra_q,
     analytics_q,
     core_agg,
     core_join,
