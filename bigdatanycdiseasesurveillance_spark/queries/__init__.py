@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     packing_q,
     streaming_extra_q,
     dedup_extra_q,
+    reshape_q,
     analytics_q,
     core_agg,
     core_join,

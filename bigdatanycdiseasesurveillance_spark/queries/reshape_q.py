@@ -1,0 +1,113 @@
+"""Reshape + null-semantics query corpus (post-prefix registration).
+
+Pivot/unpivot are the remaining first-class DataFrame reshape operators
+not already in the corpus; the null-semantics suite pins Spark/ANSI
+null behavior (null-safe equality, NULLIF/COALESCE chains) against
+DuckDB's IS NOT DISTINCT FROM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "reshape_pivot_daily_types",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("reshape", "pivot"),
+)
+def reshape_pivot_daily_types(spark, sf_dir):
+    """Pivot: long->wide daily event-type matrix. The pivot VALUES are
+    explicit (no distinct-scan job to discover them — at 100 TB that
+    pre-scan is a full pass); count(null->0) via coalesce so absent
+    combos match the conditional-aggregation oracle."""
+    ev = table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+@register(
+    "reshape_unpivot_roundtrip",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("reshape", "unpivot"),
+)
+def reshape_unpivot_roundtrip(spark, sf_dir):
+    """Unpivot (melt): wide->long inverse of the pivot — the roundtrip
+    recovers the plain daily counts exactly (zero-filled combos drop,
+    matching the long form's absent rows)."""
+    wide = reshape_pivot_daily_types(spark, sf_dir)
+    long = wide.unpivot(
+        ["day"], EVENT_TYPES, "event_type", "cnt"
+    ).filter(F.col("cnt") > 0)
+    return long.select("day", "event_type", F.col("cnt").cast("long").alias("cnt"))
+
+
+@register(
+    "scalar_null_semantics",
+    oracle="""
+        WITH x AS (
+            SELECT l_orderkey, l_linenumber,
+                   NULLIF(l_quantity, 1) AS qa,
+                   NULLIF(l_tax, 0) AS ta
+            FROM lineitem
+        )
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(COUNT(qa) AS BIGINT) AS n_qty_not1,
+            CAST(SUM(CASE WHEN qa IS NOT DISTINCT FROM ta THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_nullsafe_eq,
+            CAST(SUM(CASE WHEN qa = ta THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_plain_eq,
+            CAST(SUM(CAST(COALESCE(qa, ta, -1) AS BIGINT)) AS BIGINT)
+                AS coalesce_sum
+        FROM x
+    """,
+    tags=("scalar", "null-semantics"),
+)
+def scalar_null_semantics(spark, sf_dir):
+    """ANSI null semantics pinned cross-engine: NULLIF-derived nullable
+    columns compared with null-safe equality (<=> / IS NOT DISTINCT
+    FROM) vs plain = (null-dropping), plus a COALESCE fallback chain.
+    n_nullsafe_eq > n_plain_eq is exactly the both-null row count."""
+    li = table(spark, sf_dir, "lineitem")
+    qa = F.nullif(F.col("l_quantity"), F.lit(1))
+    ta = F.nullif(F.col("l_tax"), F.lit(0))
+    return li.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count(qa).cast("long").alias("n_qty_not1"),
+        F.sum(qa.eqNullSafe(ta).cast("long")).cast("long").alias("n_nullsafe_eq"),
+        F.sum(F.when(qa == ta, 1).otherwise(0)).cast("long").alias("n_plain_eq"),
+        F.sum(F.coalesce(qa, ta, F.lit(-1)).cast("long"))
+        .cast("long")
+        .alias("coalesce_sum"),
+    )
