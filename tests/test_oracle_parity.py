@@ -60,3 +60,29 @@ def test_langid_fast_equals_dataframe_variant(spark, sf_dir):
     a = sorted(map(tuple, langid_trigram(docs).collect()))
     b = sorted(map(tuple, langid_trigram_fast(docs).collect()))
     assert a == b
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """Sketch-tier percentiles: percentile_approx with accuracy K must
+    land within 1/K rank error of the exact percentile — the mergeable
+    fixed-size replacement for a full sort at corpus scale."""
+    from pyspark.sql import functions as F
+
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem")
+    acc = 100
+    got = li.agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.9], acc).alias("ap")
+    ).collect()[0]["ap"]
+    n = li.count()
+    vals = [
+        r["l_extendedprice"]
+        for r in li.select("l_extendedprice").orderBy("l_extendedprice").collect()
+    ]
+    for q, a in zip([0.25, 0.5, 0.9], got):
+        # rank of the approx answer must be within n/acc of the target
+        import bisect
+
+        rank = bisect.bisect_left(vals, a)
+        assert abs(rank - q * n) <= n / acc + 1, (q, a, rank, q * n)

@@ -176,3 +176,19 @@ def test_projection_prunes_scan_columns(spark, sf_dir):
     for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
                 "l_comment", "l_tax", "l_linestatus"):
         assert col not in schema_line, schema_line
+
+
+def test_join_strategy_hints_honored(spark, sf_dir):
+    """Planner-control pin: when statistics mislead, the engine's
+    escape hatches are join hints — SHUFFLE_HASH must avoid the sort,
+    MERGE must force SortMergeJoin, BROADCAST must broadcast."""
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    sh = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in executed_plan(sh), executed_plan(sh)
+    mg = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in executed_plan(mg), executed_plan(mg)
+    bc = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+    assert "BroadcastHashJoin" in executed_plan(bc), executed_plan(bc)
