@@ -43,6 +43,40 @@ def cosine_cols(a: Column, b: Column) -> Column:
     return cosine(as_double(a), as_double(b))
 
 
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization of a float array:
+    scale = max|v| / 127, q_i = floor(v_i/scale + 0.5) in [-127, 127].
+
+    floor(x + 0.5) instead of round(): both engines compute v/scale in
+    identical IEEE doubles, and floor of the same double is the same
+    integer everywhere — round() half-handling differs across engines.
+    Returns struct(scale double, q array<int>). A 384-dim float32
+    embedding drops 4x in size; at 100 TB of vectors that is the
+    difference between an index that fits executor memory and one that
+    spills.
+    """
+    v = as_double(vec)
+
+    def _q(u: Column) -> Column:
+        scale = F.greatest(
+            F.array_max(F.transform(u, F.abs)) / F.lit(127.0), F.lit(1e-30)
+        )
+        return F.struct(
+            scale.alias("scale"),
+            F.transform(u, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")).alias(
+                "q"
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(v), _q), 1)
+
+
+def dequantize(qstruct: Column) -> Column:
+    """Inverse of quantize_int8: scale * q as a double array."""
+    s = qstruct["scale"]
+    return F.transform(qstruct["q"], lambda x: x.cast("double") * s)
+
+
 def unit(vec: Column) -> Column:
     """Unit-normalized double vector. Pairwise plans should project this
     ONCE per side before the join — cosine then degenerates to a single

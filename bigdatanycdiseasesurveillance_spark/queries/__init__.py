@@ -27,4 +27,5 @@ from . import (  # noqa: F401
     domain_q,
     forecast_q,
     scalar,
+    curation_q,
 )

@@ -1,0 +1,313 @@
+"""Corpus-curation query tier: decontamination, domain quotas,
+repetition quality, exact unblocked similarity join, embedding
+quantization, and session windows.
+
+Registered LAST: the round driver's correctness gate covers a bounded
+registration prefix per round; these queue behind the round-2 prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+# Shared DuckDB CTE: tokens, and n-token shingles via list_slice.
+_TOK_CTE = """
+    WITH toks AS (
+        SELECT doc_id, source, n_chars,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS tok
+        FROM documents
+    )
+"""
+
+
+def _shingle_sql(n: int) -> str:
+    """DuckDB n-token shingle list over `tok` (empty when too short)."""
+    return f"""
+        CASE WHEN len(tok) >= {n}
+             THEN list_transform(range(1, len(tok) - {n - 1} + 1),
+                    i -> array_to_string(
+                         list_slice(tok, CAST(i AS INTEGER),
+                                    CAST(i + {n - 1} AS INTEGER)), ' '))
+             ELSE [] END
+    """
+
+
+_BENCH_MOD = 23  # doc_id % 23 == 0 plays the benchmark corpus
+
+
+@register(
+    "cur_decontaminate",
+    oracle=_TOK_CTE
+    + f"""
+        , sh AS (
+            SELECT doc_id, unnest(list_distinct({_shingle_sql(5)})) AS s
+            FROM toks
+        ), bench AS (
+            SELECT doc_id AS b_id, s FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+        ), corpus AS (
+            SELECT doc_id AS c_id, s FROM sh WHERE doc_id % {_BENCH_MOD} <> 0
+        )
+        SELECT c_id AS doc_id,
+               CAST(COUNT(DISTINCT s) AS BIGINT) AS n_hit_shingles,
+               CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_bench_docs
+        FROM corpus JOIN bench USING (s)
+        GROUP BY c_id
+    """,
+    tags=("curation", "decontamination", "training-data"),
+)
+def cur_decontaminate(spark, sf_dir):
+    """Test-set decontamination: flag corpus docs sharing any 5-token
+    shingle with the (synthetic) benchmark split. Shingle equi-join
+    with the tiny benchmark side broadcast — linear in corpus shingles,
+    never corpus x benchmark."""
+    from ..operators.curation import decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return decontaminate(corpus, bench, n=5)
+
+
+_CAP = 15
+
+
+@register(
+    "cur_domain_cap",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(('0x' || substr(md5('cap:' ||
+                                 CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                                doc_id) AS r
+            FROM documents
+        )
+        SELECT source,
+               CAST(SUM(CASE WHEN r <= {_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(CASE WHEN r > {_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               CAST(SUM(CASE WHEN r <= {_CAP} THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS kept_chars
+        FROM ranked
+        GROUP BY source
+    """,
+    tags=("curation", "sampling", "training-data"),
+)
+def cur_domain_cap(spark, sf_dir):
+    """Per-domain quota: keep at most N docs per source, chosen by a
+    deterministic md5 deviate (stable across layouts/cluster sizes).
+    One shuffle on the domain key."""
+    from ..operators.curation import cap_per_domain
+
+    d = cap_per_domain(table(spark, sf_dir, "documents"), cap=_CAP)
+    return d.groupBy("source").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+
+
+@register(
+    "txt_repetition_signals",
+    oracle=_TOK_CTE
+    + f"""
+        , g AS (
+            SELECT doc_id, {_shingle_sql(2)} AS gr FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(gr) AS BIGINT) AS n_grams,
+               CASE WHEN len(gr) = 0 THEN NULL
+                    ELSE ROUND(1.0 - CAST(len(list_distinct(gr)) AS DOUBLE)
+                               / len(gr), 4) END AS dup_gram_frac,
+               CASE WHEN len(gr) = 0 THEN NULL
+                    ELSE ROUND(CAST(list_max(list_transform(list_distinct(gr),
+                               u -> len(list_filter(gr, x -> x = u)))) AS DOUBLE)
+                               / len(gr), 4) END AS top_gram_share
+        FROM g
+    """,
+    tags=("curation", "quality", "text", "training-data"),
+)
+def txt_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition signals: per-doc duplicate-bigram mass
+    and top-bigram share. Pure per-row array expressions — no shuffle."""
+    from ..operators.curation import repetition_signals
+
+    d = table(spark, sf_dir, "documents")
+    return repetition_signals(d, n=2).select(
+        "doc_id", "n_grams", "dup_gram_frac", "top_gram_share"
+    )
+
+
+_J_T = 0.7
+_JACC = (
+    "CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) / "
+    "(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))"
+)
+
+
+@register(
+    "dedup_prefix_jaccard",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(string_split(lower(text), ' '),
+                                             t -> t <> '')) AS tok
+            FROM documents
+            WHERE len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) > 0
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND({_JACC}, 4) AS jaccard
+            FROM toks a JOIN toks b
+              ON a.doc_id < b.doc_id
+             AND len(a.tok) >= CEIL({_J_T} * len(b.tok))
+             AND len(b.tok) >= CEIL({_J_T} * len(a.tok))
+        )
+        SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {_J_T}
+    """,
+    tags=("dedup", "M2", "setsim", "exact"),
+)
+def dedup_prefix_jaccard(spark, sf_dir):
+    """EXACT unblocked Jaccard join via prefix filtering (AllPairs/
+    PPJoin): the complete >= 0.7 pair set over the whole corpus, no
+    block key, no recall loss. Prefix tokens are the globally rarest
+    tokens, so candidate buckets are tiny and skew-free by construction.
+    The oracle is brute-force all-pairs (with the implied length
+    filter) — feasible at oracle scale, which is exactly the point of
+    having the prefix-filter plan for cluster scale."""
+    from ..operators.setsim import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=_J_T
+    )
+
+
+_QVEC_ID = 0
+
+_DQ = """
+    list_transform({v},
+        x -> floor(CAST(x AS DOUBLE) / {s} + 0.5) * {s})
+"""
+
+
+def _scale_sql(v: str) -> str:
+    return (
+        f"greatest(list_max(list_transform({v}, "
+        f"x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30)"
+    )
+
+
+@register(
+    "emb_quantize_recall",
+    oracle=f"""
+        WITH q AS (
+            SELECT embedding AS qv,
+                   {_scale_sql('embedding')} AS qs
+            FROM embeddings WHERE vec_id = {_QVEC_ID}
+        ), x AS (
+            SELECT e.vec_id, e.label,
+                   list_cosine_similarity(
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(q.qv, x -> CAST(x AS DOUBLE))) AS ce,
+                   list_cosine_similarity(
+                       {_DQ.format(v='e.embedding', s=_scale_sql('e.embedding'))},
+                       {_DQ.format(v='q.qv', s='q.qs')}) AS cq
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> {_QVEC_ID}
+        )
+        SELECT vec_id, label,
+               ROUND(ce, 4) AS cos_exact,
+               ROUND(cq, 4) AS cos_quant,
+               ROUND(abs(ce - cq), 4) AS abs_err
+        FROM x
+    """,
+    tags=("similarity", "quantization", "training-data"),
+)
+def emb_quantize_recall(spark, sf_dir):
+    """Int8 embedding quantization fidelity: exact vs dequantized
+    cosine against a fixed query vector, per corpus vector. The
+    quantized index is 4x smaller — the scale path for ANN at 100 TB —
+    and this query is the measurable recall contract for it."""
+    from ..functions.vectors import as_double, cosine, dequantize, quantize_int8
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == _QVEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    ce = cosine(as_double(F.col("embedding")), as_double(F.col("qv")))
+    cq = cosine(
+        dequantize(quantize_int8(F.col("embedding"))),
+        dequantize(quantize_int8(F.col("qv"))),
+    )
+    return (
+        e.filter(F.col("vec_id") != _QVEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(ce, 4).alias("cos_exact"),
+            F.round(cq, 4).alias("cos_quant"),
+            F.round(F.abs(ce - cq), 4).alias("abs_err"),
+        )
+    )
+
+
+_GAP_HOURS = 24
+
+
+@register(
+    "win_session_window",
+    oracle=f"""
+        WITH d AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL {_GAP_HOURS} HOURS
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), g AS (
+            SELECT user_id, ts, value,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM d
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL {_GAP_HOURS} HOURS AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM g
+        GROUP BY user_id, sid
+    """,
+    tags=("window", "session", "ST7"),
+)
+def win_session_window(spark, sf_dir):
+    """Built-in session windows in batch mode: gap-based sessions per
+    user via F.session_window (the same operator Structured Streaming
+    uses for stateful sessionization — streaming_sessionize is the
+    custom-state twin). Oracle replays it with lag-based island
+    detection. Session end = last event + gap, per Spark's contract."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", f"{_GAP_HOURS} hours").alias("sw")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,159 @@
+"""Invariants for the curation tier: shingles, decontamination,
+domain caps, repetition signals, prefix-filter set-similarity join,
+and int8 quantization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatanycdiseasesurveillance_spark.operators.curation import (
+    cap_per_domain,
+    decontaminate,
+    repetition_signals,
+    token_shingles,
+)
+from bigdatanycdiseasesurveillance_spark.operators.setsim import (
+    prefix_filter_jaccard_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_token_shingles_exact_and_short(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, ""), (4, None)], "id long, text string"
+    )
+    out = {
+        r["id"]: r["sh"]
+        for r in df.select("id", token_shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # shorter than n -> empty, never [1, 0] descent
+    assert out[3] == []
+    assert out[4] in (None, [])  # null text -> no shingles
+
+
+def test_decontaminate_flags_exact_benchmark_copy(spark):
+    bench = _docs(spark, [(100, "one two three four five six", "b")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "one two three four five six", "c"),  # exact copy: 2 shingles
+            (2, "totally different words here now indeed", "c"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=5).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_hit_shingles"] == 2
+    assert rows[1]["n_bench_docs"] == 1
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    bench = _docs(spark, [(100, "one two three four five six", "b")])
+    corpus = _docs(spark, [(1, "one two three four five six", "c")])
+    plan = decontaminate(corpus, bench)._sc is None or decontaminate(
+        corpus, bench
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cap_per_domain_quota_and_determinism(spark):
+    rows = [(i, f"t{i}", f"s{i % 3}") for i in range(60)]
+    df = _docs(spark, rows)
+    out = cap_per_domain(df, cap=5)
+    kept = out.filter("keep").groupBy("source").count().collect()
+    assert all(r["count"] == 5 for r in kept)
+    # layout independence: same kept set after a repartition
+    a = sorted(r["doc_id"] for r in out.filter("keep").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in cap_per_domain(df.repartition(13), cap=5).filter("keep").collect()
+    )
+    assert a == b
+
+
+def test_repetition_signals_hand_computed(spark):
+    df = _docs(spark, [(1, "a b a b a", "s"), (2, "x y z w", "s")])
+    out = {r["doc_id"]: r for r in repetition_signals(df, n=2).collect()}
+    # doc 1 bigrams: [a b, b a, a b, b a] -> 4 total, 2 distinct
+    assert out[1]["n_grams"] == 4
+    assert out[1]["dup_gram_frac"] == 0.5
+    assert out[1]["top_gram_share"] == 0.5
+    # doc 2 bigrams all distinct
+    assert out[2]["n_grams"] == 3
+    assert out[2]["dup_gram_frac"] == 0.0
+    assert abs(out[2]["top_gram_share"] - 0.3333) < 1e-9
+
+
+def test_prefix_filter_join_is_exact(spark):
+    # cross-"source" near-dups that (source, length)-blocked dedup
+    # cannot see; brute force is the ground truth.
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "s1"),
+        (2, "alpha beta gamma delta epsilon", "s2"),  # exact dup, other source
+        (3, "alpha beta gamma delta zeta", "s1"),
+        (4, "completely unrelated tokens here", "s2"),
+        (5, "alpha beta gamma delta epsilon zeta", "s3"),
+        (6, "one two three four five", "s1"),
+        (7, "one two three four five six seven", "s2"),
+    ]
+    df = _docs(spark, rows)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_filter_jaccard_pairs(df, threshold=0.6).collect()
+    )
+
+    from bigdatanycdiseasesurveillance_spark.functions.text_funcs import (
+        distinct_tokens,
+        word_jaccard,
+    )
+
+    t = df.select(F.col("doc_id").alias("id"), distinct_tokens("text").alias("tok"))
+    brute = (
+        t.alias("a")
+        .crossJoin(t.alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(word_jaccard(F.col("a.tok"), F.col("b.tok")), 4).alias("j"),
+        )
+        .filter(F.col("j") >= 0.6)
+    )
+    want = sorted((r["id_a"], r["id_b"], r["j"]) for r in brute.collect())
+    assert got == want
+    assert (1, 2, 1.0) in got  # the cross-source exact dup is present
+
+
+def test_quantize_int8_error_bound_and_zero_vector(spark):
+    from bigdatanycdiseasesurveillance_spark.functions.vectors import (
+        as_double,
+        dequantize,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.125]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "id long, v array<float>",
+    )
+    q = quantize_int8(F.col("v"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            q["scale"].alias("s"),
+            q["q"].alias("qv"),
+            F.zip_with(
+                as_double(F.col("v")), dequantize(q), lambda a, b: F.abs(a - b)
+            ).alias("err"),
+        ).collect()
+    }
+    # max quantization error is scale/2 per element
+    s1 = out[1]["s"]
+    assert max(out[1]["err"]) <= s1 / 2 + 1e-12
+    assert all(-127 <= x <= 127 for x in out[1]["qv"])
+    # zero vector: no div-by-zero, dequantizes to zeros
+    assert out[2]["qv"] == [0, 0, 0, 0]
+    assert max(out[2]["err"]) == 0.0
