@@ -261,10 +261,7 @@ def emb_quantize_recall(spark, sf_dir):
 
 _GAP_HOURS = 24
 
-
-@register(
-    "win_session_window",
-    oracle=f"""
+_SESSION_ORACLE = f"""
         WITH d AS (
             SELECT user_id, ts, value,
                    CASE WHEN lag(ts) OVER w IS NULL
@@ -285,7 +282,12 @@ _GAP_HOURS = 24
                ROUND(SUM(value), 2) AS sum_value
         FROM g
         GROUP BY user_id, sid
-    """,
+    """
+
+
+@register(
+    "win_session_window",
+    oracle=_SESSION_ORACLE,
     tags=("window", "session", "ST7"),
 )
 def win_session_window(spark, sf_dir):
@@ -310,4 +312,146 @@ def win_session_window(spark, sf_dir):
             "n_events",
             "sum_value",
         )
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle=_SESSION_ORACLE,
+    tags=("streaming", "session", "ST7"),
+)
+def stream_session_window(spark, sf_dir):
+    """ST7 built-in tier, streaming: the same session_window aggregation
+    run as a Structured Streaming query (complete mode, availableNow
+    drain) — engine-managed session state instead of the custom
+    applyInPandasWithState sessionizer. Must equal the batch island
+    detection exactly."""
+    from ..streaming.pipelines import streaming_session_windows
+
+    return streaming_session_windows(spark, sf_dir, gap_hours=_GAP_HOURS)
+
+
+_Z_BITS = 10
+_Z_MOD = 1 << _Z_BITS
+_Z_BUCKET = 4096  # 2^12 -> 256 buckets over the 2^20 z-space
+
+
+def _zorder_oracle() -> str:
+    from ..operators.layout import zvalue_sql
+
+    z = zvalue_sql(f"(user_id % {_Z_MOD})", f"(event_id % {_Z_MOD})", _Z_BITS)
+    return f"""
+        WITH z AS (
+            SELECT user_id % {_Z_MOD} AS x, event_id % {_Z_MOD} AS y,
+                   {z} AS zkey
+            FROM events
+        )
+        SELECT zkey // {_Z_BUCKET} AS z_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+               CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+        FROM z
+        GROUP BY 1
+    """
+
+
+@register(
+    "layout_zorder_profile",
+    oracle=_zorder_oracle(),
+    tags=("layout", "zorder", "pruning"),
+)
+def layout_zorder_profile(spark, sf_dir):
+    """Z-order clustering key profile: Morton-interleave (user_id,
+    event_id) and show that every z-range bucket covers a compact
+    rectangle in BOTH dimensions (the min/max spans are the file-level
+    pruning bounds a z-clustered write would give). Exact integer fold —
+    bit-replayable in the oracle."""
+    from ..operators.layout import zvalue
+
+    e = table(spark, sf_dir, "events")
+    x = (F.col("user_id") % _Z_MOD).alias("x")
+    y = (F.col("event_id") % _Z_MOD).alias("y")
+    z = e.select(x, y, zvalue(F.col("user_id") % _Z_MOD, F.col("event_id") % _Z_MOD, _Z_BITS).alias("zkey"))
+    return (
+        z.groupBy((F.col("zkey") / _Z_BUCKET).cast("long").alias("z_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("x").cast("long").alias("x_min"),
+            F.max("x").cast("long").alias("x_max"),
+            F.min("y").cast("long").alias("y_min"),
+            F.max("y").cast("long").alias("y_max"),
+        )
+    )
+
+
+@register(
+    "txt_token_entropy",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS tok
+            FROM documents
+        ), e AS (
+            SELECT doc_id, tok,
+                   CAST(len(tok) AS DOUBLE) AS n,
+                   list_sort(list_distinct(tok)) AS dist
+            FROM toks WHERE len(tok) > 0
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(len(dist) AS BIGINT) AS n_distinct,
+               ROUND(-list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(dist,
+                           u -> (len(list_filter(tok, x -> x = u)) / n)
+                                * log2(len(list_filter(tok, x -> x = u)) / n))),
+                   (a, b) -> a + b), 4) AS entropy,
+               CASE WHEN len(dist) > 1 THEN
+                   ROUND(-list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(dist,
+                               u -> (len(list_filter(tok, x -> x = u)) / n)
+                                    * log2(len(list_filter(tok, x -> x = u)) / n))),
+                       (a, b) -> a + b) / log2(CAST(len(dist) AS DOUBLE)), 4)
+               END AS norm_entropy
+        FROM e
+    """,
+    tags=("curation", "quality", "text", "training-data"),
+)
+def txt_token_entropy(spark, sf_dir):
+    """Token-distribution Shannon entropy per document (plus entropy
+    normalized by log2 of the vocabulary size) — the information-
+    density quality signal: low entropy = repetitive/templated text.
+    Distinct tokens are sorted before the fold so both engines sum the
+    p*log2(p) terms in the same order (bit-identical until the final
+    round)."""
+    from ..functions.text_funcs import tokens
+
+    d = table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+
+    def _ent(t):
+        n = F.size(t).cast("double")
+        dist = F.array_sort(F.array_distinct(t))
+        plogp = F.transform(
+            dist,
+            lambda u: (F.size(F.filter(t, lambda x: x == u)) / n)
+            * F.log2(F.size(F.filter(t, lambda x: x == u)) / n),
+        )
+        ent = -F.aggregate(plogp, F.lit(0.0), lambda a, b: a + b)
+        return F.struct(
+            F.size(t).cast("long").alias("n_tokens"),
+            F.size(dist).cast("long").alias("n_distinct"),
+            F.round(ent, 4).alias("entropy"),
+            F.when(
+                F.size(dist) > 1,
+                F.round(ent / F.log2(F.size(dist).cast("double")), 4),
+            ).alias("norm_entropy"),
+        )
+
+    s = F.element_at(F.transform(F.array(tok), _ent), 1)
+    return (
+        d.filter(F.size(tok) > 0)
+        .select("doc_id", s.alias("s"))
+        .select("doc_id", "s.n_tokens", "s.n_distinct", "s.entropy", "s.norm_entropy")
     )

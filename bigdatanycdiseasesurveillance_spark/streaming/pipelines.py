@@ -93,6 +93,33 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(F.count("*").alias("n_distinct_events"))
 
 
+def streaming_session_windows(
+    spark: SparkSession, sf_dir: str, gap_hours: int = 24
+) -> DataFrame:
+    """ST7 built-in tier: F.session_window aggregation over the event
+    stream (gap-based event-time sessions, the engine-managed state
+    alternative to the applyInPandasWithState sessionizer below).
+    Complete mode + availableNow drain, like streaming_daily_counts, so
+    the final table carries every closed-and-open session. Returns
+    (user_id, session_start, session_end, n_events, sum_value) equal to
+    the batch lag/cumsum island detection."""
+    src = stream_table(spark, sf_dir, "events")
+    agg = src.groupBy(
+        "user_id", F.session_window("ts", f"{gap_hours} hours").alias("sw")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
 SESSION_SCHEMA = "user_id long, n_sessions long"
 SESSION_STATE_SCHEMA = "n_sessions long, last_ts double"
 

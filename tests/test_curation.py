@@ -127,6 +127,46 @@ def test_prefix_filter_join_is_exact(spark):
     assert (1, 2, 1.0) in got  # the cross-source exact dup is present
 
 
+def test_zorder_bucket_locality_bound(spark, sf_dir):
+    """Every 2^12-wide z-range holds a 64x64 rectangle: x/y spans <= 63.
+    This IS the file-pruning guarantee a z-clustered write provides."""
+    from bigdatanycdiseasesurveillance_spark.registry import all_specs
+
+    rows = all_specs()["layout_zorder_profile"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["x_max"] - r["x_min"] <= 63, r
+        assert r["y_max"] - r["y_min"] <= 63, r
+
+
+def test_zorder_layout_clusters_and_sorts(spark):
+    from bigdatanycdiseasesurveillance_spark.operators.layout import zorder_layout
+
+    df = spark.range(2000).selectExpr("id % 37 AS x", "id % 53 AS y")
+    out = zorder_layout(df, "x", "y", bits=6, n_files=8)
+    parts = out.select("zkey").rdd.glom().map(
+        lambda rows: [r["zkey"] for r in rows]
+    ).collect()
+    ranges = []
+    for p in parts:
+        if not p:
+            continue
+        assert p == sorted(p)  # sorted within partition
+        ranges.append((p[0], p[-1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # range partitions are disjoint
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir):
+    from bigdatanycdiseasesurveillance_spark.registry import all_specs
+
+    specs = all_specs()
+    a = sorted(map(tuple, specs["stream_session_window"].fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, specs["win_session_window"].fn(spark, sf_dir).collect()))
+    assert a == b
+
+
 def test_quantize_int8_error_bound_and_zero_vector(spark):
     from bigdatanycdiseasesurveillance_spark.functions.vectors import (
         as_double,
