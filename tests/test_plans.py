@@ -192,3 +192,43 @@ def test_join_strategy_hints_honored(spark, sf_dir):
     assert "SortMergeJoin" in executed_plan(mg), executed_plan(mg)
     bc = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
     assert "BroadcastHashJoin" in executed_plan(bc), executed_plan(bc)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
+    """Runtime-filter pin: when a selective dim side CANNOT broadcast,
+    Spark must still push a bloom filter of its join keys into the fact
+    scan (bloom_filter_agg on the creation side, might_contain on the
+    application side). At 100 TB this turns a full-fact shuffle into a
+    shuffle of only rows that can possibly match. Conditions under
+    which it fires (pinned here so they aren't re-derived): shuffle
+    join (broadcast joins don't need it), creation side filtered and
+    under creationSideThreshold, application scan above its threshold."""
+    d = str(tmp_path)
+    spark.range(200_000).selectExpr("id AS k", "id % 97 AS payload").write.parquet(
+        d + "/fact"
+    )
+    spark.range(20_000).selectExpr("id AS k", "id % 13 AS tag").write.parquet(
+        d + "/dim"
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(d + "/fact")
+        dim = spark.read.parquet(d + "/dim").filter("tag = 3")
+        plan = executed_plan(fact.join(dim, "k"))
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        assert "partial_bloom_filter_agg" in plan, plan  # map-side combine
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
