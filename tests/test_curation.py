@@ -167,6 +167,18 @@ def test_streaming_session_window_equals_batch(spark, sf_dir):
     assert a == b
 
 
+def test_prefix_filter_join_plan_has_no_cartesian(spark, sf_dir):
+    """The exact unblocked similarity join must stay an equi-join plan:
+    any CartesianProduct/BroadcastNestedLoop would mean the prefix
+    scheme silently degenerated to all-pairs."""
+    from bigdatanycdiseasesurveillance_spark.registry import all_specs
+
+    df = all_specs()["dedup_prefix_jaccard"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
 def test_quantize_int8_error_bound_and_zero_vector(spark):
     from bigdatanycdiseasesurveillance_spark.functions.vectors import (
         as_double,
