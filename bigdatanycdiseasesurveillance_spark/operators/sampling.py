@@ -89,3 +89,40 @@ def train_test_split(
             F.lit("train")
         ),
     )
+
+
+def take_token_budget(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    tokens_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Data mixing by token budget: per stratum, keep documents (in
+    deterministic deviate order) while the RUNNING token total before
+    the document is still under the stratum's budget — so the selection
+    fills each budget with at most one document of overshoot.
+
+    This is the mixture-weights step of a pretraining data pipeline
+    ("2e9 tokens of src0, 5e8 of src1, ..."): membership is a pure
+    function of the data, reproducible on any cluster shape. One
+    shuffle (the per-stratum window); adds `cum_tokens_before` and
+    `keep`.
+    """
+    from pyspark.sql.window import Window
+
+    dev = hash_deviate(F.col(key_col), salt)
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(dev, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(default_budget)
+    for stratum, b in budgets.items():
+        budget = F.when(F.col(stratum_col) == stratum, F.lit(b)).otherwise(budget)
+    cum_before = F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)
+    return df.withColumn("cum_tokens_before", cum_before).withColumn(
+        "keep", F.col("cum_tokens_before") < budget
+    )

@@ -1,0 +1,75 @@
+"""Frequency sketches: distributed Misra-Gries heavy hitters.
+
+Two-pass design that makes a sketch result EXACT (and therefore
+driver-oracle-able):
+
+1. candidate pass — per-partition Misra-Gries summaries with
+   k = ceil(1/phi) counters, maintained across the partition's Arrow
+   batches inside one mapInPandas closure. Pigeonhole guarantee: any
+   item with global frequency > n/k exceeds n_p/k in at least one
+   partition, so the union of partition summaries is a SUPERSET of the
+   true heavy hitters. Summary size is k items per partition — fixed,
+   tiny — regardless of data volume.
+2. exact pass — count ONLY the candidates (left-semi join) and apply
+   the threshold in exact integer arithmetic (cnt * denom > total).
+
+At 100 TB: pass 1 is a full scan with O(k) state per task and O(k x
+partitions) rows emitted; pass 2 aggregates a vocabulary-sized set.
+The full groupBy-every-token shuffle never happens for the skewed
+long tail — exactly the reason to sketch.
+
+The mapInPandas function is a closure (pickle-by-value): executors do
+not have this repo on sys.path under the round driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries, unioned and deduped.
+    `items` is a one-column frame of occurrences (pre-exploded).
+    Returns a DataFrame of candidate values (column name preserved)."""
+
+    def mg(batches):
+        import pandas as _pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf.iloc[:, 0]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [u for u in counters if counters[u] == 1]
+                    for u in dead:
+                        del counters[u]
+                    for u in counters:
+                        counters[u] -= 1
+        yield _pd.DataFrame({col: list(counters.keys())})
+
+    return items.mapInPandas(mg, schema=f"{col} string").distinct()
+
+
+def heavy_hitters_exact(
+    items: DataFrame, col: str, denom: int
+) -> DataFrame:
+    """Items with frequency strictly greater than total/denom, exactly:
+    Misra-Gries candidates (k = denom counters) then an exact count of
+    candidates only. Returns (col, cnt) gated in integer arithmetic."""
+    k = int(math.ceil(denom))
+    cand = misra_gries_candidates(items, col, k)
+    total = items.count()  # scalar; one job, no per-row driver work
+    return (
+        items.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") * denom > F.lit(total))
+    )

@@ -455,3 +455,98 @@ def txt_token_entropy(spark, sf_dir):
         .select("doc_id", s.alias("s"))
         .select("doc_id", "s.n_tokens", "s.n_distinct", "s.entropy", "s.norm_entropy")
     )
+
+
+_HH_DENOM = 64  # heavy hitter := frequency strictly > total/64
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS token
+            FROM documents
+        ), tot AS (SELECT COUNT(*) AS n FROM tok)
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok, tot
+        GROUP BY token, tot.n
+        HAVING COUNT(*) * {_HH_DENOM} > tot.n
+    """,
+    tags=("sketch", "heavy-hitters", "training-data"),
+)
+def agg_heavy_hitters(spark, sf_dir):
+    """Heavy hitters exactly, via sketching: per-partition Misra-Gries
+    candidate summaries (fixed k counters per task — the provable
+    superset) then an exact count of candidates only. The result equals
+    the brute-force groupBy answer, which is what the oracle computes;
+    the sketch is HOW the engine avoids shuffling the full token long
+    tail at corpus scale."""
+    from ..functions.text_funcs import tokens
+    from ..operators.sketches import heavy_hitters_exact
+
+    d = table(spark, sf_dir, "documents")
+    items = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return heavy_hitters_exact(items, "token", _HH_DENOM)
+
+
+_MIX_BUDGETS = {"src0": 100_000, "src1": 600}
+_MIX_DEFAULT = 300
+
+
+def _mix_oracle() -> str:
+    from ..operators.sampling import deviate_sql
+
+    dev = deviate_sql("doc_id", "mix")
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {b}" for s, b in _MIX_BUDGETS.items()
+    )
+    bud = f"CASE {cases} ELSE {_MIX_DEFAULT} END"
+    return f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '')) AS ntok,
+                   {dev} AS dev
+            FROM documents
+        ), w AS (
+            SELECT source, ntok,
+                   SUM(ntok) OVER (PARTITION BY source ORDER BY dev, doc_id
+                                   ROWS UNBOUNDED PRECEDING) - ntok AS cumb
+            FROM t
+        )
+        SELECT source,
+               CAST(SUM(CASE WHEN cumb < {bud} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_kept,
+               CAST(SUM(CASE WHEN cumb < {bud} THEN ntok ELSE 0 END) AS BIGINT)
+                   AS tokens_kept
+        FROM w
+        GROUP BY source
+    """
+
+
+@register(
+    "mix_token_budget",
+    oracle=_mix_oracle(),
+    tags=("sampling", "mixing", "training-data"),
+)
+def mix_token_budget(spark, sf_dir):
+    """Data mixing by per-source token budget: fill each source's
+    budget in deterministic deviate order (at most one doc of
+    overshoot). The mixture-weights step of a pretraining pipeline,
+    reproducible on any cluster shape."""
+    from ..functions.text_funcs import token_count
+    from ..operators.sampling import take_token_budget
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "ntok", token_count(F.col("text")).cast("long")
+    )
+    mixed = take_token_budget(
+        d, "doc_id", "source", "ntok", _MIX_BUDGETS, default_budget=_MIX_DEFAULT
+    )
+    return mixed.groupBy("source").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_docs_kept"),
+        F.sum(F.when(F.col("keep"), F.col("ntok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )

@@ -179,6 +179,60 @@ def test_prefix_filter_join_plan_has_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan, plan
 
 
+def test_misra_gries_candidates_superset_of_heavy_hitters(spark):
+    """MG with k counters must surface every item with freq > n/k,
+    whatever the partition layout."""
+    from bigdatanycdiseasesurveillance_spark.operators.sketches import (
+        heavy_hitters_exact,
+        misra_gries_candidates,
+    )
+
+    # skewed: 'hot' appears 400/1000, 'warm' 200, the rest singletons
+    vals = ["hot"] * 400 + ["warm"] * 200 + [f"cold{i}" for i in range(400)]
+    items = spark.createDataFrame([(v,) for v in vals], "token string").repartition(7)
+    cand = {r["token"] for r in misra_gries_candidates(items, "token", 8).collect()}
+    exact = {
+        r["token"]: r["cnt"]
+        for r in items.groupBy("token").count().withColumnRenamed("count", "cnt").collect()
+        if r["cnt"] * 8 > 1000
+    }
+    assert set(exact) <= cand
+    hh = {r["token"]: r["cnt"] for r in heavy_hitters_exact(items, "token", 8).collect()}
+    assert hh == {"hot": 400, "warm": 200}
+
+
+def test_take_token_budget_fills_with_one_doc_overshoot(spark):
+    from bigdatanycdiseasesurveillance_spark.operators.sampling import (
+        take_token_budget,
+    )
+
+    rows = [(i, "s0" if i < 40 else "s1", 10) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, ntok long")
+    out = take_token_budget(df, "doc_id", "source", "ntok", {"s0": 95}, default_budget=25)
+    kept = (
+        out.filter("keep")
+        .groupBy("source")
+        .agg(F.sum("ntok").alias("tok"), F.count("*").alias("n"))
+        .collect()
+    )
+    by = {r["source"]: r for r in kept}
+    # budget 95, docs of 10 tokens -> 10 docs (cum_before 90 < 95), 100 tokens
+    assert by["s0"]["n"] == 10 and by["s0"]["tok"] == 100
+    # budget 25 -> 3 docs, 30 tokens
+    assert by["s1"]["n"] == 3 and by["s1"]["tok"] == 30
+    # layout independence
+    a = sorted(r["doc_id"] for r in out.filter("keep").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in take_token_budget(
+            df.repartition(11), "doc_id", "source", "ntok", {"s0": 95}, default_budget=25
+        )
+        .filter("keep")
+        .collect()
+    )
+    assert a == b
+
+
 def test_quantize_int8_error_bound_and_zero_vector(spark):
     from bigdatanycdiseasesurveillance_spark.functions.vectors import (
         as_double,
