@@ -28,4 +28,5 @@ from . import (  # noqa: F401
     forecast_q,
     scalar,
     curation_q,
+    temporal_q,
 )
