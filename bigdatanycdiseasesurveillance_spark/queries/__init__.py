@@ -29,4 +29,8 @@ from . import (  # noqa: F401
     scalar,
     curation_q,
     temporal_q,
+    quality_q,
+    maintenance_q,
+    text_features_q,
+    editsim_q,
 )

@@ -1,0 +1,178 @@
+"""Warehouse-maintenance shapes: CDC changelog application (MERGE
+semantics with deletes), incremental partial-aggregate merge
+(materialized-view maintenance), and duplicate-group representative
+selection (the keep-one step after dedup).
+
+The reference's upsert path (psql_db_client.py:369-417) models
+insert-or-update only; CDC apply adds the delete leg, and the
+incremental merge models how its daily aggregates would be maintained
+without full recompute at 100 TB.
+
+Scale notes: CDC apply is one window over (key, seq) — identical
+shuffle to last-writer-wins upsert; at scale the changelog batch is
+tiny relative to the snapshot, so production MERGE joins the batch
+(broadcast) against the base. Incremental merge is THE 100 TB pattern:
+partials are algebraic (count/sum/min/max merge associatively), so a
+new day's delta costs one pass over the delta only, never over the
+base — the query proves merge(base partials, delta partials) equals a
+full recompute. Representative selection is one window per duplicate
+group, shuffled by content hash — same key as the dedup that produced
+the groups, so with bucketing it reuses the dedup's partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+_SPLIT = "2024-01-16"  # base/delta boundary for incremental merge
+
+
+@register(
+    "cdc_apply_changes",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, value, ts, event_id,
+                   CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT user_id,
+               event_type AS final_type,
+               ROUND(value, 2) AS final_value,
+               ts AS updated_at
+        FROM c
+        WHERE rn = 1 AND op = 'U'
+    """,
+    tags=("cdc", "merge", "window"),
+)
+def cdc_apply_changes(spark, sf_dir):
+    """Apply a CDC changelog to produce the current snapshot: each
+    event is an upsert ('U') or delete ('D' — modeled deterministically
+    as every 10th event_id); per key, the latest change in (ts,
+    event_id) order wins, and a final delete removes the key from the
+    snapshot entirely. One hash shuffle on the key, one sort within —
+    the same cost envelope as last-writer-wins upsert; the delete leg
+    is a filter, not an extra pass."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_id") % 10 == 0, "D").otherwise("U")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("final_type"),
+            F.round("value", 2).alias("final_value"),
+            F.col("ts").alias("updated_at"),
+        )
+    )
+
+
+@register(
+    "agg_incremental_merge",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value,
+               ROUND(MIN(value), 2) AS min_value,
+               ROUND(MAX(value), 2) AS max_value,
+               ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "incremental", "materialized-view"),
+)
+def agg_incremental_merge(spark, sf_dir):
+    """Materialized-view maintenance algebra: aggregate the base
+    partition (ts < 2024-01-16) and the delta partition separately into
+    algebraic partials (count/sum/min/max), then MERGE the partials —
+    sum of counts, sum of sums, min of mins, max of maxes, avg
+    re-derived as sum/count. The oracle recomputes from scratch; value
+    equality proves the merge is lossless, which is what lets a 100 TB
+    pipeline maintain rollups by scanning only each day's delta. Both
+    legs' groupBys are map-side combined; the merge input is
+    2 x n_groups rows."""
+    e = table(spark, sf_dir, "events")
+    split = F.lit(_SPLIT).cast("timestamp")
+
+    def partials(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("cnt"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = partials(e.filter(F.col("ts") < split))
+    delta = partials(e.filter(F.col("ts") >= split))
+    merged = base.unionAll(delta).groupBy("event_type").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    return merged.select(
+        "event_type",
+        F.col("cnt").cast("long").alias("n_events"),
+        F.round("s", 2).alias("sum_value"),
+        F.round("mn", 2).alias("min_value"),
+        F.round("mx", 2).alias("max_value"),
+        F.round(F.col("s") / F.col("cnt"), 4).alias("avg_value"),
+    )
+
+
+@register(
+    "cur_dup_representative",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, n_chars, md5(lower(trim(text))) AS content_md5
+            FROM documents
+        ),
+        r AS (
+            SELECT content_md5, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY content_md5
+                                      ORDER BY n_chars DESC, doc_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY content_md5) AS n_copies
+            FROM h
+        )
+        SELECT content_md5,
+               doc_id AS kept_doc_id,
+               CAST(n_copies AS BIGINT) AS n_copies
+        FROM r
+        WHERE rk = 1
+    """,
+    tags=("curation", "dedup", "window"),
+)
+def cur_dup_representative(spark, sf_dir):
+    """Representative selection — the step after dedup finds groups:
+    per exact-content group (md5 of normalized text), keep the
+    highest-quality copy (longest, doc_id tie-break) and record the
+    group size. One window shuffled on the 16-byte content hash; at
+    100 TB this is the same partitioning the exact-dedup groupBy
+    already produced, so the two stages pipeline without a second
+    shuffle when bucketed. Singleton groups pass through (n_copies=1),
+    making this a total function over the corpus — the downstream
+    corpus IS this query's output."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5")
+    )
+    wp = Window.partitionBy("content_md5")
+    return (
+        d.withColumn(
+            "rk",
+            F.row_number().over(wp.orderBy(F.desc("n_chars"), F.asc("doc_id"))),
+        )
+        .withColumn("n_copies", F.count("*").over(wp))
+        .filter(F.col("rk") == 1)
+        .select(
+            "content_md5",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+    )

@@ -1,0 +1,238 @@
+"""Corpus-level text features: TF-IDF salient terms, bigram PMI
+collocations, and EWMA smoothing of the daily volume series — the
+feature-extraction tier of a pretraining-data pipeline (term salience
+for domain tagging, collocation mining for tokenizer/vocab decisions,
+smoothed volume for drift monitors).
+
+Scale notes: both term queries are explode -> groupBy pipelines — the
+token stream shuffles once on the term key with map-side combine, and
+the document-frequency / unigram side tables are vocabulary-sized, so
+they broadcast; nothing is ever quadratic in corpus size. EWMA runs on
+the already-aggregated daily series (days x types rows, microscopic
+next to the raw events), one window shuffle on event_type; the
+14-day lookback is a RANGE frame, so day gaps weight by true day
+distance rather than row offset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+from ..functions.text_funcs import tokens
+
+_TOP_TERMS = 5
+_MIN_PAIR = 5
+_EWMA_DECAY = 0.7  # weight (1-alpha)^lag with alpha = 0.3
+_EWMA_DAYS = 13  # RANGE lookback: current day plus 13 preceding
+
+
+@register(
+    "txt_tfidf_top_terms",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS term
+            FROM documents
+        ),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        tf AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY source, term),
+        s AS (
+            SELECT t.source, t.term,
+                   CAST(t.tf AS BIGINT) AS n_occurrences,
+                   ROUND(t.tf * ln(n.n * 1.0 / d.df), 4) AS tfidf
+            FROM tf t JOIN dfq d ON t.term = d.term, n
+        )
+        SELECT source, term, n_occurrences, tfidf
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY tfidf DESC, term) AS rk
+            FROM s
+        )
+        WHERE rk <= {_TOP_TERMS}
+    """,
+    tags=("text", "tfidf", "features"),
+)
+def txt_tfidf_top_terms(spark, sf_dir):
+    """Top-5 salient terms per source by TF-IDF (tf x ln(N/df), ranked
+    on the rounded score with a term tie-break so both engines pick
+    identical winners). The exploded token stream shuffles once per
+    grouping; document frequency is a vocabulary-sized table joined by
+    broadcast, and N is a one-row broadcast — the corpus itself is
+    touched exactly twice (tf pass, df pass), both map-side combined."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
+    n = d.agg(F.countDistinct("doc_id").alias("n"))
+    dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    s = (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            F.col("tf").cast("long").alias("n_occurrences"),
+            F.round(
+                F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_TERMS)
+        .drop("rk")
+    )
+
+
+@register(
+    "txt_bigram_pmi",
+    oracle=f"""
+        WITH toks AS (
+            SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+            FROM documents
+        ),
+        big AS (
+            SELECT u.x, u.y FROM (
+                SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                              i -> {{'x': toks[i], 'y': toks[i + 1]}})) AS u
+                FROM toks
+            )
+        ),
+        uni AS (
+            SELECT term, COUNT(*) AS cx FROM (
+                SELECT unnest(toks) AS term FROM toks
+            ) GROUP BY term
+        ),
+        t1 AS (SELECT SUM(cx) AS t1 FROM uni),
+        pairs AS (SELECT x, y, COUNT(*) AS cxy FROM big GROUP BY x, y),
+        t2 AS (SELECT SUM(cxy) AS t2 FROM pairs)
+        SELECT p.x, p.y,
+               CAST(p.cxy AS BIGINT) AS n_pairs,
+               (p.cxy * 1.0 * t1.t1 * t1.t1)
+                   / (t2.t2 * 1.0 * ux.cx * uy.cx) AS lift
+        FROM pairs p
+        JOIN uni ux ON p.x = ux.term
+        JOIN uni uy ON p.y = uy.term, t1, t2
+        WHERE p.cxy >= {_MIN_PAIR}
+    """,
+    tags=("text", "pmi", "collocation"),
+)
+def txt_bigram_pmi(spark, sf_dir):
+    """Bigram collocation strength: lift = (c_xy/T2) / ((c_x/T1)(c_y/T1)),
+    the rational inside PMI (PMI = ln(lift), a monotone transform — so
+    ranking by lift IS ranking by PMI). Emitting the raw left-associated
+    division keeps both engines on the identical IEEE double (a rounded
+    ln flips at 4-dp boundaries when libm implementations differ by an
+    ulp). Adjacent-token pairs come from an index transform over the
+    token array (no self-join on position), pair and unigram counts
+    are map-side-combined groupBys, and the unigram table broadcasts —
+    per-corpus cost is two exploded passes, nothing quadratic."""
+    d = table(spark, sf_dir, "documents").select(tokens(F.col("text")).alias("toks"))
+    big = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS x,"
+                    " element_at(toks, i + 1) AS y))"
+                )
+            ).alias("b")
+        )
+        .select("b.x", "b.y")
+    )
+    uni = d.select(F.explode("toks").alias("term")).groupBy("term").agg(
+        F.count("*").alias("cx")
+    )
+    t1 = uni.agg(F.sum("cx").alias("t1"))
+    pairs = big.groupBy("x", "y").agg(F.count("*").alias("cxy"))
+    t2 = pairs.agg(F.sum("cxy").alias("t2"))
+    ux = uni.select(F.col("term").alias("x"), F.col("cx").alias("cx_x"))
+    uy = uni.select(F.col("term").alias("y"), F.col("cx").alias("cx_y"))
+    return (
+        pairs.filter(F.col("cxy") >= _MIN_PAIR)
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "x",
+            "y",
+            F.col("cxy").cast("long").alias("n_pairs"),
+            (
+                (F.col("cxy") * F.lit(1.0) * F.col("t1") * F.col("t1"))
+                / (F.col("t2") * F.lit(1.0) * F.col("cx_x") * F.col("cx_y"))
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "win_ewma_smooth",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   date_diff('day', DATE '2024-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) AS de,
+                   COUNT(*) AS x
+            FROM events
+            GROUP BY 1, 2, 3
+        )
+        SELECT a.event_type, a.day,
+               CAST(a.x AS BIGINT) AS n_events,
+               ROUND(SUM(b.x * POWER({_EWMA_DECAY}, a.de - b.de))
+                     / SUM(POWER({_EWMA_DECAY}, a.de - b.de)), 4) AS ewma
+        FROM s a JOIN s b
+          ON a.event_type = b.event_type
+         AND b.de BETWEEN a.de - {_EWMA_DAYS} AND a.de
+        GROUP BY a.event_type, a.day, a.x
+    """,
+    tags=("window", "ewma", "timeseries"),
+)
+def win_ewma_smooth(spark, sf_dir):
+    """Exponentially-weighted moving average of the daily event volume
+    per type, 14-day lookback, weight (1-alpha)^lag with the lag in
+    true day distance (RANGE frame over the epoch-day, so calendar
+    gaps decay correctly — a ROWS frame would not). The Spark plan is
+    one window over the tiny pre-aggregated series with a
+    higher-order-function weighted sum over the collected frame — no
+    self-join, no second shuffle; the oracle runs the equivalent
+    bounded-range self-join."""
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count("*").alias("x"))
+        .withColumn("de", F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("de")
+        .rangeBetween(-_EWMA_DAYS, 0)
+    )
+    frame = F.collect_list(F.struct("de", "x")).over(w)
+    num = F.aggregate(
+        frame,
+        F.lit(0.0),
+        lambda acc, r: acc
+        + r["x"] * F.pow(F.lit(_EWMA_DECAY), F.col("de") - r["de"]),
+    )
+    den = F.aggregate(
+        frame,
+        F.lit(0.0),
+        lambda acc, r: acc + F.pow(F.lit(_EWMA_DECAY), F.col("de") - r["de"]),
+    )
+    return s.select(
+        "event_type",
+        "day",
+        F.col("x").cast("long").alias("n_events"),
+        F.round(num / den, 4).alias("ewma"),
+    )
