@@ -33,4 +33,7 @@ from . import (  # noqa: F401
     maintenance_q,
     text_features_q,
     editsim_q,
+    graph_q,
+    analytics_extra_q,
+    cohort_q,
 )

@@ -1,0 +1,302 @@
+"""Analytics extensions: Holt's linear-trend smoothing (a true
+sequential recurrence, the engine's applyInPandas vs an exact
+recursive-CTE oracle — same pattern as grid-DBSCAN), cumulative
+distinct users via the first-touch trick, the full ranking-function
+suite, multi-grain GROUPING SETS, and per-label embedding centroids
+(drift profiling for an embedding corpus).
+
+Scale notes: Holt runs per-group sequentially — inherently so — but
+groups (series) are tiny next to raw events, and applyInPandas
+shuffles only the pre-aggregated series. Cumulative-distinct is the
+canonical rewrite: an expanding COUNT(DISTINCT) window holds O(users)
+state per day; first-touch (min day per user, then a running sum of
+per-day first-touch counts) is one groupBy over users plus a cumsum
+over days — linear, mergeable, and exactly equal. Centroids shuffle
+(label, dim) partial sums — dims x labels rows — never whole vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+_ALPHA = 0.5  # Holt level gain
+_BETA = 0.3  # Holt trend gain
+
+
+@register(
+    "ts_holt_linear",
+    oracle=f"""
+        WITH RECURSIVE s AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS DOUBLE) AS x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(date_trunc('day', ts) AS DATE)) AS t
+            FROM events GROUP BY 1, 2
+        ),
+        x2 AS (SELECT event_type, x AS xx FROM s WHERE t = 2),
+        h AS (
+            SELECT s.event_type, s.t, s.day, s.x,
+                   s.x AS level,
+                   x2.xx - s.x AS trend
+            FROM s JOIN x2 USING (event_type) WHERE s.t = 1
+            UNION ALL
+            SELECT s.event_type, s.t, s.day, s.x,
+                   {_ALPHA} * s.x + {1 - _ALPHA} * (h.level + h.trend) AS level,
+                   {_BETA} * (({_ALPHA} * s.x + {1 - _ALPHA} * (h.level + h.trend))
+                              - h.level) + {1 - _BETA} * h.trend AS trend
+            FROM h JOIN s ON s.event_type = h.event_type AND s.t = h.t + 1
+        )
+        SELECT event_type, day,
+               CAST(x AS BIGINT) AS n_events,
+               level, trend
+        FROM h
+    """,
+    tags=("timeseries", "forecast", "pandas-udf", "recursive"),
+)
+def ts_holt_linear(spark, sf_dir):
+    """Holt's double exponential smoothing over the daily series per
+    event_type: level_t = a*x_t + (1-a)(level + trend), trend_t =
+    b*(level_t - level) + (1-b)*trend, initialized level_1 = x_1,
+    trend_1 = x_2 - x_1. A genuine sequential recurrence — not
+    window-expressible — so the engine runs it as an applyInPandas
+    kernel over the pre-aggregated series (one shuffle of days x types
+    rows, never raw events) while the oracle replays the identical
+    IEEE arithmetic as a recursive CTE; both sides evaluate the same
+    left-associated expression, so the doubles agree bit-for-bit and
+    are emitted RAW (a 4-dp ROUND flips at representational halves:
+    Spark rounds the exact decimal expansion, DuckDB rounds via a
+    float multiply — the gate's own normalization rounds both sides
+    identically instead)."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events")
+    s = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+
+    alpha, beta = _ALPHA, _BETA
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        xs = [float(v) for v in pdf["x"]]
+        levels, trends = [], []
+        level = xs[0]
+        trend = xs[1] - xs[0]
+        levels.append(level)
+        trends.append(trend)
+        for x in xs[1:]:
+            new_level = alpha * x + (1 - alpha) * (level + trend)
+            new_trend = beta * (new_level - level) + (1 - beta) * trend
+            level, trend = new_level, new_trend
+            levels.append(level)
+            trends.append(trend)
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        return pdf
+
+    out = s.groupBy("event_type").applyInPandas(
+        holt, "event_type string, day date, x double, level double, trend double"
+    )
+    return out.select(
+        "event_type",
+        "day",
+        F.col("x").cast("long").alias("n_events"),
+        "level",
+        "trend",
+    )
+
+
+@register(
+    "win_cumulative_distinct",
+    oracle="""
+        WITH f AS (
+            SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        nd AS (SELECT first_day AS day, COUNT(*) AS n_new FROM f GROUP BY first_day),
+        days AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+        )
+        SELECT d.day,
+               CAST(COALESCE(nd.n_new, 0) AS BIGINT) AS n_new_users,
+               CAST(SUM(COALESCE(nd.n_new, 0)) OVER (
+                   ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_distinct_users
+        FROM days d LEFT JOIN nd ON nd.day = d.day
+    """,
+    tags=("window", "distinct", "incremental"),
+)
+def win_cumulative_distinct(spark, sf_dir):
+    """Cumulative distinct users per day — the rewrite that makes an
+    expanding COUNT(DISTINCT) window scale: a user contributes to the
+    cumulative count exactly on their first-touch day, so min(day) per
+    user + a running sum of per-day first-touch counts gives the exact
+    expanding distinct with one user-keyed groupBy and a cumsum over
+    the (tiny) day spine — no per-day distinct state, and the partials
+    merge, so it maintains incrementally like agg_incremental_merge."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    nd = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    days = e.select("day").distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(nd, "day", "left")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
+        .select(
+            "day",
+            F.col("n_new").cast("long").alias("n_new_users"),
+            F.sum("n_new").over(w).cast("long").alias("cum_distinct_users"),
+        )
+    )
+
+
+@register(
+    "win_rank_suite",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cdist,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM s
+        WINDOW w AS (PARTITION BY event_type ORDER BY cnt DESC, day)
+    """,
+    tags=("window", "rank"),
+)
+def win_rank_suite(spark, sf_dir):
+    """The complete ranking-function family over each type's daily
+    volume: rank / dense_rank / percent_rank / cume_dist / ntile(4),
+    one window spec (one shuffle + one sort serves all five — Spark
+    collapses same-spec window functions into a single Window node).
+    percent_rank and cume_dist are emitted raw: they are exact small-
+    integer rationals, identical doubles in any engine. Full (cnt DESC,
+    day) tie-break keeps every function deterministic."""
+    e = table(spark, sf_dir, "events")
+    s = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("day"))
+    return s.select(
+        "event_type",
+        "day",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT event_type,
+               CAST(date_part('dow', ts) AS BIGINT) AS dow,
+               CAST(GROUPING(event_type, CAST(date_part('dow', ts) AS BIGINT))
+                    AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type),
+                                (CAST(date_part('dow', ts) AS BIGINT)),
+                                ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Non-hierarchical multi-grain aggregation: by event_type, by
+    day-of-week, and the grand total in ONE pass over the fact table —
+    GROUPING SETS where rollup/cube (already covered) can't express
+    the grain list. grouping_id disambiguates the NULL group keys.
+    One shuffle; Spark expands the sets map-side, so the fact scan
+    happens once, not once per grain."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "dow", (F.dayofweek("ts") - 1).cast("long")
+    )
+    return e.groupingSets([["event_type"], ["dow"], []], "event_type", "dow").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+        WITH d AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS i,
+                   unnest(CAST(embedding AS DOUBLE[])) AS v
+            FROM embeddings
+        ),
+        lc AS (SELECT label, i, AVG(v) AS c FROM d GROUP BY label, i),
+        gc AS (SELECT i, AVG(v) AS g FROM d GROUP BY i),
+        j AS (
+            SELECT lc.label,
+                   SUM(lc.c * gc.g) AS dot,
+                   SUM(lc.c * lc.c) AS nl,
+                   SUM(gc.g * gc.g) AS ng
+            FROM lc JOIN gc USING (i) GROUP BY lc.label
+        ),
+        n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+        SELECT j.label,
+               CAST(n.n_vecs AS BIGINT) AS n_vecs,
+               ROUND(sqrt(nl), 4) AS centroid_norm,
+               ROUND(dot / (sqrt(nl) * sqrt(ng)), 4) AS cos_to_global
+        FROM j JOIN n ON j.label = n.label
+    """,
+    tags=("embedding", "centroid", "drift"),
+)
+def emb_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids with their cosine to the global
+    centroid — the drift/cluster-quality profile of an embedding
+    corpus (a label whose centroid swings away from global signals
+    distribution shift). The plan explodes vectors to (label, dim,
+    value) and aggregates partial sums per (label, dim): the shuffle
+    payload is labels x dims rows — never raw vectors — and the final
+    cosine combines dim-indexed partials, so at 100 TB this is one
+    map-side-combined pass over the corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
+    )
+    lc = d.groupBy("label", "i").agg(F.avg("v").alias("c"))
+    gc = d.groupBy("i").agg(F.avg("v").alias("g"))
+    j = (
+        lc.join(F.broadcast(gc), "i")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("c") * F.col("g")).alias("dot"),
+            F.sum(F.col("c") * F.col("c")).alias("nl"),
+            F.sum(F.col("g") * F.col("g")).alias("ng"),
+        )
+    )
+    n = emb.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
+    return (
+        j.join(n, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(F.sqrt("nl"), 4).alias("centroid_norm"),
+            F.round(F.col("dot") / (F.sqrt("nl") * F.sqrt("ng")), 4).alias(
+                "cos_to_global"
+            ),
+        )
+    )

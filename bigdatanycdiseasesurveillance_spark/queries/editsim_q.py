@@ -1,15 +1,16 @@
-"""String-similarity pairs via lossless pigeonhole blocking, and
-weighted sampling without replacement — two more curation primitives:
-near-identical key detection (typo'd names, mirrored URLs) and
-quality-weighted corpus subsampling.
+"""String-similarity pairs via lossless masked-neighborhood blocking,
+and weighted sampling without replacement — two more curation
+primitives: near-identical key detection (typo'd names, mirrored
+URLs) and quality-weighted corpus subsampling.
 
-Scale notes: the Hamming join's candidate set comes from three
-segment equi-joins (pigeonhole: <=2 mismatches cannot touch all 3
-disjoint segments, so every qualifying pair collides on at least one
-block) — the engine never evaluates the O(n^2) theta join the oracle
-runs; per-block fan-in is the number of strings sharing a third of
-their characters, and each candidate is verified with one
-character-compare pass. Weighted sampling is the Efraimidis-Spirakis
+Scale notes: the Hamming join's candidates come from an equi-join on
+position-masked variants of each string (every C(L,2) two-position
+mask) — lossless because a pair's mismatch positions are covered by
+exactly one mask, and skew-proof because the join key keeps all the
+string's entropy (segment-pigeonhole blocking, the textbook
+alternative, goes quadratic on templated keys that share a constant
+region). The engine never evaluates the O(n^2) theta join the oracle
+runs. Weighted sampling is the Efraimidis-Spirakis
 exponential-sort trick with an md5-derived deviate: one scan computing
 ln(u)/w plus a top-k (TakeOrderedAndProject — per-partition heaps, no
 global sort), reproducible on any partition layout and replayable
@@ -53,46 +54,68 @@ _SCALE = float(1 << 60)
 def dedup_hamming_pairs(spark, sf_dir):
     """Same-length name pairs within Hamming distance 2, counted per
     distance. The oracle runs the ground-truth O(n^2) theta join; the
-    engine builds candidates from three equi-joins on disjoint string
-    segments — lossless by pigeonhole (2 mismatches cannot hit 3
-    segments), so the outputs are identical while the engine's join is
-    hash-partitioned on (segment_idx, length, segment_text) and never
-    quadratic. Candidates dedupe on the pair key (a pair can collide
-    in 2 blocks) before one verify pass per pair."""
+    engine generates candidates by masked-neighborhood blocking: each
+    name is emitted C(L,2) times with every pair of positions
+    wildcarded, and a qualifying pair collides on the key masked
+    exactly at its mismatch positions (mask sets are supersets of the
+    <=2 mismatch positions), so the scheme is lossless. Crucially it
+    is also SKEW-PROOF on templated keys: naive segment-pigeonhole
+    blocking (block on one of 3 disjoint substrings) degenerates to a
+    full cross product when keys share a constant region — these names
+    all share 'Customer#...', so two of three segment blocks would be
+    O(n^2); the masked string keeps every high-entropy character in
+    the join key, so bucket sizes follow the data's true ambiguity,
+    not its template. Cost is a fixed L^2/2 emission factor per row —
+    linear in the corpus, uniform in the shuffle. Two more candidate-
+    side savings: a pair joined on mask (i, j) can mismatch ONLY at i
+    or j, so d is two char-compares (not an L-step scan); and instead
+    of de-duplicating the candidate pair multiset (a d=1 pair collides
+    in exactly L-1 masks, a d=2 pair in exactly 1), occurrences are
+    counted and divided by that known multiplicity — no pair-keyed
+    shuffle at all."""
     c = table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id"),
-        F.col("c_name").alias("name"),
-        F.length("c_name").alias("len"),
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
-    blocks = None
-    for k in range(3):
-        seg = F.expr(
-            f"substring(name, CAST(floor({k} * len / 3) AS INT) + 1,"
-            f" CAST(floor(({k} + 1) * len / 3) - floor({k} * len / 3) AS INT))"
-        )
-        b = c.select("id", "name", "len", F.lit(k).alias("k"), seg.alias("seg"))
-        blocks = b if blocks is None else blocks.unionAll(b)
-    a = blocks.select(
-        F.col("id").alias("ai"), F.col("name").alias("an"), "len", "k", "seg"
+    masked = c.select(
+        "id",
+        "name",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(name) - 1),"
+                " i -> transform(sequence(i + 1, length(name)),"
+                " j -> struct(i AS i, j AS j,"
+                " concat(substring(name, 1, i - 1), '*',"
+                " substring(name, i + 1, j - i - 1), '*',"
+                " substring(name, j + 1, length(name) - j)) AS mkey))))"
+            )
+        ).alias("m"),
+    ).select("id", "name", "m.i", "m.j", "m.mkey")
+    a = masked.select(
+        F.col("id").alias("ai"), F.col("name").alias("an"), "i", "j", "mkey"
     )
-    bb = blocks.select(
-        F.col("id").alias("bi"), F.col("name").alias("bn"), "len", "k", "seg"
+    bb = masked.select(F.col("id").alias("bi"), F.col("name").alias("bn"), "mkey")
+    d = (
+        F.expr("CASE WHEN substring(an, i, 1) <> substring(bn, i, 1) THEN 1 ELSE 0 END")
+        + F.expr("CASE WHEN substring(an, j, 1) <> substring(bn, j, 1) THEN 1 ELSE 0 END")
     )
-    cand = (
-        a.join(bb, ["k", "len", "seg"])
+    occ = (
+        a.join(bb, "mkey")
         .filter(F.col("ai") < F.col("bi"))
-        .select("ai", "bi", "an", "bn")
-        .distinct()
-    )
-    d = F.expr(
-        "aggregate(sequence(1, length(an)), 0, (acc, i) -> acc +"
-        " CASE WHEN substring(an, i, 1) = substring(bn, i, 1) THEN 0 ELSE 1 END)"
+        .select(d.alias("d"), F.length("an").alias("len"))
+        .filter(F.col("d").between(1, _MAX_HAMMING))
+        .groupBy("d", "len")
+        .agg(F.count("*").alias("occ"))
     )
     return (
-        cand.withColumn("d", d)
-        .filter(F.col("d").between(1, _MAX_HAMMING))
-        .groupBy(F.col("d").cast("long").alias("hamming_d"))
-        .agg(F.count("*").cast("long").alias("n_pairs"))
+        occ.select(
+            F.col("d").cast("long").alias("hamming_d"),
+            F.when(F.col("d") == 1, F.col("occ") / (F.col("len") - 1))
+            .otherwise(F.col("occ"))
+            .cast("long")
+            .alias("n_pairs"),
+        )
+        .groupBy("hamming_d")
+        .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
     )
 
 

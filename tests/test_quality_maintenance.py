@@ -88,8 +88,9 @@ def test_dup_representative_covers_corpus(spark, sf_dir):
 
 
 def test_hamming_blocking_is_lossless(spark, sf_dir):
-    """Pigeonhole 3-segment blocking must reproduce the brute-force
-    same-length theta join exactly (it is lossless for Hamming <= 2)."""
+    """Masked-neighborhood blocking must reproduce the brute-force
+    same-length theta join exactly (mask sets cover every <=2-position
+    mismatch pattern)."""
     got = {
         (r["hamming_d"], r["n_pairs"])
         for r in SPECS["dedup_hamming_pairs"].fn(spark, sf_dir).collect()
