@@ -36,4 +36,5 @@ from . import (  # noqa: F401
     graph_q,
     analytics_extra_q,
     cohort_q,
+    curation_pipeline_q,
 )

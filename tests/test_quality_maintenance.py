@@ -168,3 +168,22 @@ def test_ewma_bounds_and_first_day_identity(spark, sf_dir):
         for i, r in enumerate(series):
             window = [s["n_events"] for s in series[max(0, i - 13) : i + 1]]
             assert min(window) - 1e-6 <= r["ewma"] <= max(window) + 1e-6
+
+
+def test_full_pipeline_stages_are_monotone(spark, sf_dir):
+    """Each curation stage can only shrink the corpus, in both docs
+    and token mass; stage labels are complete and ordered."""
+    rows = {r["stage"]: r for r in SPECS["cur_full_pipeline"].fn(spark, sf_dir).collect()}
+    order = [
+        "stage0_corpus",
+        "stage1_dedup",
+        "stage2_quality",
+        "stage3_decontam",
+        "stage4_domain_cap",
+        "stage5_token_budget",
+    ]
+    assert set(rows) == set(order)
+    for a, b in zip(order, order[1:]):
+        assert rows[b]["n_docs"] <= rows[a]["n_docs"], (a, b)
+        assert rows[b]["n_tokens"] <= rows[a]["n_tokens"], (a, b)
+    assert rows["stage5_token_budget"]["n_docs"] > 0
