@@ -37,4 +37,5 @@ from . import (  # noqa: F401
     analytics_extra_q,
     cohort_q,
     curation_pipeline_q,
+    basket_q,
 )

@@ -1,0 +1,76 @@
+"""Invariants for the association / sequence module (oracle parity
+runs in test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatanycdiseasesurveillance_spark.registry import all_specs
+from bigdatanycdiseasesurveillance_spark.tables import table
+
+SPECS = all_specs()
+
+
+def test_basket_metrics_are_consistent(spark, sf_dir):
+    rows = SPECS["market_basket_lift"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["x"] < r["y"]
+        assert 0.0 < r["support"] <= 1.0
+        assert 0.0 < r["confidence_x_y"] <= 1.0
+        assert r["lift"] > 0.0
+        # confidence = support / P(x) >= support
+        assert r["confidence_x_y"] >= r["support"] - 1e-12
+
+
+def test_streaks_reconcile_with_activity(spark, sf_dir):
+    rows = SPECS["win_streaks"].fn(spark, sf_dir).collect()
+    d = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_days"))
+    )
+    expect = {r["user_id"]: r["n_days"] for r in d.collect()}
+    assert {r["user_id"] for r in rows} == set(expect)
+    for r in rows:
+        assert r["n_active_days"] == expect[r["user_id"]]
+        assert 1 <= r["longest_streak"] <= r["n_active_days"]
+        assert r["n_streaks"] >= 1
+        # streaks partition active days
+        assert r["longest_streak"] * r["n_streaks"] >= r["n_active_days"]
+
+
+def test_mode_is_actual_argmax(spark, sf_dir):
+    rows = SPECS["agg_mode_per_group"].fn(spark, sf_dir).collect()
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .count()
+        .collect()
+    )
+    best: dict = {}
+    for c in counts:
+        cur = best.get(c["user_id"])
+        key = (-c["count"], c["event_type"])
+        if cur is None or key < cur[0]:
+            best[c["user_id"]] = (key, c["event_type"], c["count"])
+    assert len(rows) == len(best)
+    for r in rows:
+        _, mtype, mcount = best[r["user_id"]]
+        assert r["mode_type"] == mtype and r["mode_count"] == mcount
+
+
+def test_forward_asof_matches_are_next_clicks(spark, sf_dir):
+    rows = SPECS["join_asof_forward_tolerance"].fn(spark, sf_dir).collect()
+    assert rows
+    matched = [r for r in rows if r["next_click_id"] is not None]
+    assert matched
+    for r in matched:
+        assert 0.0 <= r["wait_seconds"] <= 3600.0
+    # every purchase appears exactly once (left semantics)
+    n_purchases = (
+        table(spark, sf_dir, "events").filter("event_type = 'purchase'").count()
+    )
+    assert len(rows) == n_purchases
