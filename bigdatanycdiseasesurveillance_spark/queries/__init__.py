@@ -38,4 +38,5 @@ from . import (  # noqa: F401
     cohort_q,
     curation_pipeline_q,
     basket_q,
+    sketch_q,
 )

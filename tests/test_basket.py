@@ -74,3 +74,35 @@ def test_forward_asof_matches_are_next_clicks(spark, sf_dir):
         table(spark, sf_dir, "events").filter("event_type = 'purchase'").count()
     )
     assert len(rows) == n_purchases
+
+
+def test_hll_partial_merge_equals_direct(spark, sf_dir):
+    """Sketch-union over per-day partials must give the identical
+    estimate as the whole-column sketch (lossless merge), and sit
+    within 5% of the exact distinct."""
+    rows = SPECS["agg_hll_partial_merge"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["merged_estimate"] == r["direct_estimate"], r
+        assert abs(r["merged_estimate"] - r["exact_users"]) <= max(
+            1, 0.05 * r["exact_users"]
+        ), r
+
+
+def test_rolling_median_is_robust_center(spark, sf_dir):
+    rows = SPECS["win_rolling_median"].fn(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r["day"])
+        assert series[0]["med7"] == series[0]["cnt"]
+        for i, r in enumerate(series):
+            frame = sorted(s["cnt"] for s in series[max(0, i - 6) : i + 1])
+            n = len(frame)
+            expect = (
+                float(frame[n // 2])
+                if n % 2 == 1
+                else (frame[n // 2 - 1] + frame[n // 2]) / 2.0
+            )
+            assert r["med7"] == expect, (r, frame)

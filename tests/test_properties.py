@@ -99,3 +99,41 @@ def test_shingles_subset_closure(spark, texts):
         assert len(r["sh"]) == len(set(r["sh"]))
         for s in r["sh"]:
             assert s in r["norm"]
+
+
+def _mask_keys(s: str) -> set:
+    """All two-position-wildcarded variants of s (the masked-
+    neighborhood blocking keys of queries/editsim_q.py), pure-Python
+    model for the property check."""
+    out = set()
+    for i in range(len(s)):
+        for j in range(i + 1, len(s)):
+            out.add(s[:i] + "*" + s[i + 1 : j] + "*" + s[j + 1 :])
+    return out
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.text(alphabet="ab", min_size=2, max_size=12),
+    st.data(),
+)
+def test_masked_neighborhood_covers_every_hamming_le2_pair(base, data):
+    """For ANY same-length pair with Hamming distance 1 or 2, the two
+    strings share at least one masked key (lossless blocking); and a
+    pair sharing a masked key has Hamming <= 2 (no false candidates
+    beyond the two masked positions)."""
+    # mutate base at one or two positions to force a qualifying pair
+    n = len(base)
+    k = data.draw(st.integers(min_value=1, max_value=min(2, n)))
+    pos = sorted(data.draw(st.lists(st.integers(0, n - 1), min_size=k, max_size=k, unique=True)))
+    other = list(base)
+    for p in pos:
+        other[p] = "b" if base[p] == "a" else "a"
+    other = "".join(other)
+    shared = _mask_keys(base) & _mask_keys(other)
+    assert shared, (base, other)
+    # soundness: any shared mask implies mismatches only at its stars
+    for m in shared:
+        stars = [i for i, ch in enumerate(m) if ch == "*"]
+        d = sum(1 for i in range(n) if base[i] != other[i])
+        assert d <= len(stars)
