@@ -43,12 +43,21 @@ def main() -> None:
     # loop) — registry registration order changes between rounds, and
     # warming a registry-order spec would shift the JVM/codegen cold
     # cost into whichever timed query runs first.
-    first = specs[sorted(specs)[0]]
-    run(first)
+    try:
+        run(specs[sorted(specs)[0]])
+    except Exception:
+        pass
 
+    # Per-query error isolation: one broken query must never zero out
+    # the whole benchmark (BENCH_r02 died whole on one AnalysisException).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in sorted(specs.items()):
-        timings[name] = round(run(spec), 4)
+        try:
+            timings[name] = round(run(spec), 4)
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} ERROR {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
 
@@ -76,6 +85,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "throughput_rec_s": throughput,
                 "sf": sf,
             }

@@ -10,8 +10,11 @@ Arrow frames, and the 384-dim output is a native array<float> column.
 The real model isn't available in this container, so the encoder
 resolves in order:
 1. sentence-transformers, if importable (the production path);
-2. a deterministic hash-based pseudo-encoder (hermetic test path) —
-   dim d of a text = hash(text, d) scaled to [-1, 1], L2-normalized.
+2. a deterministic md5-derived pseudo-encoder (hermetic test path) —
+   dim d of a text = int(md5(text || ':' || d)[:15 hex]) / 2^59 - 1,
+   L2-normalized. The formula is ANSI-SQL-replayable (DuckDB computes
+   the identical value), so queries built on the pseudo-encoder carry
+   full value-hash oracles (see emb_encode_profile).
 
 Both paths share the exact same Spark plumbing: schema, batch shape,
 partitioning. Tests pin determinism and batch-size independence.
@@ -23,6 +26,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# 2^59: the 15-hex-digit (60-bit) md5 prefix scaled to [0, 2) then
+# shifted to [-1, 1). Shared verbatim by the DuckDB oracle SQL.
+MD5_DIM_SCALE = 1 << 59
+
+
+def md5_dim_sql(text_expr: str, dim_expr: str) -> str:
+    """DuckDB expression for one pseudo-encoder component — the SQL
+    twin of the mapInPandas formula below, for oracle construction."""
+    return (
+        f"CAST(('0x' || substr(md5(COALESCE({text_expr}, '') || ':' || "
+        f"CAST({dim_expr} AS VARCHAR)), 1, 15)) AS BIGINT) "
+        f"/ {float(MD5_DIM_SCALE)} - 1.0"
+    )
+
 
 def encode_documents(
     docs: DataFrame,
@@ -30,10 +47,13 @@ def encode_documents(
     dim: int = 384,
     model_name: str = "all-MiniLM-L6-v2",
     out_col: str = "embedding",
+    dtype: str = "float32",
 ) -> DataFrame:
     """Append an L2-normalized embedding column. One mapInPandas pass;
-    the model/encoder initializes once per worker (not per batch)."""
-    fields = docs.schema.fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    the model/encoder initializes once per worker (not per batch).
+    dtype="float64" keeps full precision for oracle-replayable paths."""
+    elem = T.DoubleType() if dtype == "float64" else T.FloatType()
+    fields = docs.schema.fields + [T.StructField(out_col, T.ArrayType(elem))]
     out_schema = T.StructType(fields)
     cols = docs.columns
 
@@ -52,18 +72,22 @@ def encode_documents(
         except Exception:
             model = None
 
+        scale = float(1 << 59)
+
         def pseudo_encode(texts):
-            # deterministic per text: dim d = md5(text||d) -> [-1, 1]
+            # dim d of text t = md5(t || ':' || d) 60-bit prefix scaled
+            # to [-1, 1) — replayable in DuckDB (md5_dim_sql above)
             out = np.empty((len(texts), dim), dtype=np.float64)
             for i, t in enumerate(texts):
-                h = hashlib.md5((t or "").encode("utf-8")).digest()
-                seed = int.from_bytes(h[:8], "big", signed=False)
-                rng = np.random.default_rng(seed)
-                out[i] = rng.uniform(-1.0, 1.0, dim)
+                base = (t or "").encode("utf-8")
+                for d in range(dim):
+                    h = hashlib.md5(base + b":" + str(d).encode()).hexdigest()
+                    out[i, d] = int(h[:15], 16) / scale - 1.0
             norms = np.linalg.norm(out, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             return out / norms
 
+        np_dtype = "float64" if dtype == "float64" else "float32"
         for pdf in batch_iter:
             texts = pdf[text_col].fillna("").tolist()
             if model is not None:
@@ -71,7 +95,7 @@ def encode_documents(
             else:
                 vecs = pseudo_encode(texts)
             pdf = pdf[cols].copy()
-            pdf[out_col] = [v.astype("float32") for v in vecs]
+            pdf[out_col] = [v.astype(np_dtype) for v in vecs]
             yield pdf
 
     return docs.mapInPandas(encode_batches, out_schema)
@@ -92,4 +116,7 @@ def embedding_profile(encoded: DataFrame, group_col: str = "lang") -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.min(F.size("embedding")).cast("long").alias("dim"),
         F.round(F.avg(norm), 4).alias("mean_l2_norm"),
+        # encoder-sensitive witness: any drift in the encoder formula
+        # (not just the normalization) shows up here
+        F.round(F.avg(F.element_at("embedding", 1)), 4).alias("mean_dim0"),
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.time_funcs import epoch_sec
 from ..registry import register
 from ..tables import table
 
@@ -236,7 +237,7 @@ def join_asof_forward_tolerance(spark, sf_dir):
         .withColumn("next_c_ts", F.last(F.when(F.col("c_id").isNotNull(), F.col("ts")), ignorenulls=True).over(w))
         .filter(F.col("p_id").isNotNull())
     )
-    gap = F.col("next_c_ts").cast("double") - F.col("ts").cast("double")
+    gap = epoch_sec("next_c_ts") - epoch_sec("ts")
     within = gap <= F.lit(float(_ASOF_TOL_S))
     return out.select(
         F.col("p_id").alias("event_id"),

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.time_funcs import epoch_sec
 from ..operators import joins as J
 from ..operators import aggregations as agg
 from ..registry import register
@@ -173,9 +174,7 @@ def join_asof_purchase_click(spark, sf_dir):
         "event_id",
         "user_id",
         F.col("matched_event_id"),
-        F.round(F.col("ts").cast("double") - F.col("matched_ts").cast("double"), 3).alias(
-            "gap_seconds"
-        ),
+        F.round(epoch_sec("ts") - epoch_sec("matched_ts"), 3).alias("gap_seconds"),
     )
 
 

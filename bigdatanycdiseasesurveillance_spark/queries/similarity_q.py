@@ -112,22 +112,51 @@ def ann_ivf_search(spark, sf_dir):
     )
 
 
+def _emb_oracle_cte(dim: int = 64) -> str:
+    """Shared oracle prelude: the md5 pseudo-encoder replayed in SQL
+    (md5_dim_sql is the single source of the formula)."""
+    from ..operators.embeddings import md5_dim_sql
+
+    return f"""
+        WITH dims AS (SELECT unnest(range({dim})) AS d),
+        raw AS (
+            SELECT dd.doc_id, dd.lang, dims.d,
+                   {md5_dim_sql('dd.text', 'dims.d')} AS x
+            FROM documents dd CROSS JOIN dims
+        )
+    """
+
+
 @register(
     "emb_encode_profile",
-    oracle=None,  # the hash-based pseudo-encoder (hermetic stand-in for
-    # sentence-transformers) is not SQL-expressible; determinism and
-    # batch-shape invariants are pinned in tests/test_embeddings.py.
-    tags=("embedding", "M4"),
+    oracle=_emb_oracle_cte(64)
+    + """
+        , vec AS (
+            SELECT doc_id, lang,
+                   sqrt(sum(x * x)) AS nrm,
+                   sum(CASE WHEN d = 0 THEN x END) AS x0
+            FROM raw GROUP BY 1, 2
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(64 AS BIGINT) AS dim,
+               ROUND(AVG(1.0), 4) AS mean_l2_norm,
+               ROUND(AVG(x0 / nrm), 4) AS mean_dim0
+        FROM vec GROUP BY lang
+    """,
+    tags=("embedding", "M4", "oracle-replayable"),
     bench=True,
 )
 def emb_encode_profile(spark, sf_dir):
     """M4: mapInPandas embedding generation over documents (executor-
     local encoder singleton, Arrow batches) + per-language profile of
-    the encoded corpus."""
+    the encoded corpus. The md5-derived pseudo-encoder is replayed
+    verbatim by the DuckDB oracle, so this row is value-hash-checked
+    end to end (float64 path — no float32 rounding asymmetry)."""
     from ..operators.embeddings import embedding_profile, encode_documents
 
     docs = table(spark, sf_dir, "documents")
-    return embedding_profile(encode_documents(docs, dim=64), "lang")
+    return embedding_profile(encode_documents(docs, dim=64, dtype="float64"), "lang")
 
 
 @register(
@@ -210,12 +239,38 @@ def ann_rp_lsh_pairs(spark, sf_dir):
     return S.rp_lsh_pairs(emb, _RP_PLANES, threshold=0.3)
 
 
+_SEARCH_QUERY_TEXT = "sample document text zero"
+
+
+def _search_by_text_oracle() -> str:
+    from ..operators.embeddings import md5_dim_sql
+
+    return (
+        _emb_oracle_cte(64)
+        + f"""
+        , q AS (
+            SELECT d, {md5_dim_sql(f"'{_SEARCH_QUERY_TEXT}'", "d")} AS qx
+            FROM dims
+        ), sc AS (
+            SELECT r.doc_id, r.lang,
+                   sum(r.x * q.qx)
+                     / (sqrt(sum(r.x * r.x)) * sqrt(sum(q.qx * q.qx))) AS cos
+            FROM raw r
+            JOIN q ON q.d = r.d
+            JOIN documents dd ON dd.doc_id = r.doc_id
+            WHERE dd.text LIKE '%the%'
+            GROUP BY 1, 2
+        )
+        SELECT doc_id, lang, ROUND(cos, 4) AS cosine_sim
+        FROM sc ORDER BY cosine_sim DESC, doc_id LIMIT 10
+    """
+    )
+
+
 @register(
     "search_documents_by_text",
-    oracle=None,  # routes through the hash pseudo-encoder (hermetic
-    # stand-in for sentence-transformers) — not SQL-expressible;
-    # determinism pinned in tests/test_similarity.py.
-    tags=("ann", "M5", "query_texts"),
+    oracle=_search_by_text_oracle(),
+    tags=("ann", "M5", "query_texts", "oracle-replayable"),
 )
 def search_documents_by_text(spark, sf_dir):
     """M5 end-to-end, the ChromaDB query_texts surface
@@ -227,9 +282,9 @@ def search_documents_by_text(spark, sf_dir):
     from ..operators.embeddings import encode_documents
 
     docs = table(spark, sf_dir, "documents")
-    encoded = encode_documents(docs, dim=64)
-    qdf = spark.createDataFrame([("q", "sample document text zero")], "qid string, text string")
-    qvec = list(encode_documents(qdf, dim=64).first()["embedding"])
+    encoded = encode_documents(docs, dim=64, dtype="float64")
+    qdf = spark.createDataFrame([("q", _SEARCH_QUERY_TEXT)], "qid string, text string")
+    qvec = list(encode_documents(qdf, dim=64, dtype="float64").first()["embedding"])
     return S.brute_force_topk(
         encoded,
         qvec,

@@ -25,14 +25,16 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import table
+from ..functions.time_funcs import epoch_sec
+from ..tables import normalize_timestamps, table
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-source stream over one parquet table. Schema comes from the
     batch reader (streaming sources require explicit schemas — the
     reference leans on schemaInference, SURVEY §1.2 flags that as a
-    smell). The ns->µs ts conversion matches tables.table()."""
+    smell). Event-time normalization (bigint-ns / TIMESTAMP_NTZ →
+    TimestampType) matches tables.table()."""
     batch = table(spark, sf_dir, name)  # also applies runtime confs
     raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
     # file streams need a directory; pathGlobFilter selects the table
@@ -41,9 +43,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
-    for field in src.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            src = src.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    src = normalize_timestamps(src)
     assert src.schema == batch.schema, "stream/batch schema drift"
     return src
 
@@ -161,7 +161,7 @@ def streaming_sessionize(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     src = stream_table(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("double").alias("ts_sec")
+        "user_id", epoch_sec("ts").alias("ts_sec")
     )
     sessions = src.groupBy("user_id").applyInPandasWithState(
         _make_sessionizer(gap_minutes * 60.0),

@@ -39,12 +39,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # ns-typed parquet timestamps arrive as LongType nanos under
-    # nanosAsLong; convert to TimestampType via integer division (DIV —
-    # double division would lose precision on 1e18-scale epochs).
+    return normalize_timestamps(df)
+
+
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every event-time encoding the driver has shipped so far
+    to plain TimestampType (the only type ``withWatermark`` accepts):
+
+    - INT64 TIMESTAMP(NANOS) parquet arrives as LongType nanos under
+      ``nanosAsLong`` (round-1 testdata); convert via integer division
+      (DIV — double division would lose precision on 1e18-scale epochs);
+    - ``timestamp[us]`` with isAdjustedToUTC=false arrives as
+      TIMESTAMP_NTZ (round-2 testdata); cast to TIMESTAMP, which under
+      the pinned UTC session timezone is a value-preserving
+      reinterpretation (wall clock == instant), keeping hash parity with
+      the DuckDB oracle's naive read.
+    """
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        simple = field.dataType.simpleString()
+        if field.name == "ts" and simple == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif simple == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
