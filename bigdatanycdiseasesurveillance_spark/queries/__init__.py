@@ -10,6 +10,7 @@ Importing this package registers all specs (see ..registry).
 # driver rows in CORRECTNESS_r01.json register first so round 2 covers
 # them; prior-round-green modules follow.
 from . import (  # noqa: F401
+    geo_pipeline_q,
     similarity_q,
     streaming_q,
     text_q,

@@ -1,0 +1,177 @@
+"""The reference's flagship spatial analysis as ONE composed query
+(reference: src/analysis/spatial_clustering.py:249-340 end-to-end):
+seeded coordinate jitter -> point-in-bbox neighborhood join ->
+grid-DBSCAN -> per-cluster profile with the dominant neighborhood.
+
+Every stage is individually green elsewhere (cluster_dbscan_jittered,
+loc_fallback_resolution, cluster_grid_dbscan); this entry makes the
+composition itself a driver-checkable row with one chained-CTE oracle.
+
+Scale shape: the bbox dim broadcasts (KB-sized — BroadcastNestedLoop on
+the non-equi predicate, fact side never shuffles), DBSCAN edges come
+from eps-grid equi-joins (never all-pairs), and the profile is a
+cluster-key groupBy. The only collect is grid_dbscan's convergence
+probe (1-row limit per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..domain.location import neighborhood_dim
+from ..operators import clustering as C
+from ..operators.clustering import jitter_sql
+from ..registry import register
+from ..tables import table
+
+_EPS = 0.03
+_MIN_SAMPLES = 3
+
+
+def _geo_oracle() -> str:
+    nbhd_values = """
+            SELECT * FROM (VALUES
+                ('Astoria',40.756,40.786,-73.945,-73.905),
+                ('Williamsburg',40.697,40.725,-73.972,-73.935),
+                ('Bushwick',40.683,40.709,-73.945,-73.895),
+                ('Harlem',40.797,40.835,-73.965,-73.920),
+                ('East Village',40.721,40.734,-73.995,-73.972),
+                ('Riverdale',40.880,40.915,-73.930,-73.890),
+                ('Flushing',40.745,40.775,-73.845,-73.800),
+                ('St. George',40.635,40.650,-74.090,-74.065))
+                t(neighborhood, lat_min, lat_max, lon_min, lon_max)
+    """
+    return f"""
+        WITH RECURSIVE rec AS (
+            SELECT event_id AS pid,
+                   40.60 + CAST(user_id % 37 AS DOUBLE) / 100.0
+                         + ({jitter_sql("event_id", seed=7)}) AS x,
+                   -74.00 + CAST(user_id % 23 AS DOUBLE) / 100.0
+                          + ({jitter_sql("event_id", seed=8)}) AS y
+            FROM events WHERE event_type = 'purchase'
+        ), nbhd AS ({nbhd_values}
+        ), pts AS (
+            SELECT r.pid, r.x, r.y, MIN(n.neighborhood) AS neighborhood
+            FROM rec r JOIN nbhd n
+              ON r.x >= n.lat_min AND r.x <= n.lat_max
+             AND r.y >= n.lon_min AND r.y <= n.lon_max
+            GROUP BY 1, 2, 3
+        ), edges AS (
+            SELECT a.pid, b.pid AS qid
+            FROM pts a JOIN pts b
+              ON POWER(a.x - b.x, 2) + POWER(a.y - b.y, 2)
+                 <= {_EPS} * {_EPS}
+        ), core AS (
+            SELECT pid FROM edges GROUP BY pid
+            HAVING COUNT(*) >= {_MIN_SAMPLES}
+        ), core_edges AS (
+            SELECT e.pid, e.qid FROM edges e
+            JOIN core c1 ON e.pid = c1.pid
+            JOIN core c2 ON e.qid = c2.pid
+            WHERE e.pid <> e.qid
+        ), walk(node, comp) AS (
+            SELECT pid, pid FROM core
+            UNION
+            SELECT ce.qid, w.comp
+            FROM walk w JOIN core_edges ce ON ce.pid = w.node
+            WHERE w.comp < ce.qid
+        ), core_label AS (
+            SELECT node AS pid, MIN(comp) AS cluster_id FROM walk GROUP BY node
+        ), border AS (
+            SELECT e.pid, MIN(cl.cluster_id) AS cluster_id
+            FROM edges e JOIN core_label cl ON e.qid = cl.pid
+            WHERE e.pid NOT IN (SELECT pid FROM core)
+            GROUP BY e.pid
+        ), assigned AS (
+            SELECT pid, cluster_id FROM core_label
+            UNION ALL SELECT pid, cluster_id FROM border
+        ), prof AS (
+            SELECT a.cluster_id, p.neighborhood, COUNT(*) AS cnt
+            FROM assigned a JOIN pts p ON a.pid = p.pid
+            GROUP BY 1, 2
+        ), topn AS (
+            SELECT cluster_id, neighborhood,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY cnt DESC, neighborhood
+                   ) AS rn
+            FROM prof
+        )
+        SELECT a.cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS size,
+               ROUND(AVG(p.x), 4) AS centroid_lat,
+               ROUND(AVG(p.y), 4) AS centroid_lon,
+               MIN(t.neighborhood) AS top_neighborhood
+        FROM assigned a
+        JOIN pts p ON a.pid = p.pid
+        JOIN topn t ON t.cluster_id = a.cluster_id AND t.rn = 1
+        GROUP BY a.cluster_id
+    """
+
+
+@register(
+    "cluster_geo_pipeline",
+    oracle=_geo_oracle(),
+    tags=("cluster", "geo", "M7", "M9", "J3", "composed"),
+)
+def cluster_geo_pipeline(spark, sf_dir):
+    """Jitter -> bbox-join -> DBSCAN -> profile, composed. Purchase
+    events carry synthetic NYC coordinates (user_id lattice + exact
+    integer-LCG jitter, both engines replay bit-for-bit); points inside
+    a neighborhood bbox cluster with grid-DBSCAN; each cluster reports
+    size, centroid, and its dominant neighborhood (deterministic mode:
+    max count, ties alphabetical)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    jittered = ev.select(
+        "event_id",
+        (
+            F.lit(40.60)
+            + (F.col("user_id") % 37).cast("double") / 100.0
+            + C.seeded_jitter(F.col("event_id"), seed=7)
+        ).alias("x"),
+        (
+            F.lit(-74.00)
+            + (F.col("user_id") % 23).cast("double") / 100.0
+            + C.seeded_jitter(F.col("event_id"), seed=8)
+        ).alias("y"),
+    )
+    nb = neighborhood_dim(spark).select(
+        "neighborhood", "lat_min", "lat_max", "lon_min", "lon_max"
+    )
+    # a point on the exact shared edge of two bboxes matches both —
+    # MIN(neighborhood) keeps membership single-valued on both engines
+    located = (
+        jittered.join(
+            F.broadcast(nb),
+            (jittered.x >= nb.lat_min)
+            & (jittered.x <= nb.lat_max)
+            & (jittered.y >= nb.lon_min)
+            & (jittered.y <= nb.lon_max),
+        )
+        .groupBy("event_id", "x", "y")
+        .agg(F.min("neighborhood").alias("neighborhood"))
+    )
+    assigned = C.grid_dbscan(
+        located, eps=_EPS, min_samples=_MIN_SAMPLES, id_col="event_id"
+    ).filter(F.col("cluster_id") >= 0)
+    clustered = assigned.join(located, "event_id")
+    counts = clustered.groupBy("cluster_id", "neighborhood").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("cnt"), F.asc("neighborhood")
+    )
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("neighborhood").alias("top_neighborhood"))
+    )
+    stats = clustered.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("size"),
+        F.round(F.avg("x"), 4).alias("centroid_lat"),
+        F.round(F.avg("y"), 4).alias("centroid_lon"),
+    )
+    return stats.join(F.broadcast(top), "cluster_id").select(
+        "cluster_id", "size", "centroid_lat", "centroid_lon", "top_neighborhood"
+    )

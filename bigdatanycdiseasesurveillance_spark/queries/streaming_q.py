@@ -116,6 +116,47 @@ def stream_click_attribution(spark, sf_dir):
 
 
 @register(
+    "stream_click_abandonment",
+    oracle="""
+        WITH mx AS (
+            SELECT LEAST(
+                MAX(CASE WHEN event_type = 'click' THEN ts END),
+                MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+            ) - INTERVAL 3 HOUR AS cut
+            FROM events
+        ),
+        c AS (
+            SELECT user_id, event_id AS click_id, ts AS c_ts
+            FROM events, mx
+            WHERE event_type = 'click' AND ts <= mx.cut
+        ), p AS (
+            SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ), j AS (
+            SELECT c.user_id, c.click_id, p.purchase_id
+            FROM c LEFT JOIN p
+              ON p.p_user = c.user_id
+             AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+        )
+        SELECT user_id,
+               CAST(COUNT(DISTINCT CASE WHEN purchase_id IS NOT NULL
+                                        THEN click_id END) AS BIGINT)
+                   AS n_converted,
+               CAST(COUNT(CASE WHEN purchase_id IS NULL THEN 1 END) AS BIGINT)
+                   AS n_abandoned
+        FROM j GROUP BY user_id
+    """,
+    tags=("streaming", "stream-stream-join", "outer"),
+)
+def stream_click_abandonment(spark, sf_dir):
+    """Stream-stream LEFT OUTER join with watermark timeout emission:
+    per user, clicks that converted to a purchase within the hour vs
+    clicks emitted unmatched after state eviction (funnel abandonment).
+    The negative rows are what the inner-join tier cannot produce."""
+    return P.streaming_click_abandonment(spark, sf_dir)
+
+
+@register(
     "stream_dedup_within_watermark",
     oracle="""
         SELECT event_type,

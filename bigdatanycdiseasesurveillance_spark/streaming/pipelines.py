@@ -268,6 +268,72 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def streaming_click_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER watermarked join — the timeout-emission
+    tier the inner join above lacks: a click with no purchase in its
+    1-hour window is emitted with a NULL purchase once the watermark
+    passes c_ts + 1h (funnel abandonment, computed incrementally with
+    bounded state; the reference's driver-RAM correlation buffers can't
+    produce the negative rows at all).
+
+    availableNow drains run a final no-data batch after the last data
+    batch, so the closing watermark flushes the unmatched state. The
+    GLOBAL watermark is the min over both sides' (per-side max ts -
+    1h), and a click evicts once that passes c_ts + 1h — so only clicks
+    older than min(max click ts, max purchase ts) - 2h are guaranteed
+    emitted. The OUTPUT keeps clicks <= that min - 3h (1h margin),
+    mirrored by interval arithmetic in the oracle — without the cutoff
+    the tail rows would depend on where the drain stopped, not on the
+    data. The cutoff must NOT filter the click stream itself: that
+    would drag the click-side watermark back by the cutoff amount and
+    near-cutoff state would never evict."""
+    import datetime as dt
+
+    ev_b = table(spark, sf_dir, "events")
+    side_max = ev_b.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    ).first()
+    cutoff = min(side_max["c"], side_max["p"]) - dt.timedelta(hours=3)
+    ev = stream_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    )
+    out = _run_to_memory(joined, "append").filter(F.col("c_ts") <= F.lit(cutoff))
+    # a click emits >=1 matched rows XOR exactly one NULL-purchase row
+    return out.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.countDistinct(
+            F.when(F.col("purchase_id").isNotNull(), F.col("click_id"))
+        ).cast("long").alias("n_converted"),
+        F.count(F.when(F.col("purchase_id").isNull(), 1))
+        .cast("long")
+        .alias("n_abandoned"),
+    )
+
+
 def streaming_dedup_within_watermark(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
