@@ -11,6 +11,7 @@ Importing this package registers all specs (see ..registry).
 # them; prior-round-green modules follow.
 from . import (  # noqa: F401
     geo_pipeline_q,
+    ir_q,
     similarity_q,
     streaming_q,
     text_q,

@@ -1,0 +1,226 @@
+"""Information-retrieval tier: BM25 ranked search, edit-distance
+near-dup pairs, and hopping-window aggregation.
+
+The reference's search surface is embedding-cosine only
+(chromadb_client.py:194-306); a lexical ranked-retrieval tier (BM25) is
+what a production corpus needs beside it — and at 100 TB it is pure
+explode -> groupBy: the postings shuffle once on the term key with
+map-side combine, the df/avg-len side tables are vocabulary-sized
+scalars that broadcast, and scoring is a per-row expression. The
+Levenshtein tier catches typo-grade near-dups that token-set Jaccard
+misses (token sets identical under reordering, edit distance is not);
+blocking by (source, length bucket) keeps the pair space linear-ish
+exactly like the Jaccard tier. Hopping windows are the batch twin of
+streaming sliding windows: each row lands in exactly
+window/slide = 2 groups, so the fan-out is a constant 2x explode, then
+an ordinary partial-agg shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import token_count, tokens
+from ..registry import register
+from ..tables import table
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_QUERY_TERMS = ("data", "stream", "join")
+_LEV_MAX = 5
+_SLIDE_S = 3 * 3600
+_WIN_S = 6 * 3600
+
+
+@register(
+    "search_bm25_topk",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS term
+            FROM documents
+        ),
+        dl AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '')) AS doclen
+            FROM documents
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n, AVG(doclen) AS avg_len FROM dl
+        ),
+        q AS (SELECT unnest(['data', 'stream', 'join']) AS term),
+        dfq AS (
+            SELECT t.term, COUNT(DISTINCT t.doc_id) AS df
+            FROM tok t JOIN q ON t.term = q.term GROUP BY t.term
+        ),
+        tf AS (
+            SELECT t.doc_id, t.term, COUNT(*) AS tf
+            FROM tok t JOIN q ON t.term = q.term GROUP BY t.doc_id, t.term
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   SUM(
+                       ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                       * (tf.tf * ({_BM25_K1} + 1.0))
+                       / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                          + {_BM25_B} * dl.doclen / stats.avg_len))
+                   ) AS score
+            FROM tf
+            JOIN dfq ON tf.term = dfq.term
+            JOIN dl ON dl.doc_id = tf.doc_id, stats
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, ROUND(score, 4) AS bm25
+        FROM scored
+        ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    tags=("search", "bm25", "ir"),
+)
+def search_bm25_topk(spark, sf_dir):
+    """Lexical ranked retrieval: Okapi BM25 (k1=1.2, b=0.75) top-10 for
+    a fixed 3-term query. Postings from one explode; df and corpus
+    stats are broadcast scalars; ranking is TakeOrdered."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    qterms = tok.filter(F.col("term").isin(*_QUERY_TERMS))
+    dl = docs.select("doc_id", token_count(F.col("text")).alias("doclen"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("doclen").alias("avg_len")
+    )
+    dfq = qterms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tf = qterms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("doclen") / F.col("avg_len")
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "dedup_levenshtein_pairs",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source, n_chars, text FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+        FROM d a JOIN d b
+          ON a.source = b.source
+         AND a.n_chars // 20 = b.n_chars // 20
+         AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= {_LEV_MAX}
+    """,
+    tags=("dedup", "editsim", "levenshtein"),
+)
+def dedup_levenshtein_pairs(spark, sf_dir):
+    """Typo-grade near-dup pairs: exact edit distance <= 5 within
+    (source, 20-char length bucket) blocks — the character-level tier
+    token-set Jaccard cannot see (reordering preserves token sets but
+    not edit distance). Same blocked-self-join scale shape as the
+    Jaccard tier; Levenshtein runs only on in-block candidates."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", (F.col("n_chars") / 20).cast("long").alias("lb")
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("s_a"),
+        F.col("text").alias("t_a"), F.col("lb").alias("lb_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("s_b"),
+        F.col("text").alias("t_b"), F.col("lb").alias("lb_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("s_a") == F.col("s_b"))
+            & (F.col("lb_a") == F.col("lb_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("edit_distance", F.levenshtein("t_a", "t_b").cast("long"))
+        .filter(F.col("edit_distance") <= _LEV_MAX)
+        .select("id_a", "id_b", "edit_distance")
+    )
+
+
+@register(
+    "dq_rowhash_checksum",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               bit_xor(CAST(('0x' || substr(md5(
+                   CAST(event_id AS VARCHAR) || '|' ||
+                   CAST(user_id AS VARCHAR) || '|' ||
+                   CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+                   CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR)
+               ), 1, 15)) AS BIGINT)) AS content_checksum
+        FROM events GROUP BY event_type
+    """,
+    tags=("dq", "checksum", "audit"),
+)
+def dq_rowhash_checksum(spark, sf_dir):
+    """Order-insensitive table content checksum: md5 row fingerprint
+    XOR-folded per event_type — the migration-audit primitive that
+    verifies a 100 TB copy (or an engine port: this repo vs the
+    reference's store) without sorting or moving rows. XOR is
+    commutative/associative and overflow-free, so partials merge
+    map-side and the shuffle carries one 8-byte value per partition per
+    group. Non-finite-safe: value is fixed to exact cents before
+    hashing so float formatting can't desync the engines."""
+    ev = table(spark, sf_dir, "events")
+    fingerprint = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.unix_micros(F.col("ts")).cast("string"),
+        F.round(F.col("value") * 100, 0).cast("long").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(fingerprint), 1, 15), 16, 10).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.bit_xor(h).alias("content_checksum"),
+    )
+
+
+@register(
+    "agg_hopping_windows",
+    oracle=f"""
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                   + ((CAST(FLOOR(epoch(ts)) AS BIGINT) // {_SLIDE_S} - o.k)
+                      * {_SLIDE_S}) * INTERVAL '1 second' AS win_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) o
+        GROUP BY 1, 2
+    """,
+    tags=("agg", "window", "hopping", "ST7"),
+)
+def agg_hopping_windows(spark, sf_dir):
+    """Hopping (sliding) event-time windows, batch form: 6-hour windows
+    every 3 hours — each event lands in exactly window/slide = 2
+    groups. Spark's window() explodes the assignment map-side, then
+    it's an ordinary partial-agg shuffle on (window, type)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"), "event_type"
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "cnt")
+    )

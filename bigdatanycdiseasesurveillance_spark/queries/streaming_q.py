@@ -116,6 +116,25 @@ def stream_click_attribution(spark, sf_dir):
 
 
 @register(
+    "stream_user_totals",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "ST6", "state", "transformWithState"),
+)
+def stream_user_totals(spark, sf_dir):
+    """ST6, Spark-4 arbitrary-state tier: per-user lifetime totals via
+    keyed ValueState — transformWithStateInPandas where its protobuf
+    dependency exists, the applyInPandasWithState twin otherwise (same
+    keyed update-mode state machinery, identical result)."""
+    return P.streaming_user_totals(spark, sf_dir)
+
+
+@register(
     "stream_click_abandonment",
     oracle="""
         WITH mx AS (

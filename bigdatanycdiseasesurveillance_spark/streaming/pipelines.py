@@ -180,6 +180,94 @@ def streaming_sessionize(
     return out.groupBy("user_id").agg(F.max("n_sessions").alias("n_sessions"))
 
 
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    wire protocol; absent from this container (verified: the TWS driver
+    worker crashes importing google.protobuf.descriptor). The TWS path
+    below auto-activates where protobuf exists."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 (Spark-4 arbitrary-state tier): per-user lifetime event count
+    and exact cents total via keyed ValueState. Primary implementation
+    is transformWithStateInPandas (the 4.x successor of
+    applyInPandasWithState: named state variables, TTL, timers); where
+    its protobuf dependency is missing the applyInPandasWithState form
+    below computes the identical result through the same keyed
+    update-mode state machinery. Both emit cumulative totals per
+    micro-batch; max() per user is the final emission under any batch
+    split (same convergence argument as streaming_sessionize)."""
+    src = stream_table(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    out_schema = "user_id BIGINT, n_events BIGINT, sum_cents BIGINT"
+    if _tws_available():
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class UserTotals(StatefulProcessor):
+            def init(self, handle):
+                self._state = handle.getValueState("totals", "n BIGINT, cents BIGINT")
+
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as _pd
+
+                n, cents = self._state.get() if self._state.exists() else (0, 0)
+                for pdf in rows:
+                    n += len(pdf)
+                    cents += int(pdf["cents"].sum())
+                self._state.update((n, cents))
+                yield _pd.DataFrame(
+                    [{"user_id": key[0], "n_events": n, "sum_cents": cents}]
+                )
+
+            def close(self):
+                pass
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        totals = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def fn(key, pdf_iter, state):
+            import pandas as _pd
+
+            n, cents = state.get if state.exists else (0, 0)
+            for pdf in pdf_iter:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            state.update((n, cents))
+            yield _pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "sum_cents": cents}]
+            )
+
+        totals = src.groupBy("user_id").applyInPandasWithState(
+            fn,
+            out_schema,
+            "n BIGINT, cents BIGINT",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    out = _run_to_memory(totals, "update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.max("sum_cents").cast("long").alias("sum_cents"),
+    )
+
+
 def kafka_source(
     spark: SparkSession,
     brokers: str,

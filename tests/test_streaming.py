@@ -309,3 +309,89 @@ def test_stream_stream_join_equals_batch_range_join(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_outer_join_multibatch_timeout_emission(spark, tmp_path):
+    """Pin the LEFT OUTER stream-stream join's two load-bearing
+    behaviors across REAL micro-batch boundaries (maxFilesPerTrigger=1):
+    a click whose purchase arrives in a LATER batch still matches
+    (state carries across batches), and a click with no purchase is
+    emitted with NULLs once the watermark passes c_ts + 1h (timeout
+    emission in the final no-data batch)."""
+    import time
+    import uuid as _uuid
+
+    hour = 3600
+    base = 100 * 86400  # away from epoch 0: the initial watermark IS
+    # 1970-01-01, and rows with event time <= watermark drop as late
+    d = tmp_path / "ev_src"
+    d.mkdir()
+    # batch A: clicks only. C1/u1 matches later; C3/u3 never matches.
+    batch_a = [
+        (1, base + 0, "click", 101),
+        (3, base + 0, "click", 301),
+    ]
+    # batch B: u1's purchase (cross-batch match) + tail rows on BOTH
+    # sides at t=8h to push both side watermarks past every batch-A row.
+    batch_b = [
+        (1, base + 1800, "purchase", 901),
+        (9, base + 8 * hour, "click", 999),
+        (9, base + 8 * hour, "purchase", 998),
+    ]
+    for name, rows in (("a", batch_a), ("b", batch_b)):
+        spark.createDataFrame(
+            rows, "user_id long, t long, event_type string, event_id long"
+        ).withColumn("ts", F.timestamp_seconds(F.col("t"))).drop("t").coalesce(
+            1
+        ).write.parquet(str(d / name))
+        time.sleep(1.1)
+
+    src = (
+        spark.readStream.schema("user_id long, event_type string, event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    )
+    name = f"oj_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.table(name).collect()
+        if r["click_id"] is not None
+    }
+    # cross-batch match: C1 paired with the batch-B purchase
+    assert (101, 901) in rows
+    # timeout emission: C3 emitted unmatched after watermark passage
+    assert (301, None) in rows
