@@ -224,21 +224,34 @@ def agg_rollup_daily(spark, sf_dir):
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HyperLogLog++ sketch estimates have no DuckDB
-    # equivalent; relative-error bound vs the exact count is pinned in
-    # tests/test_oracle_parity.py::test_approx_distinct_error_bound.
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS sketch_within_5pct
+        FROM events GROUP BY event_type
+    """,
     tags=("agg", "A9", "sketch"),
 )
 def agg_approx_distinct(spark, sf_dir):
     """A9 at scale: approx_count_distinct (HyperLogLog++, rsd=0.01)
-    next to the exact count per event_type. At 100 TB the exact distinct
-    needs a full shuffle of the key space; the sketch is a fixed-size
-    mergeable state that never shuffles raw values — this query is the
-    side-by-side the engine offers for that trade."""
+    checked against the exact count per event_type. At 100 TB the exact
+    distinct needs a full shuffle of the key space; the sketch is a
+    fixed-size mergeable state that never shuffles raw values. The HLL
+    estimate itself has no DuckDB twin, so the driver-checkable contract
+    is self-verifying: the row carries the (oracle-able) exact count
+    plus the sketch's 5%-relative-error bound as a boolean the oracle
+    pins TRUE — an estimator regression flips the row red. The raw
+    estimate stays pinned in tests/test_oracle_parity.py."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.01)
+                - F.countDistinct("user_id")
+            )
+            <= 0.05 * F.countDistinct("user_id")
+        ).alias("sketch_within_5pct"),
     )
 
 

@@ -112,3 +112,111 @@ def graph_triangle_count(spark, sf_dir):
             ),
         )
     )
+
+
+_PR_DAMP = 0.85
+_PR_ITERS = 8
+_PR_N = 25  # nation table cardinality (TPC-H constant)
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration PageRank oracle (same device as the k-means
+    oracle: fixed iterations, per-iteration ROUND so cross-engine
+    float-sum drift cannot compound)."""
+    parts = [
+        f"""WITH edges AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   COUNT(*) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        ), outw AS (
+            SELECT src, SUM(w) AS tw FROM edges GROUP BY src
+        ), en AS (
+            SELECT e.src, e.dst, e.w / o.tw AS wn
+            FROM edges e JOIN outw o ON e.src = o.src
+        ), r0 AS (
+            SELECT n_nationkey AS k, 1.0 / {_PR_N} AS pr FROM nation
+        )"""
+    ]
+    for t in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""", r{t} AS (
+            SELECT n.n_nationkey AS k,
+                   ROUND((1.0 - {_PR_DAMP}) / {_PR_N}
+                         + {_PR_DAMP} * COALESCE(SUM(r.pr * en.wn), 0.0), 8)
+                       AS pr
+            FROM nation n
+            LEFT JOIN en ON en.dst = n.n_nationkey
+            LEFT JOIN r{t - 1} r ON r.k = en.src
+            GROUP BY 1
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT n.n_name AS nation, ROUND(r.pr, 6) AS pagerank
+        FROM r{_PR_ITERS} r JOIN nation n ON n.n_nationkey = r.k
+        """
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_pagerank_nations",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative"),
+)
+def graph_pagerank_nations(spark, sf_dir):
+    """PageRank over the customer-nation -> supplier-nation trade graph
+    (edge weight = lineitem count, out-weight-normalized), 8 fixed
+    iterations, damping 0.85, per-iteration round-to-8 so the oracle
+    replays bit-close. The scale split: building the weighted edge list
+    is the heavy part (three fact joins, pure shuffle work on the
+    cluster); the iteration then runs on a nodes-sized table that
+    BROADCASTS - each round is one broadcast join + one tiny groupBy,
+    never a fact rescan. Dangling-node mass is dropped (deterministic,
+    mirrored in the oracle)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    en = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("tw")).alias("wn")
+    )
+    # nodes-sized tables from here on: cache the normalized edges so the
+    # fact joins above run once, not once per iteration
+    en = en.cache()
+    ranks = n.select(F.col("n_nationkey").alias("k"), F.lit(1.0 / _PR_N).alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            en.join(F.broadcast(ranks), en.src == ranks.k)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("wn")).alias("mass"))
+        )
+        ranks = (
+            n.join(F.broadcast(contrib), n.n_nationkey == contrib.dst, "left")
+            .select(
+                F.col("n_nationkey").alias("k"),
+                F.round(
+                    (1.0 - _PR_DAMP) / _PR_N
+                    + _PR_DAMP * F.coalesce(F.col("mass"), F.lit(0.0)),
+                    8,
+                ).alias("pr"),
+            )
+        )
+    return ranks.join(F.broadcast(n), ranks.k == n.n_nationkey).select(
+        F.col("n_name").alias("nation"), F.round("pr", 6).alias("pagerank")
+    )

@@ -224,3 +224,51 @@ def agg_hopping_windows(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("cnt"))
         .select(F.col("w.start").alias("win_start"), "event_type", "cnt")
     )
+
+
+@register(
+    "cur_winsorize_values",
+    oracle="""
+        WITH th AS (
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.01), 6) AS lo,
+                   ROUND(quantile_cont(value, 0.99), 6) AS hi
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(e.value), 4) AS mean_raw,
+               ROUND(AVG(LEAST(GREATEST(e.value, th.lo), th.hi)), 4)
+                   AS mean_winsorized,
+               CAST(SUM(CASE WHEN e.value < th.lo OR e.value > th.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        FROM events e JOIN th USING (event_type)
+        GROUP BY 1
+    """,
+    tags=("curation", "winsorize", "outliers"),
+)
+def cur_winsorize_values(spark, sf_dir):
+    """Outlier winsorization: clip value to the exact per-type
+    [p1, p99] band (linear-interpolated percentiles, rounded to 6 on
+    BOTH engines before clipping so a last-bit threshold difference
+    can't flip a boundary row). The thresholds table is types-sized and
+    broadcasts; the fact is scanned once for thresholds and once for
+    the clipped aggregate - at 100 TB swap the exact percentile for
+    percentile_approx and the second scan stays identical."""
+    ev = table(spark, sf_dir, "events")
+    th = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.01)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    out_of_band = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(F.broadcast(th), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            F.sum(F.when(out_of_band, 1).otherwise(0)).cast("long").alias("n_clipped"),
+        )
+    )

@@ -23,20 +23,27 @@ from ..tables import table
 
 @register(
     "agg_hll_partial_merge",
-    oracle=None,  # Datasketches HLL state has no DuckDB twin; the
-    # merge-equals-direct identity and the error bound vs the exact
-    # count are pinned in tests/test_basket.py.
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS merge_equals_direct,
+               TRUE AS estimate_within_5pct
+        FROM events GROUP BY event_type
+    """,
     tags=("sketch", "hll", "incremental"),
 )
 def agg_hll_partial_merge(spark, sf_dir):
     """Re-aggregable distinct counting: build one HLL sketch per
     (event_type, day) partial, union the partials per type, and
     estimate — next to the direct whole-column sketch estimate and the
-    exact distinct. The two estimates are identical by construction
-    (sketch union is lossless over the same stream), which is the
-    contract that lets daily sketch partials serve any date-range
-    distinct query at 100 TB with zero raw re-scan; the exact count
-    bounds the estimation error."""
+    exact distinct. The merge-equals-direct identity (sketch union is
+    lossless over the same stream) is the contract that lets daily
+    sketch partials serve any date-range distinct query at 100 TB with
+    zero raw re-scan. Datasketches state has no DuckDB twin, so the
+    driver-checkable row is self-verifying: the (oracle-able) exact
+    count plus both contract booleans, which the oracle pins TRUE —
+    a sketch/merge regression flips the row red. Raw estimates stay
+    pinned in tests/test_basket.py."""
     e = table(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", "ts").cast("date")
     )
@@ -52,9 +59,14 @@ def agg_hll_partial_merge(spark, sf_dir):
     )
     return merged.join(direct, "event_type").select(
         "event_type",
-        F.col("merged_estimate").cast("long").alias("merged_estimate"),
-        F.col("direct_estimate").cast("long").alias("direct_estimate"),
         "exact_users",
+        (F.col("merged_estimate") == F.col("direct_estimate")).alias(
+            "merge_equals_direct"
+        ),
+        (
+            F.abs(F.col("direct_estimate") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("estimate_within_5pct"),
     )
 
 

@@ -116,6 +116,26 @@ def stream_click_attribution(spark, sf_dir):
 
 
 @register(
+    "stream_hopping_counts",
+    oracle="""
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                   + ((CAST(FLOOR(epoch(ts)) AS BIGINT) // 10800 - o.k)
+                      * 10800) * INTERVAL '1 second' AS win_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) o
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "ST7", "hopping"),
+)
+def stream_hopping_counts(spark, sf_dir):
+    """ST7 sliding tier: watermarked 6h/3h hopping-window counts over
+    the event stream; availableNow drain equals the batch twin
+    (agg_hopping_windows)."""
+    return P.streaming_hopping_counts(spark, sf_dir)
+
+
+@register(
     "stream_user_totals",
     oracle="""
         SELECT user_id,

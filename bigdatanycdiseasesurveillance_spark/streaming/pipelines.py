@@ -93,6 +93,23 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(F.count("*").alias("n_distinct_events"))
 
 
+def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 sliding tier: 6-hour hopping windows every 3 hours over the
+    event stream (each event in exactly 2 windows), watermarked,
+    complete-mode availableNow drain — the streaming twin of the batch
+    agg_hopping_windows query."""
+    src = stream_table(spark, sf_dir, "events")
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("win_start"), "event_type", "cnt"
+    )
+
+
 def streaming_session_windows(
     spark: SparkSession, sf_dir: str, gap_hours: int = 24
 ) -> DataFrame:

@@ -83,10 +83,8 @@ def test_hll_partial_merge_equals_direct(spark, sf_dir):
     rows = SPECS["agg_hll_partial_merge"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r["merged_estimate"] == r["direct_estimate"], r
-        assert abs(r["merged_estimate"] - r["exact_users"]) <= max(
-            1, 0.05 * r["exact_users"]
-        ), r
+        assert r["merge_equals_direct"], r
+        assert r["estimate_within_5pct"], r
 
 
 def test_rolling_median_is_robust_center(spark, sf_dir):
