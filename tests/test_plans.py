@@ -232,3 +232,39 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_stays_jvm_side_with_broadcast_stats(spark, sf_dir):
+    """BM25 must be pure column expressions (no Python nodes) with the
+    vocabulary-sized df/corpus-stats tables broadcast — the postings
+    explode is the only fact-sized dataflow."""
+    df = q("search_bm25_topk", spark, sf_dir)
+    plan = executed_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert broadcast_join_count(df) >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_levenshtein_pairs_no_cartesian(spark, sf_dir):
+    """The edit-distance self-join must equi-join on the (source,
+    length-bucket) block key — a cartesian/nested-loop here is the
+    O(n^2) failure mode at corpus scale."""
+    df = q("dedup_levenshtein_pairs", spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pagerank_iterations_broadcast_ranks(spark, sf_dir):
+    """The PageRank iteration joins must broadcast the nodes-sized rank/
+    contribution tables; the fact tables feed only the one-time edge
+    build. 8 iterations => at least 8 broadcast joins in the plan."""
+    df = q("graph_pagerank_nations", spark, sf_dir)
+    assert broadcast_join_count(df) >= 8, executed_plan(df)
+
+
+def test_rowhash_checksum_partial_aggregation(spark, sf_dir):
+    """The XOR fold must combine map-side: the shuffle carries one
+    8-byte partial per (partition, group), never raw fingerprints."""
+    df = q("dq_rowhash_checksum", spark, sf_dir)
+    assert has_partial_aggregation(df), executed_plan(df)
