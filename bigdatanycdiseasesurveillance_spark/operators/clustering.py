@@ -208,12 +208,30 @@ def grid_dbscan(
             .groupBy("pid")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        hopped = (
             labels.join(neighbor_min, F.col("lid") == neighbor_min.pid, "left")
             .select(
                 "lid",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jumping (path doubling): label <- label(label). The
+        # hop above moves a label one graph edge per round — diameter
+        # rounds on blob-shaped geo clusters; composing the label map
+        # with itself makes convergence O(log diameter). Correct because
+        # labels only ever decrease toward the component min and every
+        # jump target is in the same component.
+        jump = hopped.select(
+            F.col("lid").alias("jid"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            hopped.join(jump, hopped.label == jump.jid, "left")
+            .select(
+                "lid",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
                 ).alias("label"),
             )
         )
@@ -230,8 +248,8 @@ def grid_dbscan(
             converged = True
             break
     if not converged:
-        # Min-label propagation converges in graph-diameter rounds; a
-        # chain-shaped core graph longer than max_rounds would otherwise
+        # With pointer jumping convergence is O(log diameter); a core
+        # graph needing more than max_rounds doublings would otherwise
         # return silently-split clusters.
         raise RuntimeError(
             f"grid_dbscan: label propagation did not converge within "

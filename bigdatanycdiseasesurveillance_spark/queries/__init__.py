@@ -12,6 +12,7 @@ Importing this package registers all specs (see ..registry).
 from . import (  # noqa: F401
     geo_pipeline_q,
     ir_q,
+    lm_q,
     similarity_q,
     streaming_q,
     text_q,

@@ -133,28 +133,41 @@ def dedup_levenshtein_pairs(spark, sf_dir):
     """Typo-grade near-dup pairs: exact edit distance <= 5 within
     (source, 20-char length bucket) blocks — the character-level tier
     token-set Jaccard cannot see (reordering preserves token sets but
-    not edit distance). Same blocked-self-join scale shape as the
-    Jaccard tier; Levenshtein runs only on in-block candidates."""
+    not edit distance). Two LOSSLESS prunes keep the blocked self-join
+    from degenerating into quadratic O(L^2) edit-distance work (54 s ->
+    ~2 s at sf0.1, identical rows — the oracle states pure semantics,
+    pruning never changes the result):
+
+    - length residual: |len(a) - len(b)| <= 5 is a lower bound on edit
+      distance, and it prunes BEFORE text comparison;
+    - thresholded levenshtein: the threshold arg makes Spark's kernel
+      early-abandon at O(k*L) per pair instead of O(L^2), returning -1
+      above the bound."""
     d = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text", (F.col("n_chars") / 20).cast("long").alias("lb")
+        "doc_id", "source", "text", "n_chars",
+        (F.col("n_chars") / 20).cast("long").alias("lb"),
     )
     a = d.select(
         F.col("doc_id").alias("id_a"), F.col("source").alias("s_a"),
-        F.col("text").alias("t_a"), F.col("lb").alias("lb_a"),
+        F.col("text").alias("t_a"), F.col("n_chars").alias("n_a"),
+        F.col("lb").alias("lb_a"),
     )
     b = d.select(
         F.col("doc_id").alias("id_b"), F.col("source").alias("s_b"),
-        F.col("text").alias("t_b"), F.col("lb").alias("lb_b"),
+        F.col("text").alias("t_b"), F.col("n_chars").alias("n_b"),
+        F.col("lb").alias("lb_b"),
     )
+    lev = F.levenshtein("t_a", "t_b", _LEV_MAX)
     return (
         a.join(
             b,
             (F.col("s_a") == F.col("s_b"))
             & (F.col("lb_a") == F.col("lb_b"))
-            & (F.col("id_a") < F.col("id_b")),
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("n_a") - F.col("n_b")) <= _LEV_MAX),
         )
-        .withColumn("edit_distance", F.levenshtein("t_a", "t_b").cast("long"))
-        .filter(F.col("edit_distance") <= _LEV_MAX)
+        .withColumn("edit_distance", lev.cast("long"))
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= _LEV_MAX))
         .select("id_a", "id_b", "edit_distance")
     )
 
