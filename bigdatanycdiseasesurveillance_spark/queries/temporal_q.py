@@ -124,3 +124,194 @@ def join_interval_binned(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+        WITH ev AS (
+            SELECT event_id, user_id, ts, event_type FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ), u AS (
+            SELECT user_id, ts,
+                   CASE WHEN event_type = 'purchase' THEN event_id END AS p_id,
+                   CASE WHEN event_type = 'click' THEN event_id END AS c_id
+            FROM ev
+        ), scan AS (
+            SELECT user_id, ts, p_id,
+                   last_value(c_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, c_id NULLS LAST
+                       ROWS UNBOUNDED PRECEDING) AS back_id,
+                   last_value(CASE WHEN c_id IS NOT NULL THEN ts END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, c_id NULLS LAST
+                       ROWS UNBOUNDED PRECEDING) AS back_ts,
+                   first_value(c_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, c_id NULLS LAST
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS fwd_id,
+                   first_value(CASE WHEN c_id IS NOT NULL THEN ts END
+                               IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, c_id NULLS LAST
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS fwd_ts
+            FROM u
+        ), p AS (
+            SELECT user_id, p_id AS event_id,
+                   epoch(ts) - epoch(back_ts) AS bgap,
+                   epoch(fwd_ts) - epoch(ts) AS fgap,
+                   back_id, fwd_id
+            FROM scan WHERE p_id IS NOT NULL
+        )
+        SELECT event_id, user_id,
+               CASE WHEN bgap IS NOT NULL AND bgap <= 7200
+                         AND (fgap IS NULL OR fgap > 7200 OR bgap <= fgap)
+                    THEN back_id
+                    WHEN fgap IS NOT NULL AND fgap <= 7200 THEN fwd_id
+               END AS nearest_click_id,
+               CASE WHEN bgap IS NOT NULL AND bgap <= 7200
+                         AND (fgap IS NULL OR fgap > 7200 OR bgap <= fgap)
+                    THEN ROUND(-bgap, 3)
+                    WHEN fgap IS NOT NULL AND fgap <= 7200
+                    THEN ROUND(fgap, 3)
+               END AS signed_gap_seconds
+        FROM p
+    """,
+    tags=("join", "asof", "nearest"),
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join with tolerance: each purchase
+    matched to its closest click within 2h, EITHER direction, ties to
+    the earlier (backward) click. Same union + window shape as the
+    directional as-ofs — ONE shuffle on user_id carries both the
+    backward scan and the forward scan (two sorts, no second
+    shuffle), so it survives both sides being huge."""
+    from pyspark.sql import Window
+
+    from ..functions.time_funcs import epoch_sec
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    u = ev.select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("p_id"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("c_id"),
+    )
+    order = [F.col("ts").asc(), F.col("c_id").asc_nulls_last()]
+    back = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fwd = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    c_ts = F.when(F.col("c_id").isNotNull(), F.col("ts"))
+    scan = u.select(
+        "user_id",
+        "ts",
+        "p_id",
+        F.last("c_id", ignorenulls=True).over(back).alias("back_id"),
+        F.last(c_ts, ignorenulls=True).over(back).alias("back_ts"),
+        F.first("c_id", ignorenulls=True).over(fwd).alias("fwd_id"),
+        F.first(c_ts, ignorenulls=True).over(fwd).alias("fwd_ts"),
+    ).filter(F.col("p_id").isNotNull())
+    bgap = epoch_sec("ts") - epoch_sec("back_ts")
+    fgap = epoch_sec("fwd_ts") - epoch_sec("ts")
+    use_back = bgap.isNotNull() & (bgap <= 7200) & (
+        fgap.isNull() | (fgap > 7200) | (bgap <= fgap)
+    )
+    use_fwd = fgap.isNotNull() & (fgap <= 7200)
+    return scan.select(
+        F.col("p_id").alias("event_id"),
+        "user_id",
+        F.when(use_back, F.col("back_id"))
+        .when(use_fwd, F.col("fwd_id"))
+        .alias("nearest_click_id"),
+        F.when(use_back, F.round(-bgap, 3))
+        .when(use_fwd, F.round(fgap, 3))
+        .alias("signed_gap_seconds"),
+    )
+
+
+@register(
+    "win_gap_fill_spine",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS cnt,
+                   ((SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) * 200
+                     + COUNT(*)) // (2 * COUNT(*))) / 10000.0 AS avg_value
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+        ), spine AS (
+            SELECT t.event_type, CAST(g.d AS DATE) AS day
+            FROM (SELECT DISTINCT event_type FROM daily) t
+            CROSS JOIN (
+                SELECT unnest(generate_series(
+                    (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+                    INTERVAL 1 DAY)) AS d
+            ) g
+        )
+        SELECT s.event_type, s.day,
+               CAST(COALESCE(d.cnt, 0) AS BIGINT) AS cnt,
+               last_value(d.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.day
+                   ROWS UNBOUNDED PRECEDING) AS value_locf
+        FROM spine s LEFT JOIN daily d
+          ON d.event_type = s.event_type AND d.day = s.day
+    """,
+    tags=("window", "gap-fill", "spine"),
+)
+def win_gap_fill_spine(spark, sf_dir):
+    """Time-spine gap filling: a complete (event_type x day) spine over
+    the observed range, zero-filled counts, and last-observation-
+    carried-forward for the value series — the missing-day repair every
+    downstream window/forecast op assumes. The spine is sequence() on a
+    1-row bounds aggregate exploded against the distinct-types table
+    (both broadcast-sized); the fact contributes one daily rollup."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("cnt"),
+        # all-integer 4-decimal average: engines disagree on ROUND at
+        # exact .5 boundaries (Java rounds the shortest decimal repr of
+        # the double, DuckDB the binary value), so round-half-up is done
+        # in BIGINT arithmetic and only the final /10000 is float
+        (
+            F.expr(
+                "(sum(cast(round(value * 100, 0) as bigint)) * 200"
+                " + count(*)) div (2 * count(*))"
+            ).cast("double")
+            / 10000.0  # DataFrame-API double literal: in expr text,
+            # 10000.0 parses as DECIMAL and poisons the output type
+        ).alias("avg_value"),
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
+        )
+    )
