@@ -238,14 +238,15 @@ def emb_quantize_recall(spark, sf_dir):
     from ..functions.vectors import as_double, cosine, dequantize, quantize_int8
 
     e = table(spark, sf_dir, "embeddings")
+    # both query-vector forms project ON the 1-row broadcast side —
+    # inside the per-row expression they would re-quantize the query
+    # for every corpus vector (measured: ~5 ms/row of interpreted HOFs)
     q = e.filter(F.col("vec_id") == _QVEC_ID).select(
-        F.col("embedding").alias("qv")
+        as_double(F.col("embedding")).alias("qd"),
+        dequantize(quantize_int8(F.col("embedding"))).alias("qdq"),
     )
-    ce = cosine(as_double(F.col("embedding")), as_double(F.col("qv")))
-    cq = cosine(
-        dequantize(quantize_int8(F.col("embedding"))),
-        dequantize(quantize_int8(F.col("qv"))),
-    )
+    ce = cosine(as_double(F.col("embedding")), F.col("qd"))
+    cq = cosine(dequantize(quantize_int8(F.col("embedding"))), F.col("qdq"))
     return (
         e.filter(F.col("vec_id") != _QVEC_ID)
         .crossJoin(F.broadcast(q))

@@ -395,3 +395,32 @@ def test_outer_join_multibatch_timeout_emission(spark, tmp_path):
     assert (101, 901) in rows
     # timeout emission: C3 emitted unmatched after watermark passage
     assert (301, None) in rows
+
+
+def test_user_totals_state_tiers_agree(spark, sf_dir):
+    """stream_user_totals picks transformWithStateInPandas when its
+    protobuf dependency exists and the applyInPandasWithState twin
+    otherwise; whichever tier ran must equal the batch groupBy. (In
+    this container protobuf is absent — verified — so this exercises
+    the fallback; on a protobuf-bearing cluster the same assert covers
+    the TWS branch.)"""
+    from bigdatanycdiseasesurveillance_spark.registry import all_specs
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    got = {
+        (r["user_id"], r["n_events"], r["sum_cents"])
+        for r in all_specs()["stream_user_totals"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        (r["user_id"], r["n_events"], r["sum_cents"])
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert got == want
