@@ -285,3 +285,44 @@ def cur_winsorize_values(spark, sf_dir):
             F.sum(F.when(out_of_band, 1).otherwise(0)).cast("long").alias("n_clipped"),
         )
     )
+
+
+@register(
+    "txt_keyword_context",
+    oracle="""
+        WITH hits AS (
+            SELECT doc_id, lang,
+                   strpos(lower(text), 'stream') AS pos,
+                   lower(text) AS lt,
+                   length(text) AS n
+            FROM documents
+            WHERE strpos(lower(text), 'stream') > 0
+        )
+        SELECT doc_id, lang,
+               CAST(pos AS BIGINT) AS pos,
+               substr(lt, GREATEST(1, pos - 20),
+                      (pos + 6 + 20) - GREATEST(1, pos - 20)) AS context
+        FROM hits
+    """,
+    tags=("text", "kwic", "ir"),
+)
+def txt_keyword_context(spark, sf_dir):
+    """Keyword-in-context (KWIC) extraction: the +-20-char window
+    around the first occurrence of a keyword, per matching document —
+    the corpus-inspection primitive behind every 'show me how this term
+    is used' review queue. Pure substring arithmetic, one scan, no
+    shuffle at all (the filter prunes non-matching docs at the scan)."""
+    kw, klen, ctx = "stream", 6, 20
+    docs = table(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    hits = docs.select(
+        "doc_id", "lang", F.locate(kw, lt).alias("pos"), lt.alias("lt")
+    ).filter(F.col("pos") > 0)
+    start = F.greatest(F.lit(1), F.col("pos") - ctx)
+    length = (F.col("pos") + klen + ctx) - start
+    return hits.select(
+        "doc_id",
+        "lang",
+        F.col("pos").cast("long").alias("pos"),
+        F.substring(F.col("lt"), start, length).alias("context"),
+    )

@@ -122,3 +122,98 @@ def win_rolling_median(spark, sf_dir):
         F.col("cnt").cast("long").alias("cnt"),
         med.alias("med7"),
     )
+
+
+@register(
+    "win_anomaly_mad",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ), fr AS (
+            SELECT event_type, day, cnt,
+                   list_sort(list(cnt) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)) AS arr
+            FROM s
+        ), med AS (
+            SELECT *, len(arr) AS n,
+                   CASE WHEN len(arr) = 0 THEN NULL
+                        WHEN len(arr) % 2 = 1 THEN CAST(arr[(len(arr)+1)//2] AS DOUBLE)
+                        ELSE (arr[len(arr)//2] + arr[len(arr)//2 + 1]) / 2.0
+                   END AS m
+            FROM fr
+        ), dev AS (
+            SELECT *, list_sort(list_transform(arr, x -> abs(x - m))) AS darr
+            FROM med
+        ), mad AS (
+            SELECT *,
+                   CASE WHEN n = 0 THEN NULL
+                        WHEN n % 2 = 1 THEN CAST(darr[(n+1)//2] AS DOUBLE)
+                        ELSE (darr[n//2] + darr[n//2 + 1]) / 2.0
+                   END AS md
+            FROM dev
+        )
+        SELECT event_type, day, cnt,
+               ROUND(m, 4) AS frame_median,
+               ROUND(md, 4) AS frame_mad,
+               ROUND(CASE WHEN md IS NULL OR md = 0 THEN 0.0
+                          ELSE (cnt - m) / (1.4826 * md) END, 4) AS robust_z,
+               CASE WHEN md IS NOT NULL AND md > 0
+                    THEN abs((cnt - m) / (1.4826 * md)) > 3.5
+                    ELSE FALSE END AS is_anomaly
+        FROM mad
+    """,
+    tags=("window", "anomaly", "robust", "M13"),
+)
+def win_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection: rolling 14-day median/MAD (prior days
+    only) and the 1.4826-scaled robust z — the outlier-resistant
+    companion to win_anomaly_zscore (one anomalous day poisons a mean/
+    std baseline but not a median/MAD one). The frame median and MAD
+    use the identical sorted-array even/odd formula on BOTH engines, so
+    parity is exact. Frames hold <= 14 values of the pre-aggregated
+    daily series; raw facts never reach the window."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-14, -1)
+    )
+    arr = F.sort_array(F.collect_list("cnt").over(w))
+    n = F.size(arr)
+
+    def list_median(sorted_arr, size):
+        odd = F.element_at(sorted_arr, ((size + 1) / 2).cast("int")).cast("double")
+        even = (
+            F.element_at(sorted_arr, (size / 2).cast("int"))
+            + F.element_at(sorted_arr, (size / 2 + 1).cast("int"))
+        ) / 2.0
+        return F.when(size == 0, F.lit(None)).when(size % 2 == 1, odd).otherwise(even)
+
+    fr = daily.select("event_type", "day", "cnt", arr.alias("arr"), n.alias("n"))
+    fr = fr.withColumn("m", list_median(F.col("arr"), F.col("n")))
+    darr = F.sort_array(F.transform("arr", lambda x: F.abs(x - F.col("m"))))
+    fr = fr.withColumn("md", list_median(darr, F.col("n")))
+    rz = F.when(
+        F.col("md").isNull() | (F.col("md") == 0), F.lit(0.0)
+    ).otherwise((F.col("cnt") - F.col("m")) / (1.4826 * F.col("md")))
+    return fr.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.round("m", 4).alias("frame_median"),
+        F.round("md", 4).alias("frame_mad"),
+        F.round(rz, 4).alias("robust_z"),
+        F.when(
+            F.col("md").isNotNull() & (F.col("md") > 0), F.abs(rz) > 3.5
+        ).otherwise(F.lit(False)).alias("is_anomaly"),
+    )
