@@ -300,3 +300,157 @@ def emb_label_centroids(spark, sf_dir):
             ),
         )
     )
+
+
+_CUSUM_K = 2.0
+_CUSUM_H = 15.0
+
+
+@register(
+    "ts_cusum_shift",
+    oracle=f"""
+        WITH RECURSIVE s AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS DOUBLE) AS x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(date_trunc('day', ts) AS DATE)) AS t
+            FROM events GROUP BY 1, 2
+        ),
+        mu AS (SELECT event_type, AVG(x) AS m FROM s GROUP BY 1),
+        c AS (
+            SELECT s.event_type, s.t, s.day, s.x,
+                   GREATEST(0.0, s.x - mu.m - {_CUSUM_K}) AS cs
+            FROM s JOIN mu USING (event_type) WHERE s.t = 1
+            UNION ALL
+            SELECT s.event_type, s.t, s.day, s.x,
+                   GREATEST(0.0, c.cs + s.x - mu.m - {_CUSUM_K}) AS cs
+            FROM c
+            JOIN s ON s.event_type = c.event_type AND s.t = c.t + 1
+            JOIN mu ON mu.event_type = s.event_type
+        )
+        SELECT event_type, day, CAST(x AS BIGINT) AS n_events,
+               cs AS cusum,
+               cs > {_CUSUM_H} AS is_shift
+        FROM c
+    """,
+    tags=("timeseries", "changepoint", "pandas-udf", "recursive"),
+)
+def ts_cusum_shift(spark, sf_dir):
+    """One-sided CUSUM level-shift detection over the daily series per
+    type: s_t = max(0, s_(t-1) + x_t - mean - k), flag when s_t exceeds
+    h — the classic sequential change-point statistic (catches a
+    sustained +k drift the per-day z-score never flags). A genuine
+    recurrence (the max(0, .) clamp defeats any window rewrite), so it
+    runs as an applyInPandas kernel over the pre-aggregated series
+    while the oracle replays the identical left-associated IEEE
+    arithmetic as a recursive CTE; the daily series is integer-valued
+    so the per-type mean is exact and the doubles agree bit-for-bit
+    (emitted raw, same device as ts_holt_linear)."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events")
+    s = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+    mu = s.groupBy("event_type").agg(F.avg("x").alias("m"))
+    joined = s.join(F.broadcast(mu), "event_type")
+
+    k, h = _CUSUM_K, _CUSUM_H
+
+    def cusum(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        m = float(pdf["m"].iloc[0])
+        cs_list = []
+        cs = 0.0
+        for x in [float(v) for v in pdf["x"]]:
+            cs = max(0.0, cs + x - m - k)
+            cs_list.append(cs)
+        pdf["cusum"] = cs_list
+        return pdf
+
+    out = joined.groupBy("event_type").applyInPandas(
+        cusum, "event_type string, day date, x double, m double, cusum double"
+    )
+    return out.select(
+        "event_type",
+        "day",
+        F.col("x").cast("long").alias("n_events"),
+        "cusum",
+        (F.col("cusum") > h).alias("is_shift"),
+    )
+
+
+@register(
+    "agg_rfm_segments",
+    oracle="""
+        WITH mx AS (
+            SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) AS max_day
+            FROM events
+        ),
+        u AS (
+            SELECT user_id,
+                   date_diff('day',
+                             CAST(date_trunc('day', MAX(ts)) AS DATE),
+                             (SELECT max_day FROM mx)) AS recency_days,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS monetary_cents
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(recency_days AS BIGINT) AS recency_days,
+               frequency, monetary_cents,
+               CAST(NTILE(4) OVER (ORDER BY recency_days, user_id) AS BIGINT)
+                   AS r_score,
+               CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+                   AS f_score,
+               CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC, user_id)
+                    AS BIGINT) AS m_score
+        FROM u
+    """,
+    tags=("analytics", "rfm", "segmentation"),
+)
+def agg_rfm_segments(spark, sf_dir):
+    """RFM user segmentation: recency (days since last event vs corpus
+    max day), frequency, exact-cents monetary, each quartile-scored
+    with NTILE(4) under a user_id tiebreak so the buckets are
+    deterministic on both engines. One user-keyed aggregation plus
+    three global NTILE sorts of the users-sized table (users << events;
+    at 100 TB swap NTILE for approx-percentile cutpoints and the
+    aggregation shuffle is unchanged)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("max_day")
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.date_trunc("day", "ts").cast("date")).alias("last_day"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff("max_day", "last_day").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    m_w = Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
+    return u.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(r_w).cast("long").alias("r_score"),
+        F.ntile(4).over(f_w).cast("long").alias("f_score"),
+        F.ntile(4).over(m_w).cast("long").alias("m_score"),
+    )
