@@ -250,7 +250,9 @@ def agg_approx_distinct(spark, sf_dir):
                 F.approx_count_distinct("user_id", rsd=0.01)
                 - F.countDistinct("user_id")
             )
-            <= 0.05 * F.countDistinct("user_id")
+            # max(1, 5%) floor: for low-cardinality groups 0.05*exact < 1
+            # and a ±1 sketch wobble is within estimator spec.
+            <= F.greatest(F.lit(1.0), 0.05 * F.countDistinct("user_id"))
         ).alias("sketch_within_5pct"),
     )
 

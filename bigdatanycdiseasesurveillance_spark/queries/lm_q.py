@@ -88,8 +88,8 @@ def txt_unigram_logprob(spark, sf_dir):
         ),
         tgt AS (
             SELECT source, n,
-                   CAST(FLOOR(wt * {_MIX_BUDGET}
-                              * (SELECT SUM(n) FROM counts)) AS BIGINT)
+                   CAST(FLOOR(ROUND(wt * {_MIX_BUDGET}
+                              * (SELECT SUM(n) FROM counts), 9)) AS BIGINT)
                        AS target_n
             FROM w
         ),
@@ -132,7 +132,10 @@ def mix_temperature_sampling(spark, sf_dir):
         .select(
             "source",
             "n",
-            F.floor(F.col("wt") * _MIX_BUDGET * F.col("total"))
+            # ROUND before FLOOR: wt comes from a float window-SUM whose
+            # summation order differs between engines; a 1-ulp drift at an
+            # integer boundary would flip FLOOR by 1.
+            F.floor(F.round(F.col("wt") * _MIX_BUDGET * F.col("total"), 9))
             .cast("long")
             .alias("target_n"),
         )

@@ -66,6 +66,7 @@ def _driver_coverage() -> set[str]:
     sample a prefix; sampling is otherwise out of our control."""
     import glob
     import json
+    import logging
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -74,8 +75,10 @@ def _driver_coverage() -> set[str]:
         try:
             with open(path) as fh:
                 seen.update(json.load(fh).keys())
-        except Exception:  # malformed round artifact — ordering hint only
-            continue
+        except Exception as exc:  # malformed round artifact — ordering hint only
+            logging.getLogger(__name__).warning(
+                "ignoring unreadable coverage artifact %s: %s", path, exc
+            )
     return seen
 
 
@@ -86,5 +89,6 @@ def all_specs() -> dict[str, QuerySpec]:
     # Stable order, never-driver-sampled specs first: registration order
     # within each tier, so repeat calls (and rounds) agree.
     seen = _driver_coverage()
-    ordered = sorted(_REGISTRY, key=lambda n: (n in seen, list(_REGISTRY).index(n)))
+    idx = {n: i for i, n in enumerate(_REGISTRY)}
+    ordered = sorted(_REGISTRY, key=lambda n: (n in seen, idx[n]))
     return {n: _REGISTRY[n] for n in ordered}

@@ -219,7 +219,10 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     below computes the identical result through the same keyed
     update-mode state machinery. Both emit cumulative totals per
     micro-batch; max() per user is the final emission under any batch
-    split (same convergence argument as streaming_sessionize)."""
+    split (same convergence argument as streaming_sessionize). NOTE:
+    only the applyInPandasWithState tier is exercised by tests in this
+    container (protobuf absent); the TWS branch runs on clusters that
+    ship protobuf."""
     src = stream_table(spark, sf_dir, "events").select(
         "user_id", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
     )
@@ -246,16 +249,30 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             def close(self):
                 pass
 
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        try:
+            prev_provider = spark.conf.get(provider_key)
+        except Exception:
+            prev_provider = None
         spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
+            provider_key,
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
-        totals = src.groupBy("user_id").transformWithStateInPandas(
-            statefulProcessor=UserTotals(),
-            outputStructType=out_schema,
-            outputMode="Update",
-            timeMode="None",
-        )
+        try:
+            totals = src.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=UserTotals(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
+            )
+            out = _run_to_memory(totals, "update")
+        finally:
+            # RocksDB is required by TWS but must not leak to every later
+            # streaming query in the session.
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
     else:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -278,7 +295,7 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "update",
             GroupStateTimeout.NoTimeout,
         )
-    out = _run_to_memory(totals, "update")
+        out = _run_to_memory(totals, "update")
     return out.groupBy("user_id").agg(
         F.max("n_events").cast("long").alias("n_events"),
         F.max("sum_cents").cast("long").alias("sum_cents"),
