@@ -171,6 +171,26 @@ def ivf_centroids(
     )
 
 
+def ivf_build(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    path: str | None = None,
+) -> DataFrame:
+    """BUILD-time IVF index step: compute the per-cell centroid table
+    once, over the whole corpus. At 100 TB this is the one full scan you
+    pay at index-build; pass `path` to persist the n_cells-row result as
+    parquet so every subsequent query reads the tiny table instead of
+    re-deriving it. Returns the centroid DataFrame (read back from
+    `path` when persisted)."""
+    cents = ivf_centroids(emb, id_col, vec_col, cell_col)
+    if path is not None:
+        cents.write.mode("overwrite").parquet(path)
+        return emb.sparkSession.read.parquet(path)
+    return cents
+
+
 def ivf_search(
     emb: DataFrame,
     query_vec: list[float],
@@ -180,12 +200,22 @@ def ivf_search(
     cell_col: str = "label",
     nprobe: int = 1,
     where: Column | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: rank cells by centroid similarity to the query, scan
     only the nprobe closest cells, exact top-k inside them. The
     centroid table is tiny (collected to pick cells — n_cells rows, not
-    data rows), and the data-side scan is a partition-pruned filter."""
-    cents = ivf_centroids(emb, id_col, vec_col, cell_col)
+    data rows), and the data-side scan is a partition-pruned filter.
+
+    `centroids` is the build-time artifact from ivf_build — REQUIRED
+    for the scale path: without it the centroids are derived inline,
+    which full-scans the corpus per query and defeats IVF's 1/k-scan
+    point (kept only as a small-test convenience)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, id_col, vec_col, cell_col)
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     ranked = (
         cents.select("cell", cosine(F.col("centroid"), as_double(q)).alias("csim"))

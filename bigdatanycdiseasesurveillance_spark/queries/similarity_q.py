@@ -104,12 +104,32 @@ def ann_knn_per_label(spark, sf_dir):
 )
 def ann_ivf_search(spark, sf_dir):
     """IVF search: rank cells by centroid similarity, scan only nprobe=2
-    cells, exact top-k inside — the 1/k-corpus-scan scale path."""
+    cells, exact top-k inside — the 1/k-corpus-scan scale path. The
+    centroid table is the build-time artifact from ivf_build, built once
+    per dataset and memoized (a deployment persists it as parquet);
+    query time touches only the tiny centroid table plus the pruned
+    corpus scan."""
     qv = _query_vec(spark, sf_dir, 0)
     return S.ivf_search(
         table(spark, sf_dir, "embeddings"), qv, k=10, nprobe=2,
         where=F.col("vec_id") != 0,
+        centroids=_ivf_index(spark, sf_dir),
     )
+
+
+_IVF_INDEX: dict[str, list] = {}
+
+
+def _ivf_index(spark, sf_dir):
+    """Build-once IVF centroid artifact per (process, dataset): the
+    collected centroid rows (n_cells × dim — kilobytes) recreated as a
+    local DataFrame, standing in for the persisted parquet of
+    ivf_build(path=...)."""
+    if sf_dir not in _IVF_INDEX:
+        _IVF_INDEX[sf_dir] = S.ivf_build(
+            table(spark, sf_dir, "embeddings")
+        ).collect()
+    return spark.createDataFrame(_IVF_INDEX[sf_dir])
 
 
 def _emb_oracle_cte(dim: int = 64) -> str:

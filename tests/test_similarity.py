@@ -40,6 +40,19 @@ def test_ivf_subset_of_probed_cells(spark, sf_dir):
     assert len(labels) == 1  # nprobe=1 -> all hits from one cell
 
 
+def test_ivf_build_artifact_roundtrip(spark, sf_dir, tmp_path):
+    """ivf_build persists the centroid table; searching with the
+    persisted artifact must equal the inline-derived search exactly."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv, _ = _qvec(spark, sf_dir)
+    cents = S.ivf_build(emb, path=str(tmp_path / "ivf_centroids"))
+    with_artifact = S.ivf_search(emb, qv, k=10, nprobe=2, centroids=cents).collect()
+    inline = S.ivf_search(emb, qv, k=10, nprobe=2).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in with_artifact] == [
+        (r["vec_id"], r["cosine_sim"]) for r in inline
+    ]
+
+
 def test_knn_rank_contract(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     out = S.knn_per_block(emb, k=3)
