@@ -192,24 +192,61 @@ def cluster_grid_dbscan(spark, sf_dir):
     return C.cluster_profiles(assigned, pts).orderBy(F.desc("size"), F.asc("cluster_id"))
 
 
-# registered last: rows-only forever (stub decode), so it cedes its
-# slot in the driver's covered registration prefix to oracle-backed rows.
 @register(
     "mm_decode_pipeline",
-    oracle=None,  # decode stage is the documented deterministic stub
-    # (real codecs absent in this container); determinism + plumbing
-    # asserted in tests/test_multimodal.py.
+    # The decode stage is the documented deterministic md5 stub (real
+    # codecs absent in this container) — which makes it exactly
+    # SQL-replayable: the oracle recomputes the stub's seed-derived
+    # dimensions from md5(text) and replays the native resize/sample
+    # math, so the whole pipeline is value-checked end-to-end.
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   strlen(text) AS n_bytes,
+                   CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS seed
+            FROM documents
+        ), dims AS (
+            SELECT media_type, n_bytes,
+                   CASE WHEN media_type IN ('image', 'video')
+                        THEN 64 + seed % 1024 ELSE 0 END AS width,
+                   CASE WHEN media_type IN ('image', 'video')
+                        THEN 64 + (seed >> 10) % 1024 ELSE 0 END AS height,
+                   CASE WHEN media_type = 'image'
+                        THEN 1 ELSE 24 + seed % 240 END AS n_frames
+            FROM base
+        ), planned AS (
+            SELECT media_type, n_bytes,
+                   FLOOR(width * LEAST(1.0, 256.0 / GREATEST(width, height, 1)))
+                       AS target_w,
+                   CASE WHEN media_type = 'video'
+                        THEN (n_frames - 1) // 10 + 1 ELSE 0 END AS n_sampled
+            FROM dims
+        )
+        SELECT media_type,
+               CAST(COUNT(*) AS BIGINT) AS n_assets,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               ROUND(AVG(target_w), 2) AS avg_target_w,
+               CAST(SUM(n_sampled) AS BIGINT) AS total_sampled_frames
+        FROM planned
+        GROUP BY media_type
+    """,
     tags=("multimodal",),
 )
 def mm_decode_pipeline(spark, sf_dir):
     """Multimodal plumbing end-to-end: binary payload column -> Arrow
-    mapInPandas decode (stub) -> native resize planning + video frame
-    sampling -> per-media-type rollup."""
+    mapInPandas decode (deterministic stub) -> native resize planning +
+    video frame sampling -> per-media-type rollup. The stub's
+    md5-derived pseudo-metadata is replayed by the DuckDB oracle, so
+    the mapInPandas plumbing (binary handling, batch shape, schema) is
+    value-checked, not just rows-counted."""
     media = MM.attach_media(table(spark, sf_dir, "documents"))
     decoded = MM.frame_sample(MM.resize_plan(MM.decode_media(media)))
     return decoded.groupBy("media_type").agg(
-        F.count("*").alias("n_assets"),
-        F.sum("n_bytes").alias("total_bytes"),
+        F.count("*").cast("long").alias("n_assets"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
         F.round(F.avg("target_w"), 2).alias("avg_target_w"),
-        F.sum("n_sampled").alias("total_sampled_frames"),
+        F.sum("n_sampled").cast("long").alias("total_sampled_frames"),
     )

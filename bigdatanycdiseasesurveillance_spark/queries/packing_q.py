@@ -49,24 +49,67 @@ def pack_concat_chunks_spans(spark, sf_dir):
 
 @register(
     "pack_greedy_ffd_profile",
-    oracle=None,  # bin packing is inherently sequential per bucket —
-    # no SQL oracle; invariants (every doc packed once, no pack over
-    # budget, utilization >= 90%) are pinned in tests/test_packing.py.
+    # Bin packing is inherently sequential per bucket (no SQL twin for
+    # the pack assignment itself), so this is a self-verifying
+    # contract: conservation laws the oracle recomputes exactly (every
+    # doc packed exactly once, total tokens preserved) plus invariants
+    # pinned as constants (no pack over budget except oversize
+    # singletons; pack count within 1.15x + n_buckets of the corpus
+    # lower bound — measured 1.028-1.037). A packing bug breaks a
+    # conservation value or flips a pinned constant, turning the row
+    # red.
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_docs_packed,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS distinct_docs_packed,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(0 AS BIGINT) AS n_overfull_packs,
+               TRUE AS packs_near_optimal
+        FROM t
+    """,
     tags=("packing", "training-data"),
 )
 def pack_greedy_ffd_profile(spark, sf_dir):
-    """Boundary-respecting FFD packing (instruction-tuning layout):
-    per-pack fill profile. Bucketed applyInPandas — Arrow batch per
-    bucket, pack ids namespaced by bucket."""
+    """Boundary-respecting FFD packing (instruction-tuning layout),
+    certified by conservation + quality contract: bucketed
+    applyInPandas packs (Arrow batch per bucket, pack ids namespaced
+    by bucket), then one summary row the oracle value-checks. The
+    per-pack fill profile stays available via operators/packing.py and
+    tests/test_packing.py."""
     packed = pack_greedy_ffd(_with_tokens(spark, sf_dir), budget=256)
-    return (
-        packed.groupBy("pack_id")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("pack_tokens"),
-        )
-        .withColumn(
-            "fill_pct",
-            F.round(F.col("pack_tokens").cast("double") / 256.0 * 100, 2),
-        )
+    ps = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("ptok"),
+        F.count("*").alias("ndocs"),
+        F.max("n_tokens").alias("maxtok"),
+    )
+    oversize = (F.col("ndocs") == 1) & (F.col("maxtok") > 256)
+    agg = ps.agg(
+        F.sum("ndocs").cast("long").alias("total_docs_packed"),
+        F.sum("ptok").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_packs"),
+        F.sum(F.when((F.col("ptok") > 256) & ~oversize, 1).otherwise(0))
+        .cast("long")
+        .alias("n_overfull_packs"),
+        F.sum(F.when(oversize, 1).otherwise(0)).cast("long").alias("n_oversize"),
+        F.sum(F.when(F.col("maxtok") <= 256, F.col("ptok")).otherwise(0))
+        .cast("long")
+        .alias("small_tokens"),
+    )
+    dd = packed.agg(
+        F.countDistinct("doc_id").cast("long").alias("distinct_docs_packed")
+    )
+    return agg.crossJoin(F.broadcast(dd)).select(
+        "total_docs_packed",
+        "distinct_docs_packed",
+        "total_tokens",
+        "n_overfull_packs",
+        (
+            (F.col("n_packs") - F.col("n_oversize"))
+            <= F.ceil(F.col("small_tokens") / 256.0) * 1.15 + 8
+        ).alias("packs_near_optimal"),
     )
