@@ -73,16 +73,26 @@ def encode_documents(
             model = None
 
         scale = float(1 << 59)
+        suffixes = [b":" + str(d).encode() for d in range(dim)]
 
         def pseudo_encode(texts):
             # dim d of text t = md5(t || ':' || d) 60-bit prefix scaled
-            # to [-1, 1) — replayable in DuckDB (md5_dim_sql above)
+            # to [-1, 1) — replayable in DuckDB (md5_dim_sql above).
+            # The text is hashed ONCE per row into a reusable md5 state;
+            # each dim copies that state and appends its tiny suffix
+            # (md5.copy() beats rehashing the text per dim), and the
+            # 60-bit prefix comes from raw digest bytes, skipping the
+            # hexdigest/str-parse round-trip.
             out = np.empty((len(texts), dim), dtype=np.float64)
             for i, t in enumerate(texts):
-                base = (t or "").encode("utf-8")
+                base_state = hashlib.md5((t or "").encode("utf-8"))
+                row = out[i]
                 for d in range(dim):
-                    h = hashlib.md5(base + b":" + str(d).encode()).hexdigest()
-                    out[i, d] = int(h[:15], 16) / scale - 1.0
+                    h = base_state.copy()
+                    h.update(suffixes[d])
+                    row[d] = (
+                        int.from_bytes(h.digest()[:8], "big") >> 4
+                    ) / scale - 1.0
             norms = np.linalg.norm(out, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             return out / norms

@@ -65,6 +65,84 @@ def linear_forecast(
     )
 
 
+def seasonal_dow_forecast(
+    daily: DataFrame,
+    keys: list[str],
+    day_col: str = "day",
+    value_col: str = "cnt",
+    horizon: int = 7,
+) -> DataFrame:
+    """Additive weekly-seasonal forecast — Prophet's weekly-seasonality
+    niche (disease_outbreak_forecaster.py:56-126's weekly_seasonality)
+    in closed form: per-group day-of-week means give the seasonal
+    component, OLS over the deseasonalized series gives the trend, and
+    each horizon day re-adds its own day-of-week factor. Entirely
+    native aggregates (one dow groupBy + regr_slope/regr_intercept) —
+    no UDF, exactly SQL-replayable, and at scale two map-side-combinable
+    shuffles on the group key (the dow table is groups×7 rows and
+    broadcasts). Day-of-week is (days since 1970-01-01) % 7 on both
+    engines, so no locale/weekstart ambiguity. Returns
+    (keys..., forecast_day, horizon_day, predicted >= 0)."""
+    x = F.datediff(F.col(day_col), F.to_date(F.lit("1970-01-01"))).cast("long")
+    base = daily.select(
+        *keys,
+        x.alias("idx"),
+        (x % 7).alias("dow"),
+        F.col(value_col).cast("double").alias("y"),
+    )
+    dowm = base.groupBy(*keys, "dow").agg(F.avg("y").alias("dow_mean"))
+    gm = base.groupBy(*keys).agg(F.avg("y").alias("gmean"))
+    des = (
+        base.join(dowm, [*keys, "dow"])
+        .join(gm, list(keys))
+        .select(
+            *keys,
+            "idx",
+            (F.col("y") - (F.col("dow_mean") - F.col("gmean"))).alias("z"),
+        )
+    )
+    fit = des.groupBy(*keys).agg(
+        F.regr_slope(F.col("z"), F.col("idx").cast("double")).alias("slope"),
+        F.regr_intercept(F.col("z"), F.col("idx").cast("double")).alias("icpt"),
+        F.max("idx").alias("mx"),
+    )
+    fut = fit.select(
+        *keys,
+        "slope",
+        "icpt",
+        F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("h"),
+        F.col("mx"),
+    ).select(
+        *keys,
+        "slope",
+        "icpt",
+        F.col("h").cast("long").alias("horizon_day"),
+        (F.col("mx") + F.col("h")).alias("fidx"),
+        ((F.col("mx") + F.col("h")) % 7).alias("dow"),
+    )
+    pred = F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.col("icpt")
+            + F.col("slope") * F.col("fidx")
+            + (F.col("dow_mean") - F.col("gmean")),
+        ),
+        4,
+    )
+    return (
+        fut.join(F.broadcast(dowm), [*keys, "dow"])
+        .join(F.broadcast(gm), list(keys))
+        .select(
+            *keys,
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("fidx").cast("int")).alias(
+                "forecast_day"
+            ),
+            "horizon_day",
+            pred.alias("predicted"),
+        )
+    )
+
+
 FORECAST_SCHEMA = (
     "event_type string, horizon_day long, predicted double, method string"
 )

@@ -28,6 +28,70 @@ _BETA = 0.3  # Holt trend gain
 
 
 @register(
+    "ts_seasonal_dow_forecast",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1, 2
+        ), base AS (
+            SELECT event_type,
+                   datediff('day', DATE '1970-01-01', day) AS idx,
+                   datediff('day', DATE '1970-01-01', day) % 7 AS dow,
+                   y
+            FROM daily
+        ), dowm AS (
+            SELECT event_type, dow, AVG(y) AS dow_mean FROM base GROUP BY 1, 2
+        ), gm AS (
+            SELECT event_type, AVG(y) AS gmean FROM base GROUP BY 1
+        ), des AS (
+            SELECT b.event_type, b.idx, b.y - (d.dow_mean - g.gmean) AS z
+            FROM base b
+            JOIN dowm d ON b.event_type = d.event_type AND b.dow = d.dow
+            JOIN gm g ON b.event_type = g.event_type
+        ), fit AS (
+            SELECT event_type,
+                   regr_slope(z, CAST(idx AS DOUBLE)) AS slope,
+                   regr_intercept(z, CAST(idx AS DOUBLE)) AS icpt,
+                   MAX(idx) AS mx
+            FROM des GROUP BY 1
+        ), fut AS (
+            SELECT f.event_type, f.slope, f.icpt,
+                   CAST(h.h AS BIGINT) AS horizon_day,
+                   f.mx + h.h AS fidx,
+                   (f.mx + h.h) % 7 AS dow
+            FROM fit f CROSS JOIN
+                 (SELECT CAST(range AS BIGINT) + 1 AS h FROM range(7)) h
+        )
+        SELECT u.event_type,
+               DATE '1970-01-01' + CAST(u.fidx AS INTEGER) AS forecast_day,
+               u.horizon_day,
+               ROUND(GREATEST(0.0, u.icpt + u.slope * u.fidx
+                              + (d.dow_mean - g.gmean)), 4) AS predicted
+        FROM fut u
+        JOIN dowm d ON u.event_type = d.event_type AND u.dow = d.dow
+        JOIN gm g ON u.event_type = g.event_type
+    """,
+    tags=("timeseries", "forecast", "seasonal", "M10"),
+)
+def ts_seasonal_dow_forecast(spark, sf_dir):
+    """M10's weekly-seasonality niche (Prophet's headline component for
+    disease surveillance) as a closed-form additive model: day-of-week
+    means + OLS trend on the deseasonalized daily series, 7-day
+    horizon. All native aggregates — see
+    operators/forecast.py:seasonal_dow_forecast."""
+    from ..operators.forecast import seasonal_dow_forecast
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return seasonal_dow_forecast(daily, keys=["event_type"], horizon=7)
+
+
+@register(
     "ts_holt_linear",
     oracle=f"""
         WITH RECURSIVE s AS (

@@ -80,6 +80,42 @@ def append_skip_existing(
     return n
 
 
+def write_object_store(
+    df: DataFrame,
+    url: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "append",
+    fmt: str = "parquet",
+) -> None:
+    """S13: object-store sink (reference src/database/s3_uploader.py:35-89
+    uploads JSON batch files through a driver-side boto3 loop). Engine
+    form: one distributed `df.write` against any Hadoop-FS URL —
+    s3a://bucket/prefix, gs://, abfss://, file:/// — executors upload
+    their partitions in parallel; the driver never touches the data.
+
+    For s3a URLs the session is switched to the magic committer: task
+    commits complete multipart uploads instead of renaming (rename on S3
+    is a full copy — O(data) per commit — and non-atomic, the classic
+    object-store-sink failure mode). Other schemes keep their default
+    committers. JSON output mirrors the reference's batch-file layout;
+    parquet is the analytics-grade default."""
+    if fmt not in ("parquet", "json", "csv"):
+        raise ValueError(f"unsupported object-store format: {fmt}")
+    if url.startswith("s3a://"):
+        hconf = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
+        hconf.set("fs.s3a.committer.name", "magic")
+        hconf.set("fs.s3a.committer.magic.enabled", "true")
+        # uploads buffer to disk, not heap — executor memory stays bounded
+        # no matter how large a partition's output file is
+        hconf.set("fs.s3a.fast.upload.buffer", "disk")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.save(url)
+
+
 def to_kafka_frame(df: DataFrame, key_col: str) -> DataFrame:
     """S7 (batch form): project any frame to the Kafka wire schema —
     string key, to_json(struct(*)) value. `.write.format("kafka")`

@@ -23,6 +23,7 @@ from bigdatanycdiseasesurveillance_spark.sources.sinks import (
     to_kafka_frame,
     upsert_last_writer_wins,
     write_csv_report,
+    write_object_store,
     write_partitioned_parquet,
 )
 
@@ -136,6 +137,27 @@ def test_append_skip_existing(spark, tmp_path):
     assert table.count() == 3
     # the existing v2 row was NOT overwritten (skip, not upsert)
     assert table.filter("vec_id = 'v2'").collect()[0]["x"] == 2.0
+
+
+def test_write_object_store_file_scheme(spark, tmp_path):
+    """S13 sink through an explicit filesystem URL (the same Hadoop-FS
+    path a cluster points at s3a://bucket/prefix), partitioned + json
+    variant included."""
+    url = "file://" + str(tmp_path / "lake" / "events_gold")
+    df = spark.createDataFrame(
+        [("a", 1, "2024-01-01"), ("b", 2, "2024-01-02")], "k string, n int, d string"
+    )
+    write_object_store(df, url, partition_cols=["d"], mode="overwrite")
+    back = spark.read.parquet(url)
+    assert back.count() == 2 and set(back.columns) == {"k", "n", "d"}
+    jurl = "file://" + str(tmp_path / "lake" / "events_json")
+    write_object_store(df, jurl, mode="overwrite", fmt="json")
+    assert spark.read.json(jurl).count() == 2
+    try:
+        write_object_store(df, jurl, fmt="xml")
+        raise AssertionError("expected ValueError for unsupported format")
+    except ValueError:
+        pass
 
 
 def test_to_kafka_frame_roundtrip(spark):
