@@ -86,19 +86,28 @@ def neighborhood_zip_dim(spark: SparkSession) -> DataFrame:
     )
 
 
+# J7 (neighborhood -> borough) resolved at module load: the dim data is
+# static Python constants, so the dim-to-dim join is a dict lookup here
+# rather than an extra broadcast-join stage Janino has to compile into
+# every query that touches location enrichment.
+_NB_BOROUGH = {n[0]: n[1] for n in NEIGHBORHOODS}
+
+
 def alias_dim(spark: SparkSession) -> DataFrame:
     """J6 + J7 at build time: alias -> canonical neighborhood -> borough
-    (a dim-to-dim join performed once, not per record)."""
-    aliases = spark.createDataFrame(ALIASES, "alias string, neighborhood string")
-    nb = neighborhood_dim(spark).select("neighborhood", F.col("borough").alias("alias_borough"))
-    return aliases.join(F.broadcast(nb), "neighborhood")
+    (a dim-to-dim join performed once at module load, not per record)."""
+    rows = [(a, n, _NB_BOROUGH[n]) for a, n in ALIASES]
+    return spark.createDataFrame(
+        rows, "alias string, neighborhood string, alias_borough string"
+    )
 
 
 def subreddit_dim(spark: SparkSession) -> DataFrame:
     """J5 + J7: subreddit -> neighborhood -> borough."""
-    sub = spark.createDataFrame(SUBREDDITS, "subreddit string, neighborhood string")
-    nb = neighborhood_dim(spark).select("neighborhood", F.col("borough").alias("sub_borough"))
-    return sub.join(F.broadcast(nb), "neighborhood")
+    rows = [(s, n, _NB_BOROUGH[n]) for s, n in SUBREDDITS]
+    return spark.createDataFrame(
+        rows, "subreddit string, neighborhood string, sub_borough string"
+    )
 
 
 def enrich_with_location(
@@ -158,8 +167,10 @@ def enrich_with_location(
         )
     )
     # alias -> (neighborhood, borough) is static Python data — building
-    # the when-chain from the constants avoids a collect() Spark job
-    nb_borough = {n[0]: n[1] for n in NEIGHBORHOODS}
+    # the when-chain from the constants avoids a collect() Spark job.
+    # The chain is emitted ONCE as two pre-join columns: inlining it into
+    # the three output expressions tripled the generated-code size and
+    # was the dominant Janino-compile cost of the whole cascade.
     text_lc = F.lower(text_c)
     alias_nbhd = F.lit(None).cast("string")
     alias_borough = F.lit(None).cast("string")
@@ -167,10 +178,13 @@ def enrich_with_location(
     for alias, nbhd in reversed(ALIASES):
         hit = F.instr(text_lc, alias) > 0
         alias_nbhd = F.when(hit, F.lit(nbhd)).otherwise(alias_nbhd)
-        alias_borough = F.when(hit, F.lit(nb_borough[nbhd])).otherwise(alias_borough)
+        alias_borough = F.when(hit, F.lit(_NB_BOROUGH[nbhd])).otherwise(alias_borough)
 
     out = (
-        records.join(sub, F.lower(sub_c) == F.col("__sub"), "left")
+        records.withColumns(
+            {"__alias_nbhd": alias_nbhd, "__alias_borough": alias_borough}
+        )
+        .join(sub, F.lower(sub_c) == F.col("__sub"), "left")
         .join(
             bbox,
             (lat_c >= F.col("lat_min"))
@@ -183,20 +197,20 @@ def enrich_with_location(
         .join(bz, F.substring(zip_c, 1, 3) == F.col("__zp"), "left")
     )
     neighborhood = F.coalesce(
-        F.col("sub_nbhd"), F.col("geo_nbhd"), F.col("zip_nbhd"), alias_nbhd
+        F.col("sub_nbhd"), F.col("geo_nbhd"), F.col("zip_nbhd"), F.col("__alias_nbhd")
     )
     borough = F.coalesce(
         F.col("sub_borough"),
         F.col("geo_borough"),
         F.col("zip_borough"),
         F.col("pfx_borough"),
-        alias_borough,
+        F.col("__alias_borough"),
     )
     location_source = (
         F.when(F.col("sub_nbhd").isNotNull(), "subreddit")
         .when(F.col("geo_nbhd").isNotNull(), "coordinates")
         .when(F.col("zip_nbhd").isNotNull() | F.col("pfx_borough").isNotNull(), "zip")
-        .when(alias_nbhd.isNotNull(), "text_extraction")
+        .when(F.col("__alias_nbhd").isNotNull(), "text_extraction")
         .otherwise(None)
     )
     return out.select(

@@ -55,10 +55,14 @@ def _blocked_pairs(
     The equi-join on block keys is what keeps the pair space linear-ish:
     each block is small, so blocks shuffle independently and no executor
     ever sees the full corpus."""
+    from ..tables import parallelize_scan
+
     sel = [F.col(id_col).alias("id")] + [
         c.alias(f"blk_{i}") for i, c in enumerate(block_cols)
     ] + [v.alias(k) for k, v in payload.items()]
-    side = df.select(*sel)
+    # payload exprs (token arrays, shingle sets) are the map-side cost of
+    # the block shuffle — don't let a single-split scan serialize them
+    side = parallelize_scan(df).select(*sel)
     a = side.select([F.col(c).alias(f"a_{c}") for c in side.columns])
     b = side.select([F.col(c).alias(f"b_{c}") for c in side.columns])
     cond = [F.col(f"a_blk_{i}") == F.col(f"b_blk_{i}") for i in range(len(block_cols))]

@@ -52,6 +52,11 @@ def encode_documents(
     """Append an L2-normalized embedding column. One mapInPandas pass;
     the model/encoder initializes once per worker (not per batch).
     dtype="float64" keeps full precision for oracle-replayable paths."""
+    from ..tables import parallelize_scan
+
+    # the encoder is the per-core bottleneck: make sure a small scan
+    # (single-row-group parquet = ONE split) doesn't serialize it
+    docs = parallelize_scan(docs)
     elem = T.DoubleType() if dtype == "float64" else T.FloatType()
     fields = docs.schema.fields + [T.StructField(out_col, T.ArrayType(elem))]
     out_schema = T.StructType(fields)

@@ -85,7 +85,11 @@ def _make_decoder():
 
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode stage: mapInPandas over (doc_id, payload, media_type)."""
-    return media.mapInPandas(_make_decoder(), DECODED_SCHEMA)
+    from ..tables import parallelize_scan
+
+    # decode is the canonical per-core bottleneck of a media pipeline —
+    # rebalance single-split inputs so all cores decode
+    return parallelize_scan(media).mapInPandas(_make_decoder(), DECODED_SCHEMA)
 
 
 def resize_plan(decoded: DataFrame, max_side: int = 256) -> DataFrame:

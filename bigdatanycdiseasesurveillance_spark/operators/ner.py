@@ -68,4 +68,7 @@ def extract_locations(
             pdf["ner_backend"] = backend
             yield pdf
 
-    return docs.mapInPandas(run_batches, out_schema)
+    from ..tables import parallelize_scan
+
+    # NER is Python-per-doc — never let a single-split scan serialize it
+    return parallelize_scan(docs).mapInPandas(run_batches, out_schema)

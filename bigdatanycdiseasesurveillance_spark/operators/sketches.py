@@ -73,3 +73,75 @@ def heavy_hitters_exact(
         .agg(F.count("*").cast("long").alias("cnt"))
         .filter(F.col("cnt") * denom > F.lit(total))
     )
+
+
+# --- count-min sketch (md5-replayable, mergeable) ----------------------
+
+
+def cms_bucket(col, d: int, width: int):
+    """CMS bucket for depth row ``d``: md5-derived 60-bit hash mod width.
+    SQL twin: CAST(('0x'||substr(md5('cms:{d}:'||x),1,15)) AS BIGINT) %
+    width — DuckDB reproduces it bit-for-bit, so sketches built here are
+    oracle-checkable exactly (same family as minhash_md5_pairs)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"cms:{d}:"), col)), 1, 15), 16, 10)
+    return h.cast("long") % width
+
+
+def cms_table(items: DataFrame, col: str, width: int = 32, depth: int = 4) -> DataFrame:
+    """Count-min sketch in relational form: one row per (d, bucket) with
+    its counter. Mergeable: the sketch of a union of corpora is SUM(cnt)
+    grouped by (d, bucket) over the per-corpus sketches — the same
+    re-aggregable-partials contract as the HLL partials query.
+
+    Scale shape: one scan; the shuffle carries at most depth x width
+    rows per map task (map-side combine), never the raw items — this is
+    the whole point of sketching a 100 TB column whose exact groupBy
+    would shuffle billions of distinct keys.
+    """
+    v = F.col(col).cast("string")
+    buckets = items.select(
+        *[cms_bucket(v, d, width).alias(f"b{d}") for d in range(depth)]
+    )
+    stacked = buckets.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("d"),
+                        F.col(f"b{d}").alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s")
+    ).select("s.d", "s.bucket")
+    return stacked.groupBy("d", "bucket").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def cms_estimates(
+    queries: DataFrame, col: str, cms: DataFrame, width: int = 32, depth: int = 4
+) -> DataFrame:
+    """Point-query estimates against a built sketch: est(x) = min over
+    depth rows of counter[d][bucket_d(x)] (0 when a bucket is absent —
+    only possible for items outside the sketched corpus). The sketch is
+    depth x width rows, so the join broadcasts; query volume streams."""
+    v = F.col(col).cast("string")
+    qb = queries.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("d"),
+                        cms_bucket(v, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s"),
+    ).select(col, "s.d", "s.bucket")
+    return (
+        qb.join(F.broadcast(cms), ["d", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
+    )

@@ -165,8 +165,11 @@ def langid_trigram_fast(
             return set()
         return {norm[i : i + 3] for i in range(len(norm) - 2)}
 
-    src0 = docs.select(
-        "doc_id", F.col(label_col).alias("lang"), F.col(text_col).alias("text")
+    from ..tables import parallelize_scan
+
+    # profile build is Python-per-doc too — rebalance single-split scans
+    src0 = parallelize_scan(
+        docs.select("doc_id", F.col(label_col).alias("lang"), F.col(text_col).alias("text"))
     )
 
     def partial_counts(batch_iter):  # map-side combine in Python
@@ -225,7 +228,11 @@ def langid_trigram_fast(
                     rows["score"].append(best_score)
             yield _pd.DataFrame(rows)
 
-    src = docs.select("doc_id", F.col(label_col).alias("lang"), F.col(text_col).alias("text"))
+    # scoring is Python-per-doc: a single-split scan would serialize it
+    # onto one core (round-robin rebalance; no-op on many-split inputs)
+    src = parallelize_scan(
+        docs.select("doc_id", F.col(label_col).alias("lang"), F.col(text_col).alias("text"))
+    )
     return src.mapInPandas(score_batches, out_schema)
 
 

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..domain.location import enrich_with_location
 from ..registry import register
-from ..tables import table
+from ..tables import parallelize_scan, table
 
 _ZIPS = ["11102", "11211", "10027", "10003", "10463", "11354", "99999", "10550"]
 _SUBS = ["astoria", "williamsburg", "bushwick", "not_a_sub", "flushing"]
@@ -19,7 +19,9 @@ def _records(spark, sf_dir):
     """Synthetic geo-bearing records: zip/subreddit/coords/text derived
     from user_id/event_id arithmetic (integer mod only — float fmod
     semantics differ across engines)."""
-    ev = table(spark, sf_dir, "events")
+    # the cascade downstream is shuffle-free, so scan splits are the only
+    # parallelism it will ever have — rebalance single-row-group inputs
+    ev = parallelize_scan(table(spark, sf_dir, "events"))
     zips = F.array(*[F.lit(z) for z in _ZIPS])
     subs = F.array(*[F.lit(s) for s in _SUBS])
     texts = F.array(*[F.lit(t) for t in _TEXTS])

@@ -217,3 +217,68 @@ def win_anomaly_mad(spark, sf_dir):
             F.col("md").isNotNull() & (F.col("md") > 0), F.abs(rz) > 3.5
         ).otherwise(F.lit(False)).alias("is_anomaly"),
     )
+
+
+@register(
+    "sketch_cms_user_counts",
+    oracle="""
+        WITH items AS (
+            SELECT CAST(user_id AS VARCHAR) AS item FROM events
+        ), depths AS (
+            SELECT CAST(unnest(range(4)) AS INTEGER) AS d
+        ), b AS (
+            SELECT item, d,
+                   CAST(('0x' || substr(md5('cms:' || d || ':' || item),
+                                        1, 15)) AS BIGINT) % 32 AS bucket
+            FROM items CROSS JOIN depths
+        ), cms AS (
+            SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM b GROUP BY 1, 2
+        ), exact AS (
+            SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM items GROUP BY 1
+        ), qb AS (
+            SELECT e.item, e.exact_cnt, d.d,
+                   CAST(('0x' || substr(md5('cms:' || d.d || ':' || e.item),
+                                        1, 15)) AS BIGINT) % 32 AS bucket
+            FROM exact e CROSS JOIN depths d
+        ), est AS (
+            SELECT item, exact_cnt,
+                   CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est
+            FROM qb LEFT JOIN cms c USING (d, bucket)
+            GROUP BY 1, 2
+        )
+        SELECT item AS user_key, exact_cnt, cms_est,
+               CAST(cms_est - exact_cnt AS BIGINT) AS overestimate,
+               cms_est >= exact_cnt AS never_undercounts
+        FROM est
+    """,
+    tags=("sketch", "cms", "mergeable", "oracle-replayable"),
+)
+def sketch_cms_user_counts(spark, sf_dir):
+    """Count-min sketch, end-to-end and exactly oracle-checked: build a
+    depth-4 x width-32 sketch over events.user_id (md5-derived bucket
+    family — DuckDB replays it bit-for-bit), then point-query every
+    distinct user against it. Width 32 << distinct users forces real
+    collisions, so the row set also witnesses the CMS one-sided-error
+    guarantee (never_undercounts pinned by construction).
+
+    Mergeability is the groupBy(d, bucket).sum algebra of cms_table —
+    tested with a split/merge identity in tests/test_basket.py's
+    sketch suite. At 100 TB the shuffle carries depth x width partials
+    per task, never raw keys."""
+    from ..operators.sketches import cms_estimates, cms_table
+
+    e = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_key")
+    )
+    cms = cms_table(e, "user_key", width=32, depth=4)
+    exact = e.groupBy("user_key").agg(F.count("*").cast("long").alias("exact_cnt"))
+    est = cms_estimates(exact.select("user_key"), "user_key", cms, width=32, depth=4)
+    return exact.join(est, "user_key").select(
+        "user_key",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("never_undercounts"),
+    )

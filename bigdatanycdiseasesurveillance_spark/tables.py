@@ -64,6 +64,34 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+def parallelize_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin rebalance a scan whose split count starves the cores.
+
+    Spark's parallelism unit for parquet is the row group; the bench
+    corpus ships one row group per table, so a shuffle-free pipeline
+    (e.g. the all-broadcast location cascade) would otherwise run on a
+    single core of local[32]. At 100 TB inputs have thousands of row
+    groups and this is a no-op — the rebalance only fires when the scan
+    has fewer splits than the session's parallelism, which on a real
+    cluster means a pathologically small input where the shuffle is
+    trivially cheap anyway.
+    """
+    sess = df.sparkSession
+    target = min_partitions or sess.sparkContext.defaultParallelism
+    # probe via inputFiles (ms) — df.rdd.getNumPartitions() costs
+    # ~0.3s of RDD-conversion per distinct plan. File count slightly
+    # undercounts splits for multi-row-group files; the only effect is
+    # one extra cheap round-robin shuffle on inputs small enough that
+    # the rebalance helps the downstream Python/codegen work anyway.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if n_files == 0 or n_files >= target:
+        return df
+    return df.repartition(target)
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [table(spark, sf_dir, n) for n in names]
 

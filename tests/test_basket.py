@@ -104,3 +104,36 @@ def test_rolling_median_is_robust_center(spark, sf_dir):
                 else (frame[n // 2 - 1] + frame[n // 2]) / 2.0
             )
             assert r["med7"] == expect, (r, frame)
+
+
+def test_cms_split_merge_identity(spark, sf_dir):
+    """CMS mergeability: the sketch of the full corpus must equal the
+    (d, bucket)-wise SUM of the sketches of any disjoint split — the
+    algebra that lets per-day sketch partials answer range queries at
+    100 TB without re-scanning raw keys."""
+    from pyspark.sql import functions as F
+
+    from bigdatanycdiseasesurveillance_spark.operators.sketches import cms_table
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    e = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k"), "event_id"
+    )
+    full = cms_table(e, "k", width=16, depth=3)
+    half_a = cms_table(e.filter(F.col("event_id") % 2 == 0), "k", width=16, depth=3)
+    half_b = cms_table(e.filter(F.col("event_id") % 2 == 1), "k", width=16, depth=3)
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    diff = full.join(merged, ["d", "bucket"], "full").filter(
+        F.coalesce(full["cnt"], F.lit(0)) != F.coalesce(merged["cnt"], F.lit(0))
+    )
+    assert diff.count() == 0
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    rows = SPECS["sketch_cms_user_counts"].fn(spark, sf_dir).collect()
+    assert rows and all(r["never_undercounts"] for r in rows)
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
