@@ -47,6 +47,17 @@ def main() -> None:
         run(specs[sorted(specs)[0]])
     except Exception:
         pass
+    # Also spin up the Python worker pool (one per core): otherwise the
+    # first mapInPandas query's cold time is dominated by 32 worker
+    # forks, which is session setup, not query cost.
+    try:
+        spark.range(spark.sparkContext.defaultParallelism).repartition(
+            spark.sparkContext.defaultParallelism
+        ).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
 
     # Per-query error isolation: one broken query must never zero out
     # the whole benchmark (BENCH_r02 died whole on one AnalysisException).

@@ -133,7 +133,10 @@ def winnow_fingerprints_rolling(
                         fps.append(m)
             yield _pd.DataFrame({id_col: ids, "fingerprint": fps})
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema)
+    from ..tables import parallelize_scan
+
+    # rolling hash is Python-per-doc — rebalance single-split scans
+    return parallelize_scan(df.select(id_col, text_col)).mapInPandas(gen, schema)
 
 
 def fingerprint_pairs(

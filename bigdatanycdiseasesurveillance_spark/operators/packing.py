@@ -128,3 +128,47 @@ def pack_greedy_ffd(
         .alias("bucket"),
     )
     return prepared.groupBy("bucket").applyInPandas(pack_bucket, PACK_SCHEMA)
+
+
+def sliding_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping sliding-window chunking — the LLM-prep step between
+    cleaning and packing (long-context corpora are chunked with overlap
+    so no span is split mid-context; RAG indexing uses the same layout).
+
+    Chunk i of a doc covers tokens [i*stride, min(i*stride + size, n));
+    starts run 0, stride, 2*stride, ... while start < n. Pure column
+    arithmetic: tokenize once, explode a sequence of chunk indices,
+    slice the token array per index. No shuffle at all — chunking is
+    embarrassingly row-parallel, so at 100 TB it rides the scan
+    partitioning end to end.
+    """
+    from ..functions.text_funcs import tokens
+
+    t = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("tok"))
+        .withColumn("n", F.size("tok"))
+        .filter(F.col("n") > 0)
+    )
+    n_chunks = F.floor((F.col("n") - 1) / stride) + 1
+    c = t.select(
+        id_col,
+        "tok",
+        "n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    return c.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        F.least(F.lit(size), F.col("n") - start).cast("long").alias("chunk_len"),
+        F.array_join(F.slice("tok", (start + 1).cast("int"), size), " ").alias(
+            "chunk_text"
+        ),
+    )

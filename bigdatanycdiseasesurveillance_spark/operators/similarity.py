@@ -269,3 +269,102 @@ def rp_lsh_pairs(
     return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
         F.col("cosine_sim") >= threshold
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-pair mining: for each anchor, the most cosine-similar
+    vector with a DIFFERENT label among its RP-LSH bucket mates — the
+    "hard negative" a contrastive trainer wants (similar surface,
+    different class). Anchors whose bucket holds no cross-label vector
+    yield no row (they have no hard negative at this recall level; add
+    plane sets for multi-probe recall, same as rp_lsh_pairs).
+
+    Scale shape: the bucket equi-join bounds candidates exactly like
+    rp_lsh_pairs; the per-anchor argmax is a groupBy max(struct) — a
+    partial-aggregating shuffle on the anchor id, never a global window.
+    Ties break to the lowest negative id via the negated id in the
+    struct orderings.
+    """
+    side = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        rp_signature(F.col(vec_col), planes).alias("bucket"),
+        unit(F.col(vec_col)).alias("u"),
+    )
+    a = side.select(
+        F.col("id").alias("id_a"), F.col("lbl").alias("lbl_a"), "bucket",
+        F.col("u").alias("v_a"),
+    )
+    b = side.select(
+        F.col("id").alias("id_b"), F.col("lbl").alias("lbl_b"), "bucket",
+        F.col("u").alias("v_b"),
+    )
+    pairs = a.join(b, "bucket").filter(
+        (F.col("id_a") != F.col("id_b")) & (F.col("lbl_a") != F.col("lbl_b"))
+    )
+    sim = F.round(dot(F.col("v_a"), F.col("v_b")), 4)
+    return (
+        pairs.select(F.col("id_a"), sim.alias("sim"), F.col("id_b"))
+        .groupBy("id_a")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("id_b")).alias("nid"))).alias("m"))
+        .select(
+            F.col("id_a").alias(id_col),
+            (-F.col("m.nid")).cast("long").alias("hard_neg_id"),
+            F.col("m.sim").alias("cosine_sim"),
+        )
+    )
+
+
+def rp_lsh_multiprobe_pairs(
+    emb: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe RP-LSH: each vector probes its own bucket AND every
+    1-bit-flip neighbor, so pairs whose signatures differ in at most one
+    hyperplane sign also become candidates — the standard recall lever
+    that costs nbits extra probe rows per vector instead of more hash
+    tables (Lv et al., multi-probe LSH). Candidate recall strictly
+    contains rp_lsh_pairs' (probe distance 0 is included); exact cosine
+    verification keeps precision exact.
+
+    Scale: probe rows explode nbits+1 per vector on the PROBE side only
+    (the build side stays one row per vector), the join stays an
+    equi-join on the bucket key, and a.id < b.id + distinct dedups the
+    multi-route hits.
+    """
+    nbits = len(planes)
+    side = emb.select(
+        F.col(id_col).alias("id"),
+        rp_signature(F.col(vec_col), planes).alias("bucket"),
+        unit(F.col(vec_col)).alias("u"),
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), b))
+            for b in range(nbits)
+        ],
+    )
+    a = side.select(
+        F.col("id").alias("id_a"),
+        F.explode(probes).alias("bucket"),
+        F.col("u").alias("v_a"),
+    )
+    b = side.select(F.col("id").alias("id_b"), "bucket", F.col("u").alias("v_b"))
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot(F.col("v_a"), F.col("v_b")), 4).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .distinct()
+    )
+    return pairs

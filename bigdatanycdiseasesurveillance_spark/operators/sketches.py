@@ -55,7 +55,12 @@ def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
                         counters[u] -= 1
         yield _pd.DataFrame({col: list(counters.keys())})
 
-    return items.mapInPandas(mg, schema=f"{col} string").distinct()
+    from ..tables import parallelize_scan
+
+    # pass 1 is Python-per-item; more partitions only ENLARGE the
+    # candidate superset (k per partition), never lose a heavy hitter,
+    # and pass 2 recounts exactly — so the rebalance is result-safe
+    return parallelize_scan(items).mapInPandas(mg, schema=f"{col} string").distinct()
 
 
 def heavy_hitters_exact(

@@ -518,3 +518,96 @@ def agg_rfm_segments(spark, sf_dir):
         F.ntile(4).over(f_w).cast("long").alias("f_score"),
         F.ntile(4).over(m_w).cast("long").alias("m_score"),
     )
+
+
+@register(
+    "ts_conformal_interval",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS DOUBLE) AS cnt
+            FROM events GROUP BY 1, 2
+        ), idx AS (
+            SELECT event_type, day, cnt,
+                   CAST(datediff('day',
+                        MIN(day) OVER (PARTITION BY event_type), day)
+                        AS DOUBLE) AS i
+            FROM daily
+        ), fit AS (
+            SELECT event_type,
+                   regr_slope(cnt, i) AS slope,
+                   regr_intercept(cnt, i) AS icept,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM idx GROUP BY 1
+        ), resid AS (
+            SELECT x.event_type, f.slope, f.icept, f.n_days,
+                   ABS(x.cnt - (f.icept + f.slope * x.i)) AS ar
+            FROM idx x JOIN fit f USING (event_type)
+        ), width AS (
+            SELECT event_type, MAX(slope) AS slope, MAX(icept) AS icept,
+                   MAX(n_days) AS n_days,
+                   percentile_cont(0.9) WITHIN GROUP (ORDER BY ar) AS w
+            FROM resid GROUP BY 1
+        )
+        SELECT r.event_type,
+               ROUND(w.slope, 6) AS slope,
+               ROUND(w.icept, 6) AS intercept,
+               w.n_days,
+               ROUND(w.w, 6) AS q90_abs_resid,
+               ROUND(CAST(SUM(CASE WHEN ROUND(r.ar, 6) <= ROUND(w.w, 6)
+                                   THEN 1 ELSE 0 END) AS DOUBLE) /
+                     COUNT(*), 6) AS coverage
+        FROM resid r JOIN width w USING (event_type)
+        GROUP BY 1, 2, 3, 4, 5
+    """,
+    tags=("timeseries", "forecast", "conformal"),
+)
+def ts_conformal_interval(spark, sf_dir):
+    """Split-conformal-style forecast intervals, fully declarative: OLS
+    trend per event_type via regr_slope/regr_intercept over the daily
+    series, interval half-width = the 0.9 quantile of absolute
+    residuals, and the realized coverage of that interval on the
+    history (>= 0.9 by the quantile's definition, modulo ties). This is
+    M10-M12's uncertainty story — the piece the reference's Prophet
+    CSV output carries as yhat_lower/yhat_upper — as pure SQL-shaped
+    aggregation: two passes over a days x types series table,
+    microscopic next to the raw events scan that builds it."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    w0 = Window.partitionBy("event_type")
+    idx = daily.withColumn(
+        "i", F.datediff(F.col("day"), F.min("day").over(w0)).cast("double")
+    )
+    fit = idx.groupBy("event_type").agg(
+        F.regr_slope(F.col("cnt"), F.col("i")).alias("slope"),
+        F.regr_intercept(F.col("cnt"), F.col("i")).alias("icept"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    resid = idx.join(F.broadcast(fit), "event_type").select(
+        "event_type",
+        "slope",
+        "icept",
+        "n_days",
+        F.abs(F.col("cnt") - (F.col("icept") + F.col("slope") * F.col("i"))).alias("ar"),
+    )
+    width = resid.groupBy("event_type").agg(
+        F.max("slope").alias("slope"),
+        F.max("icept").alias("icept"),
+        F.max("n_days").alias("n_days"),
+        F.expr("percentile(ar, 0.9)").alias("w"),
+    )
+    cov = F.when(F.round(F.col("ar"), 6) <= F.round(F.col("w"), 6), 1.0).otherwise(0.0)
+    return (
+        resid.select("event_type", "ar")
+        .join(F.broadcast(width), "event_type")
+        .groupBy(
+            "event_type",
+            F.round(F.col("slope"), 6).alias("slope"),
+            F.round(F.col("icept"), 6).alias("intercept"),
+            "n_days",
+            F.round(F.col("w"), 6).alias("q90_abs_resid"),
+        )
+        .agg(F.round(F.sum(cov) / F.count("*"), 6).alias("coverage"))
+    )

@@ -113,3 +113,41 @@ def pack_greedy_ffd_profile(spark, sf_dir):
             <= F.ceil(F.col("small_tokens") / 256.0) * 1.15 + 8
         ).alias("packs_near_optimal"),
     )
+
+
+@register(
+    "chunk_sliding_windows",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+            FROM documents
+        ), tt AS (
+            SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) > 0
+        ), c AS (
+            SELECT doc_id, tok, n,
+                   unnest(range(((n - 1) // 20) + 1)) AS chunk_idx
+            FROM tt
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(chunk_idx * 20 AS BIGINT) AS start_tok,
+               CAST(LEAST(32, n - chunk_idx * 20) AS BIGINT) AS chunk_len,
+               array_to_string(list_slice(tok, CAST(chunk_idx * 20 + 1 AS BIGINT),
+                                          CAST(chunk_idx * 20 + 32 AS BIGINT)),
+                               ' ') AS chunk_text
+        FROM c
+    """,
+    tags=("chunking", "llm-prep", "packing"),
+)
+def chunk_sliding_windows(spark, sf_dir):
+    """Sliding-window chunking with overlap (size 32, stride 20 tokens):
+    every document becomes ceil(n/stride) overlapping chunks with token
+    spans — the long-context/RAG layout that complements the two packing
+    strategies. Shuffle-free column arithmetic (tokenize once, explode
+    chunk indices, slice); scales with the scan."""
+    from ..operators.packing import sliding_chunks
+
+    return sliding_chunks(
+        table(spark, sf_dir, "documents"), size=32, stride=20
+    )

@@ -243,3 +243,343 @@ def feat_quantile_binning(spark, sf_dir):
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
+
+
+@register(
+    "dq_split_leakage",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(string_split(lower(text), ' '),
+                                             t -> t <> '')) AS tok
+            FROM documents
+        ), tokr AS (
+            SELECT doc_id, unnest(tok) AS t FROM toks
+        ), hashed AS (
+            SELECT doc_id, s.seed,
+                   CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || t),
+                                        1, 15)) AS BIGINT) AS h
+            FROM tokr CROSS JOIN (SELECT unnest(range(16)) AS seed) s
+        ), sig AS (
+            SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY doc_id, seed
+        ), bands AS (
+            SELECT doc_id, seed // 4 AS band,
+                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bsig
+            FROM sig GROUP BY doc_id, seed // 4
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+                        AND a.doc_id < b.doc_id
+        ), dup AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN toks ta ON ta.doc_id = c.id_a
+            JOIN toks tb ON tb.doc_id = c.id_b
+            WHERE CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
+                  (len(ta.tok) + len(tb.tok)
+                   - len(list_intersect(ta.tok, tb.tok))) >= 0.7
+        ), split AS (
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substr(md5('split:' ||
+                             CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                          < 230584300921369408
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+               CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cross_split,
+               ROUND(CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+                          AS DOUBLE) / GREATEST(COUNT(*), 1), 6) AS leak_fraction
+        FROM dup d
+        JOIN split sa ON sa.doc_id = d.id_a
+        JOIN split sb ON sb.doc_id = d.id_b
+    """,
+    tags=("dq", "leakage", "llm-prep", "dedup"),
+)
+def dq_split_leakage(spark, sf_dir):
+    """Split-leakage audit: how many near-duplicate pairs (md5-MinHash
+    LSH, exact-Jaccard verified at 0.7) STRADDLE the deterministic
+    train/test split — the contamination a random document-level split
+    always has on a deduplicated-but-not-grouped corpus. Composes two
+    proven oracles (minhash_md5_pairs x train_test_split); the fix in a
+    real pipeline is splitting by duplicate GROUP (dedup_duplicate_
+    groups) instead of by document, which drives this count to zero.
+
+    Scale: the pair list is the LSH band join (bounded buckets); the
+    split tags join on doc_id — two broadcastable id->tag maps at bench
+    scale, hash joins at corpus scale."""
+    from ..operators.dedup import minhash_md5_pairs
+    from ..operators.sampling import train_test_split
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_md5_pairs(docs)
+    split = train_test_split(docs, "doc_id", test_rate=0.2).select("doc_id", "split")
+    sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    cross = F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
+    return j.agg(
+        F.count("*").cast("long").alias("n_dup_pairs"),
+        F.sum(cross).cast("long").alias("n_cross_split"),
+        F.round(
+            F.sum(cross) / F.greatest(F.count("*"), F.lit(1)), 6
+        ).alias("leak_fraction"),
+    )
+
+
+@register(
+    "dq_group_split_leakfree",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, source, n_chars,
+                   list_distinct(list_filter(string_split(lower(text), ' '),
+                                             t -> t <> '')) AS tok
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM toks a JOIN toks b
+              ON a.source = b.source
+             AND floor(a.n_chars / 50) = floor(b.n_chars / 50)
+             AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+                  (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
+                  >= 0.7
+        ), edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ), walk(node, comp) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+            WHERE w.comp < e.d
+        ), labels AS (
+            SELECT node AS doc_id, MIN(comp) AS canon FROM walk GROUP BY node
+        ), split AS (
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substr(md5('gsplit:' ||
+                             CAST(canon AS VARCHAR)), 1, 15)) AS BIGINT)
+                          < 230584300921369408
+                        THEN 'test' ELSE 'train' END AS split
+            FROM labels
+        ), cross_cnt AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+                   CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cross_split
+            FROM pairs p
+            JOIN split sa ON sa.doc_id = p.id_a
+            JOIN split sb ON sb.doc_id = p.id_b
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM split
+                WHERE split = 'test') AS n_test_docs,
+               n_dup_pairs, n_cross_split,
+               n_cross_split = 0 AS group_split_is_leakfree
+        FROM cross_cnt
+    """,
+    tags=("dq", "leakage", "llm-prep", "dedup", "groups"),
+)
+def dq_group_split_leakfree(spark, sf_dir):
+    """The fix for dq_split_leakage: split by duplicate GROUP (hash the
+    connected-components canonical id, not the doc id), so every near-
+    dup pair lands on one side by construction — n_cross_split is
+    pinned 0 and the oracle replays the whole composition (blocked
+    Jaccard pairs -> recursive-CTE components -> md5 group split).
+
+    Scale: the pair list and CC are the proven dedup plans; the split
+    tag is one md5 on the canonical id; the audit join is the same
+    bounded pair join as dq_split_leakage."""
+    from ..operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.7)
+    labels = D.connected_components(pairs)
+    canon = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("canon"),
+        )
+    )
+    thr = 230584300921369408
+    dev = F.conv(
+        F.substring(F.md5(F.concat(F.lit("gsplit:"), F.col("canon").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    split = canon.select(
+        "doc_id",
+        F.when(dev < F.lit(thr), F.lit("test")).otherwise(F.lit("train")).alias("split"),
+    )
+    sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    cross = F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
+    audit = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_pairs"),
+            F.sum(cross).cast("long").alias("n_cross_split"),
+        )
+    )
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    n_test = split.filter(F.col("split") == "test").agg(
+        F.count("*").cast("long").alias("n_test_docs")
+    )
+    return (
+        n_docs.crossJoin(n_test)
+        .crossJoin(audit)
+        .select(
+            "n_docs",
+            "n_test_docs",
+            "n_dup_pairs",
+            "n_cross_split",
+            (F.col("n_cross_split") == 0).alias("group_split_is_leakfree"),
+        )
+    )
+
+
+_PSI_SPLIT = "2024-01-16"
+_PSI_EPS = 1e-6
+
+
+@register(
+    "dq_psi_drift",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT event_type, value,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref'
+                        ELSE 'cur' END AS win
+            FROM events
+        ), cq AS (
+            SELECT event_type,
+                   list_transform(
+                       quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                             0.6, 0.7, 0.8, 0.9]),
+                       c -> ROUND(c, 6)) AS cuts
+            FROM tagged WHERE win = 'ref' GROUP BY 1
+        ), binned AS (
+            SELECT t.event_type, t.win,
+                   CAST(len(list_filter(q.cuts, c -> t.value > c))
+                        AS BIGINT) AS bin
+            FROM tagged t JOIN cq q USING (event_type)
+        ), counts AS (
+            SELECT event_type, win, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM binned GROUP BY 1, 2, 3
+        ), tot AS (
+            SELECT event_type, win, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM counts GROUP BY 1, 2
+        ), spine AS (
+            SELECT DISTINCT event_type, b.bin
+            FROM counts CROSS JOIN (SELECT unnest(range(10)) AS bin) b
+        ), props AS (
+            SELECT s.event_type,
+                   GREATEST(CAST(COALESCE(r.cnt, 0) AS DOUBLE) /
+                            rt.n, 0.000001) AS p_ref,
+                   GREATEST(CAST(COALESCE(c.cnt, 0) AS DOUBLE) /
+                            ct.n, 0.000001) AS p_cur,
+                   rt.n AS n_ref, ct.n AS n_cur
+            FROM spine s
+            LEFT JOIN counts r ON r.event_type = s.event_type
+                              AND r.bin = s.bin AND r.win = 'ref'
+            LEFT JOIN counts c ON c.event_type = s.event_type
+                              AND c.bin = s.bin AND c.win = 'cur'
+            JOIN tot rt ON rt.event_type = s.event_type AND rt.win = 'ref'
+            JOIN tot ct ON ct.event_type = s.event_type AND ct.win = 'cur'
+        )
+        SELECT event_type,
+               ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+               MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+               ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)), 6) > 0.2
+                   AS drifted
+        FROM props GROUP BY 1
+    """,
+    tags=("dq", "drift", "mlops"),
+)
+def dq_psi_drift(spark, sf_dir):
+    """Population stability index — the standard production drift
+    monitor: decile cutpoints learned on the reference window (first
+    half of the month), both windows histogrammed on those FIXED
+    cutpoints (bin = how many cutpoints the value exceeds — an array
+    filter, no per-row join fan-out), PSI = sum (p_cur - p_ref)
+    ln(p_cur / p_ref) with the usual 1e-6 floor; types crossing the
+    0.2 'significant shift' rule are flagged. Cutpoints round to 1e-6
+    in both engines so bin membership never rides on float last-bits.
+
+    Scale: cutpoints are ONE array row per type (broadcast); binning
+    is a single scan with a 9-element array filter; the PSI sum runs
+    over types x 10 bins."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "ref")
+        .otherwise("cur")
+        .alias("win"),
+    )
+    ref = e.filter(F.col("win") == "ref")
+    cq = ref.groupBy("event_type").agg(
+        F.array(
+            *[
+                F.round(F.expr(f"percentile(value, {k / 10.0})"), 6)
+                for k in range(1, 10)
+            ]
+        ).alias("cuts")
+    )
+    binned = e.join(F.broadcast(cq), "event_type").select(
+        "event_type",
+        "win",
+        F.size(F.filter(F.col("cuts"), lambda c: F.col("value") > c))
+        .cast("long")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "win", "bin").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = counts.groupBy("event_type", "win").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    spine = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").alias("bin")))
+    )
+    r = counts.filter(F.col("win") == "ref").select(
+        "event_type", "bin", F.col("cnt").alias("ref_cnt")
+    )
+    c = counts.filter(F.col("win") == "cur").select(
+        "event_type", "bin", F.col("cnt").alias("cur_cnt")
+    )
+    rt = tot.filter(F.col("win") == "ref").select(
+        "event_type", F.col("n").alias("n_ref")
+    )
+    ct = tot.filter(F.col("win") == "cur").select(
+        "event_type", F.col("n").alias("n_cur")
+    )
+    props = (
+        spine.join(r, ["event_type", "bin"], "left")
+        .join(c, ["event_type", "bin"], "left")
+        .join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "event_type")
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.greatest(
+                F.coalesce(F.col("ref_cnt"), F.lit(0)).cast("double") / F.col("n_ref"),
+                F.lit(1e-6),
+            ).alias("p_ref"),
+            F.greatest(
+                F.coalesce(F.col("cur_cnt"), F.lit(0)).cast("double") / F.col("n_cur"),
+                F.lit(1e-6),
+            ).alias("p_cur"),
+        )
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
+    return props.groupBy("event_type").agg(
+        F.round(F.sum(term), 6).alias("psi"),
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        (F.round(F.sum(term), 6) > 0.2).alias("drifted"),
+    )

@@ -387,3 +387,66 @@ def search_where_document_composite(spark, sf_dir):
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+        WITH sig AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                   ({_RP_SIG_SQL}) AS bucket
+            FROM embeddings
+        ), pairs AS (
+            SELECT a.vec_id, b.vec_id AS neg_id,
+                   ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+            FROM sig a
+            JOIN sig b ON a.bucket = b.bucket
+                      AND a.vec_id <> b.vec_id AND a.label <> b.label
+        )
+        SELECT vec_id, CAST(neg_id AS BIGINT) AS hard_neg_id,
+               sim AS cosine_sim
+        FROM pairs
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, neg_id) = 1
+    """,
+    tags=("ann", "contrastive", "llm-prep", "lsh"),
+)
+def ann_hard_negatives(spark, sf_dir):
+    """Contrastive-pair mining: each vector's most-similar DIFFERENT-
+    label neighbor among its RP-LSH bucket mates — the hard negative a
+    contrastive trainer pairs with each anchor. Bucket join bounds the
+    pair space; the per-anchor argmax is a partial-aggregating
+    max(struct), not a global window."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.hard_negatives(emb, _RP_PLANES)
+
+
+@register(
+    "ann_rp_multiprobe_pairs",
+    oracle=f"""
+        WITH sig AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   ({_RP_SIG_SQL}) AS bucket
+            FROM embeddings
+        ), probes AS (
+            SELECT vec_id, v,
+                   unnest(list_prepend(bucket,
+                       list_transform(range(8),
+                                      b -> xor(bucket, 1 << CAST(b AS INTEGER)))))
+                       AS pbucket
+            FROM sig
+        )
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
+        FROM probes a JOIN sig b ON a.pbucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+    """,
+    tags=("ann", "M3", "lsh", "multiprobe"),
+)
+def ann_rp_multiprobe_pairs(spark, sf_dir):
+    """Multi-probe RP-LSH near-dup pairs: probe the home bucket plus all
+    1-bit-flip neighbors (recall lever without extra hash tables), then
+    exact-cosine verify. Strict superset of ann_rp_lsh_pairs'
+    candidates at ~9x probe fan on one side of the same equi-join."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.rp_lsh_multiprobe_pairs(emb, _RP_PLANES, threshold=0.3)

@@ -282,3 +282,131 @@ def sketch_cms_user_counts(spark, sf_dir):
         (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overestimate"),
         (F.col("cms_est") >= F.col("exact_cnt")).alias("never_undercounts"),
     )
+
+
+_HQ_BINS = 32
+_HQ_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+        WITH mm AS (
+            SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ), binned AS (
+            SELECT e.event_type,
+                   CAST(LEAST(FLOOR((e.value - m.lo) /
+                                    ((m.hi - m.lo) / {_HQ_BINS})),
+                              {_HQ_BINS - 1}) AS BIGINT) AS bin
+            FROM events e JOIN mm m USING (event_type)
+        ), hist AS (
+            SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM binned GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+            FROM hist
+        ), qs AS (
+            -- CAST: bare decimal literals make q DECIMAL, which the
+            -- driver comparator does not unify with Spark DOUBLE
+            SELECT CAST(unnest([{", ".join(str(q) for q in _HQ_QS)}])
+                        AS DOUBLE) AS q
+        ), cand AS (
+            SELECT c.event_type, s.q, c.bin, c.cnt, c.cum,
+                   c.cum - c.cnt AS prev_cum,
+                   m.lo, (m.hi - m.lo) / {_HQ_BINS} AS width, m.n
+            FROM cum c JOIN mm m USING (event_type) CROSS JOIN qs s
+            WHERE c.cum >= s.q * m.n
+        ), first_bin AS (
+            SELECT * FROM cand
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type, q ORDER BY bin) = 1
+        )
+        SELECT f.event_type, f.q,
+               ROUND(f.lo + f.width *
+                     (f.bin + (f.q * f.n - f.prev_cum) / f.cnt), 6)
+                   AS est_quantile,
+               ROUND(x.ex, 6) AS exact_quantile,
+               -- difference of the ROUNDED values: each engine's unrounded
+               -- est/exact wobble in the last float bits, and the raw
+               -- difference can round differently at 1e-6 boundaries
+               ROUND(ABS(ROUND(f.lo + f.width *
+                               (f.bin + (f.q * f.n - f.prev_cum) / f.cnt), 6)
+                         - ROUND(x.ex, 6)), 6) AS abs_err,
+               ROUND(f.width, 6) AS bin_width
+        FROM first_bin f
+        JOIN (
+            SELECT event_type, CAST(0.5 AS DOUBLE) AS q, quantile_cont(value, 0.5) AS ex
+            FROM events GROUP BY 1
+            UNION ALL
+            SELECT event_type, CAST(0.9 AS DOUBLE) AS q, quantile_cont(value, 0.9) AS ex
+            FROM events GROUP BY 1
+            UNION ALL
+            SELECT event_type, CAST(0.99 AS DOUBLE) AS q, quantile_cont(value, 0.99) AS ex
+            FROM events GROUP BY 1) x
+          USING (event_type, q)
+    """,
+    tags=("sketch", "quantile", "mergeable"),
+)
+def sketch_histogram_quantiles(spark, sf_dir):
+    """Mergeable quantile sketch: a fixed 32-bin histogram of
+    events.value per type (bin counts merge by summation — the
+    re-aggregable partial that answers any later quantile query without
+    raw re-scan), with p50/p90/p99 estimated by linear interpolation
+    inside the crossing bin, next to the exact percentile_cont and the
+    bin-width error budget. The DuckDB oracle replays the estimator
+    formula exactly, so the row is value-checked, not toleranced.
+
+    Scale: pass 1 is a per-type min/max/count (map-side partials to a
+    handful of rows); pass 2 shuffles at most types x bins partials.
+    Nothing retains raw values — that is the point of the sketch."""
+    e = table(spark, sf_dir, "events")
+    mm = e.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").cast("long").alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / _HQ_BINS
+    binned = e.join(F.broadcast(mm), "event_type").select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width),
+            F.lit(_HQ_BINS - 1),
+        ).cast("long").alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "bin").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("cnt").over(wc))
+    qs = F.explode(F.array(*[F.lit(q) for q in _HQ_QS])).alias("q")
+    cand = (
+        cum.join(F.broadcast(mm), "event_type")
+        .select(
+            "event_type", "bin", "cnt", "cum",
+            (F.col("cum") - F.col("cnt")).alias("prev_cum"),
+            "lo", ((F.col("hi") - F.col("lo")) / _HQ_BINS).alias("width"), "n", qs,
+        )
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+    )
+    wq = Window.partitionBy("event_type", "q").orderBy("bin")
+    first_bin = cand.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") == 1)
+    est = F.col("lo") + F.col("width") * (
+        F.col("bin") + (F.col("q") * F.col("n") - F.col("prev_cum")) / F.col("cnt")
+    )
+    exact = None
+    for q in _HQ_QS:
+        part = e.groupBy("event_type").agg(
+            F.expr(f"percentile(value, {q})").alias("ex")
+        ).withColumn("q", F.lit(q))
+        exact = part if exact is None else exact.unionByName(part)
+    return first_bin.join(exact, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        F.round(est, 6).alias("est_quantile"),
+        F.round(F.col("ex"), 6).alias("exact_quantile"),
+        F.round(F.abs(F.round(est, 6) - F.round(F.col("ex"), 6)), 6).alias("abs_err"),
+        F.round(F.col("width"), 6).alias("bin_width"),
+    )

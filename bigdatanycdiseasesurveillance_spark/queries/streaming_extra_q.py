@@ -25,3 +25,30 @@ def stream_static_enrichment(spark, sf_dir):
     customer dim, revenue by market segment (exact cents). The static
     side needs no state store and re-resolves per micro-batch."""
     return P.streaming_enrich_orders(spark, sf_dir)
+
+
+@register(
+    "stream_cms_partials",
+    oracle="""
+        WITH items AS (
+            SELECT CAST(user_id AS VARCHAR) AS item FROM events
+        ), depths AS (
+            SELECT CAST(unnest(range(4)) AS INTEGER) AS d
+        ), b AS (
+            SELECT item, d,
+                   CAST(('0x' || substr(md5('cms:' || d || ':' || item),
+                                        1, 15)) AS BIGINT) % 32 AS bucket
+            FROM items CROSS JOIN depths
+        )
+        SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2
+    """,
+    tags=("streaming", "sketch", "cms", "ST6"),
+)
+def stream_cms_partials(spark, sf_dir):
+    """Streaming count-min sketch: the aggregation state IS the sketch
+    (depth x width counters — fixed size at any stream volume), updated
+    per micro-batch and drained with availableNow. Must equal the batch
+    sketch bit-for-bit; the md5 bucket family makes the whole thing
+    DuckDB-replayable."""
+    return P.streaming_cms(spark, sf_dir)

@@ -315,3 +315,47 @@ def win_gap_fill_spine(spark, sf_dir):
             F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
         )
     )
+
+
+@register(
+    "seq_transition_matrix",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ), pairs AS (
+            SELECT prev_type, event_type AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM o WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, cnt,
+               ROUND(CAST(cnt AS DOUBLE) /
+                     SUM(cnt) OVER (PARTITION BY prev_type), 6) AS prob
+        FROM pairs
+    """,
+    tags=("sequence", "markov", "behavior"),
+)
+def seq_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: lag each user's time-ordered event stream, count
+    (prev -> next) transitions, normalize per source state. The lag
+    window shuffles once on user_id; the matrix itself is
+    states-squared rows. Deterministic ordering via (ts, event_id)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = o.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(wp), 6).alias("prob"),
+    )

@@ -236,3 +236,177 @@ def win_ewma_smooth(spark, sf_dir):
         F.col("x").cast("long").alias("n_events"),
         F.round(num / den, 4).alias("ewma"),
     )
+
+
+@register(
+    "txt_distinct_ngrams",
+    oracle="""
+        WITH t AS (
+            SELECT source,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+            FROM documents
+        ), grams AS (
+            SELECT source, n.n,
+                   unnest(CASE WHEN len(tok) >= n.n
+                               THEN list_transform(range(len(tok) - n.n + 1),
+                                    i -> array_to_string(list_slice(tok, i + 1, i + n.n), ' '))
+                               ELSE [] END) AS g
+            FROM t CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) n
+        )
+        SELECT source, CAST(n AS INTEGER) AS n,
+               CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+               ROUND(CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6) AS distinct_ratio
+        FROM grams GROUP BY 1, 2
+    """,
+    tags=("text", "diversity", "llm-prep"),
+)
+def txt_distinct_ngrams(spark, sf_dir):
+    """Corpus diversity (distinct-n): per source and n in {1,2,3}, the
+    ratio of distinct n-grams to total n-grams — the standard text-
+    degeneration / mode-collapse metric run over a corpus before it is
+    admitted to a training mix. One explode -> groupBy per n over the
+    same tokenized scan; distinct counting shuffles on the gram key
+    with map-side partials."""
+    t = table(spark, sf_dir, "documents").select(
+        "source", tokens(F.col("text")).alias("tok")
+    )
+    per_n = []
+    for n in (1, 2, 3):
+        grams = t.select(
+            "source",
+            F.explode(
+                F.when(
+                    F.size("tok") >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("tok") - n),
+                        lambda i: F.array_join(F.slice("tok", i + 1, n), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        ).withColumn("n", F.lit(n).cast("int"))
+        per_n.append(grams)
+    allg = per_n[0].unionByName(per_n[1]).unionByName(per_n[2])
+    return allg.groupBy("source", "n").agg(
+        F.count("*").cast("long").alias("total_ngrams"),
+        F.countDistinct("g").cast("long").alias("distinct_ngrams"),
+        F.round(F.countDistinct("g") / F.count("*"), 6).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "txt_zipf_slope",
+    oracle="""
+        WITH t AS (
+            SELECT source,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS tok
+            FROM documents
+        ), freq AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+            FROM t GROUP BY 1, 2
+        ), ranked AS (
+            SELECT source, f,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY f DESC, tok) AS r
+            FROM freq
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               ROUND(regr_slope(ln(CAST(f AS DOUBLE)),
+                                ln(CAST(r AS DOUBLE))), 4) AS zipf_slope
+        FROM ranked GROUP BY 1
+    """,
+    tags=("text", "zipf", "profiling"),
+)
+def txt_zipf_slope(spark, sf_dir):
+    """Zipf-law profiling: per source, the OLS slope of log(frequency)
+    on log(rank) over the token frequency table (natural text sits near
+    -1; a flat or cliff-shaped slope flags boilerplate or template
+    spam — a standard corpus admission check). Token counts shuffle
+    once on (source, token); the regression is regr_slope over the
+    vocabulary-sized ranked table."""
+    t = table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    freq = t.groupBy("source", "tok").agg(F.count("*").cast("long").alias("f"))
+    w = Window.partitionBy("source").orderBy(F.desc("f"), F.asc("tok"))
+    ranked = freq.withColumn("r", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.round(
+            F.regr_slope(F.log(F.col("f").cast("double")), F.log(F.col("r").cast("double"))),
+            4,
+        ).alias("zipf_slope"),
+    )
+
+
+_SG_MIN = 5
+
+
+@register(
+    "txt_skipgram_cooc",
+    oracle=f"""
+        WITH t AS (
+            SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+            FROM documents
+        ), grams AS (
+            SELECT o.o AS "offset",
+                   unnest(list_transform(range(len(tok) - o.o),
+                          i -> tok[i + 1] || ' ' || tok[i + 1 + o.o])) AS pair
+            FROM t CROSS JOIN (SELECT CAST(unnest([1, 2]) AS INTEGER) AS o) o
+            WHERE len(tok) > o.o
+        )
+        SELECT split_part(pair, ' ', 1) AS w1,
+               split_part(pair, ' ', 2) AS w2,
+               "offset",
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM grams
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) >= {_SG_MIN}
+    """,
+    tags=("text", "skipgram", "llm-prep"),
+)
+def txt_skipgram_cooc(spark, sf_dir):
+    """Skip-gram co-occurrence counts (offsets 1 and 2) — the sparse
+    co-occurrence matrix word-vector/PMI pipelines start from.
+    Zero-join formulation: pairs are built inside each token array with
+    transform+element_at (no positional self-join), then one explode ->
+    groupBy with map-side combine. Cut at count >= {_SG_MIN} like the
+    PMI query."""
+    t = table(spark, sf_dir, "documents").select(tokens(F.col("text")).alias("tok"))
+
+    def pair_lambda(off):
+        # single-parameter lambda: a two-arg lambda would be read by
+        # F.transform as (element, index) and silently rebind both names
+        return lambda i: F.concat(
+            F.get(F.col("tok"), i), F.lit(" "), F.get(F.col("tok"), i + off)
+        )
+
+    parts = []
+    for o in (1, 2):
+        pairs = (
+            t.filter(F.size("tok") > o)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("tok") - 1 - o),
+                        pair_lambda(o),
+                    )
+                ).alias("pair")
+            )
+            .withColumn("offset", F.lit(o).cast("int"))
+        )
+        parts.append(pairs)
+    allp = parts[0].unionByName(parts[1])
+    return (
+        allp.groupBy("pair", "offset")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= _SG_MIN)
+        .select(
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("w2"),
+            "offset",
+            "cnt",
+        )
+    )

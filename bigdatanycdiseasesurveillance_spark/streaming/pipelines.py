@@ -493,3 +493,20 @@ def streaming_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete").select(
         "c_mktsegment", "revenue_cents", "n_orders"
     )
+
+
+def streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 sketch tier: maintain a count-min sketch over the event
+    stream. cms_table's plan (bucket projection -> explode -> groupBy)
+    is stateless until the aggregation, whose state is the sketch itself
+    — depth x width rows, FIXED regardless of stream volume: the
+    streaming-native answer to frequency tracking where per-key state
+    would grow without bound. Complete-mode availableNow drain equals
+    the batch sketch exactly."""
+    from ..operators.sketches import cms_table
+
+    src = stream_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_key")
+    )
+    agg = cms_table(src, "user_key", width=32, depth=4)
+    return _run_to_memory(agg, "complete")

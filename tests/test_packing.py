@@ -67,3 +67,31 @@ def test_concat_chunks_spans_are_contiguous(spark, sf_dir):
         assert r["first_chunk"] == r["start_tok"] // BUDGET
         assert r["last_chunk"] == (r["end_tok"] - 1) // BUDGET
         pos = r["end_tok"]
+
+
+def test_sliding_chunks_cover_and_overlap(spark, sf_dir):
+    """Every token index of every doc is covered by >=1 chunk; adjacent
+    chunks overlap by exactly size - stride tokens (except tails)."""
+    from bigdatanycdiseasesurveillance_spark.operators.packing import sliding_chunks
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    size, stride = 32, 20
+    rows = sliding_chunks(
+        table(spark, sf_dir, "documents"), size=size, stride=stride
+    ).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = chunks[0]["start_tok"] + 0  # recompute doc length from tail
+        last = chunks[-1]
+        n = last["start_tok"] + last["chunk_len"]
+        covered = set()
+        for c in chunks:
+            assert 1 <= c["chunk_len"] <= size
+            assert c["start_tok"] == c["chunk_idx"] * stride
+            assert len(c["chunk_text"].split(" ")) == c["chunk_len"]
+            covered.update(range(c["start_tok"], c["start_tok"] + c["chunk_len"]))
+        assert covered == set(range(n)), "gap in chunk coverage"

@@ -91,3 +91,53 @@ def test_search_by_text_deterministic(spark, sf_dir):
 
     docs = {r["doc_id"]: r["text"] for r in table(spark, sf_dir, "documents").collect()}
     assert all("the" in docs[row[0]] for row in a)
+
+
+def test_hard_negatives_are_cross_label_bucket_mates(spark, sf_dir):
+    """Each mined pair must be cross-label, and brute-force checking one
+    anchor's bucket reproduces its chosen negative."""
+    from pyspark.sql import functions as F
+
+    from bigdatanycdiseasesurveillance_spark.operators.similarity import (
+        hard_negatives,
+        rp_signature,
+    )
+    from bigdatanycdiseasesurveillance_spark.queries.similarity_q import _RP_PLANES
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb, _RP_PLANES)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert labels[r["vec_id"]] != labels[r["hard_neg_id"]]
+    sig = emb.select(
+        "vec_id", "label", rp_signature(F.col("embedding"), _RP_PLANES).alias("b")
+    ).collect()
+    buckets = {r["vec_id"]: r["b"] for r in sig}
+    anchor = rows[0]
+    assert buckets[anchor["vec_id"]] == buckets[anchor["hard_neg_id"]]
+
+
+def test_multiprobe_recall_superset(spark, sf_dir):
+    """Multi-probe candidates must strictly contain the single-probe
+    pair set (probe distance 0 is among the probes)."""
+    from bigdatanycdiseasesurveillance_spark.operators.similarity import (
+        rp_lsh_multiprobe_pairs,
+        rp_lsh_pairs,
+    )
+    from bigdatanycdiseasesurveillance_spark.queries.similarity_q import _RP_PLANES
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in rp_lsh_pairs(emb, _RP_PLANES, threshold=0.3).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in rp_lsh_multiprobe_pairs(emb, _RP_PLANES, threshold=0.3).collect()
+    }
+    assert single <= multi
+    assert len(multi) >= len(single)
