@@ -432,6 +432,22 @@ def minhash_md5_pairs(
     (band, band_signature); every candidate is exact-verified, so no
     false positives survive.
     """
+    toks, banded = _md5_bands(df, text_col, id_col, n_hashes, bands)
+    a = banded.select("band", "bsig", F.col("id").alias("id_a"))
+    b = banded.select("band", "bsig", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_pairs(cand, toks, threshold)
+
+
+def _md5_bands(df, text_col, id_col, n_hashes, bands):
+    """Shared MinHash-md5 band builder: (toks, banded) where banded is
+    (id, band, bsig). Used by the self-join pair path and the
+    incremental new-vs-existing cross path."""
     rows_per_band = n_hashes // bands
     toks = df.select(
         F.col(id_col).alias("id"), distinct_tokens(F.col(text_col)).alias("tok")
@@ -476,14 +492,12 @@ def minhash_md5_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bsig")
-    a = banded.select("band", "bsig", F.col("id").alias("id_a"))
-    b = banded.select("band", "bsig", F.col("id").alias("id_b"))
-    cand = (
-        a.join(b, ["band", "bsig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return toks, banded
+
+
+def _verify_pairs(cand, toks, threshold):
+    """Exact-Jaccard verification of bare-id candidate pairs (tokens
+    re-attached per pair, never shipped through the band shuffle)."""
     paired = cand.join(
         toks.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a")), "id_a"
     ).join(
@@ -493,6 +507,38 @@ def minhash_md5_pairs(
     return paired.select("id_a", "id_b", F.round(j, 4).alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def minhash_md5_incremental_pairs(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Incremental-ingest dedup: near-dup pairs between a NEW batch and
+    the EXISTING corpus only — the band join probes new-side signatures
+    against old-side signatures, so no old x old (already deduped) or
+    new x new (the batch self-dedup is a separate, tiny call) work is
+    ever done. At 100 TB the old side's band table is a precomputed
+    artifact maintained at ingest (like the IVF centroids), so each
+    arriving batch costs hash(batch) + one equi-join against it.
+    Returns (id_a=new, id_b=old, jaccard)."""
+    toks_n, banded_n = _md5_bands(new_df, text_col, id_col, n_hashes, bands)
+    toks_o, banded_o = _md5_bands(old_df, text_col, id_col, n_hashes, bands)
+    cand = (
+        banded_n.select("band", "bsig", F.col("id").alias("id_a"))
+        .join(
+            banded_o.select("band", "bsig", F.col("id").alias("id_b")),
+            ["band", "bsig"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    toks = toks_n.unionByName(toks_o)
+    return _verify_pairs(cand, toks, threshold)
 
 
 def simhash_md5_pairs(

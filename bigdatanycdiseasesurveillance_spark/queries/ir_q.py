@@ -326,3 +326,141 @@ def txt_keyword_context(spark, sf_dir):
         F.col("pos").cast("long").alias("pos"),
         F.substring(F.col("lt"), start, length).alias("context"),
     )
+
+
+
+_RERANK_K = 50
+_RERANK_QUERY = "data stream join"
+
+# the WITH ... scored body shared with search_bm25_topk's oracle, kept
+# as one literal so the two stay in lock step
+_BM25_SQL_BODY = f"""WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS term
+            FROM documents
+        ),
+        dl AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '')) AS doclen
+            FROM documents
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n, AVG(doclen) AS avg_len FROM dl
+        ),
+        q AS (SELECT unnest(['data', 'stream', 'join']) AS term),
+        dfq AS (
+            SELECT t.term, COUNT(DISTINCT t.doc_id) AS df
+            FROM tok t JOIN q ON t.term = q.term GROUP BY t.term
+        ),
+        tf AS (
+            SELECT t.doc_id, t.term, COUNT(*) AS tf
+            FROM tok t JOIN q ON t.term = q.term GROUP BY t.doc_id, t.term
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   SUM(
+                       ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                       * (tf.tf * ({_BM25_K1} + 1.0))
+                       / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                          + {_BM25_B} * dl.doclen / stats.avg_len))
+                   ) AS score
+            FROM tf
+            JOIN dfq ON tf.term = dfq.term
+            JOIN dl ON dl.doc_id = tf.doc_id, stats
+            GROUP BY tf.doc_id
+        )"""
+
+
+def _rerank_oracle() -> str:
+    from ..operators.rerank import ce_sql
+
+    return f"""
+        {_BM25_SQL_BODY},
+        cand AS (
+            SELECT doc_id, bm25 FROM (
+                SELECT doc_id, ROUND(score, 4) AS bm25 FROM scored
+            ) ORDER BY bm25 DESC, doc_id LIMIT {_RERANK_K}
+        ),
+        mm AS (SELECT MIN(bm25) AS mn, MAX(bm25) AS mx FROM cand),
+        blended AS (
+            SELECT c.doc_id, c.bm25,
+                   ROUND({ce_sql(_RERANK_QUERY, "c.doc_id")}, 6) AS ce_score,
+                   ROUND(0.5 * CASE WHEN m.mx > m.mn
+                                    THEN (c.bm25 - m.mn) / (m.mx - m.mn)
+                                    ELSE 1.0 END
+                         + 0.5 * ROUND({ce_sql(_RERANK_QUERY, "c.doc_id")}, 6), 6)
+                       AS final_score
+            FROM cand c, mm m
+        )
+        SELECT doc_id, bm25, ce_score, final_score
+        FROM blended
+        ORDER BY final_score DESC, doc_id LIMIT 10
+    """
+
+
+def _bm25_scored(spark, sf_dir):
+    """Shared BM25 scoring frame (doc_id, bm25) — stage 1 of the
+    two-stage retrieval pipeline; identical math to search_bm25_topk."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    qterms = tok.filter(F.col("term").isin(*_QUERY_TERMS))
+    dl = docs.select("doc_id", token_count(F.col("text")).alias("doclen"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("doclen").alias("avg_len"))
+    dfq = qterms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = qterms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("doclen") / F.col("avg_len")
+    )
+    return (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom).alias("score"))
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+    )
+
+
+@register(
+    "search_rerank_2stage",
+    oracle=_rerank_oracle(),
+    tags=("search", "rerank", "ir", "llm-prep"),
+)
+def search_rerank_2stage(spark, sf_dir):
+    """Two-stage retrieval: BM25 top-50 candidate generation (corpus-
+    wide, cheap) -> cross-encoder rerank on the 50 survivors only ->
+    blend 0.5 * minmax-normalized BM25 + 0.5 * CE score, final top-10.
+    The CE stage is the model-bearing mapInPandas pattern (per-worker
+    singleton; deterministic md5 stand-in in this container) and the
+    stand-in is replayed exactly by the oracle, so both stages are
+    value-checked. At 100 TB the reranker's cost is K rows per query
+    regardless of corpus size — that is the entire point of the
+    pattern."""
+    from ..operators.rerank import cross_encoder_scores
+
+    cand = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_RERANK_K)
+    )
+    scored = cross_encoder_scores(cand, _RERANK_QUERY)
+    mm = scored.agg(F.min("bm25").alias("mn"), F.max("bm25").alias("mx"))
+    norm = F.when(
+        F.col("mx") > F.col("mn"),
+        (F.col("bm25") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+    ).otherwise(F.lit(1.0))
+    ce_r = F.round(F.col("ce_score"), 6)
+    return (
+        scored.crossJoin(F.broadcast(mm))
+        .select(
+            "doc_id",
+            "bm25",
+            ce_r.alias("ce_score"),
+            F.round(0.5 * norm + 0.5 * ce_r, 6).alias("final_score"),
+        )
+        .orderBy(F.desc("final_score"), F.asc("doc_id"))
+        .limit(10)
+    )
