@@ -611,3 +611,60 @@ def ts_conformal_interval(spark, sf_dir):
         )
         .agg(F.round(F.sum(cov) / F.count("*"), 6).alias("coverage"))
     )
+
+
+@register(
+    "ts_seasonal_strength",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   dayofweek(CAST(date_trunc('day', ts) AS DATE)) AS dow,
+                   CAST(COUNT(*) AS DOUBLE) AS cnt
+            FROM events GROUP BY 1, 2, 3
+        ), means AS (
+            SELECT event_type, dow, AVG(cnt) AS dow_mean
+            FROM daily GROUP BY 1, 2
+        ), overall AS (
+            SELECT event_type, AVG(cnt) AS g_mean
+            FROM daily GROUP BY 1
+        )
+        SELECT d.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(MAX(o.g_mean), 6) AS grand_mean,
+               ROUND(1.0 - SUM(POW(d.cnt - m.dow_mean, 2)) /
+                     SUM(POW(d.cnt - o.g_mean, 2)), 6) AS seasonal_strength
+        FROM daily d
+        JOIN means m USING (event_type, dow)
+        JOIN overall o USING (event_type)
+        GROUP BY 1
+    """,
+    tags=("timeseries", "seasonality"),
+)
+def ts_seasonal_strength(spark, sf_dir):
+    """Day-of-week seasonal strength: the R-squared of the dow-means
+    model — 1 - SS_within_dow / SS_total over the daily series. The
+    decision metric for whether the weekly-seasonal forecast kernel
+    (forecast_dow_seasonal) should run at all for a series; near 0
+    means dow explains nothing and the linear/Holt kernels suffice.
+    Two aggregation passes over the days x types series table."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    daily = daily.withColumn("dow", F.dayofweek("day"))
+    means = daily.groupBy("event_type", "dow").agg(F.avg("cnt").alias("dow_mean"))
+    overall = daily.groupBy("event_type").agg(F.avg("cnt").alias("g_mean"))
+    j = daily.join(means, ["event_type", "dow"]).join(
+        F.broadcast(overall), "event_type"
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.max("g_mean"), 6).alias("grand_mean"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.pow(F.col("cnt") - F.col("dow_mean"), 2))
+            / F.sum(F.pow(F.col("cnt") - F.col("g_mean"), 2)),
+            6,
+        ).alias("seasonal_strength"),
+    )

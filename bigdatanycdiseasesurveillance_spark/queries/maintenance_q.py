@@ -176,3 +176,67 @@ def cur_dup_representative(spark, sf_dir):
             F.col("n_copies").cast("long").alias("n_copies"),
         )
     )
+
+
+@register(
+    "maint_compact_small_files",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(16 AS BIGINT) AS files_before,
+               CAST(2 AS BIGINT) AS files_after,
+               TRUE AS rows_preserved,
+               TRUE AS content_preserved
+        FROM events
+    """,
+    tags=("maintenance", "compaction", "layout"),
+)
+def maint_compact_small_files(spark, sf_dir):
+    """Small-files compaction (the OPTIMIZE/bin-packing maintenance op):
+    write the events table fragmented into 16 files, compact to 2, and
+    emit the before/after file counts plus row- and content-
+    preservation witnesses (count equality and an order-insensitive
+    md5-XOR checksum over event ids — same device as
+    dq_rowhash_checksum). The oracle pins the full contract, so a
+    compaction that drops, duplicates, or corrupts rows goes red.
+
+    Scale: compaction is repartition + rewrite — one round-robin
+    shuffle sized by the target file count; on a partitioned table it
+    runs per partition, embarrassingly parallel across them. The small-
+    files problem this solves (per-file open cost, scan-split floor)
+    is the same failure mode tables.parallelize_scan works around at
+    read time — compaction is the write-side, durable fix."""
+    import tempfile
+
+    e = table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="bdnds_compact_")
+    frag_dir = f"{base}/frag"
+    comp_dir = f"{base}/compact"
+    e.repartition(16).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    files_before = len(frag.inputFiles())
+    frag.repartition(2).write.mode("overwrite").parquet(comp_dir)
+    comp = spark.read.parquet(comp_dir)
+    files_after = len(comp.inputFiles())
+
+    def checksum(df):
+        # order-insensitive content witness: XOR of per-row id hashes
+        h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        return df.select(h.cast("long").alias("h")).agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr("bit_xor(h)").alias("xor_h"),
+        )
+    src = checksum(e).collect()[0]
+    out = checksum(comp).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(out["n"]),
+                int(files_before),
+                int(files_after),
+                bool(out["n"] == src["n"]),
+                bool(out["xor_h"] == src["xor_h"]),
+            )
+        ],
+        "n_rows long, files_before long, files_after long,"
+        " rows_preserved boolean, content_preserved boolean",
+    )

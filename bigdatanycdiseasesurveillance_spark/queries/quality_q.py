@@ -583,3 +583,152 @@ def dq_psi_drift(spark, sf_dir):
         F.max("n_cur").alias("n_cur"),
         (F.round(F.sum(term), 6) > 0.2).alias("drifted"),
     )
+
+
+@register(
+    "stat_welch_ttest",
+    oracle="""
+        WITH tagged AS (
+            SELECT event_type, value,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a'
+                        ELSE 'b' END AS win
+            FROM events
+        ), m AS (
+            SELECT event_type, win,
+                   AVG(value) AS mean, VAR_SAMP(value) AS var,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM tagged GROUP BY 1, 2
+        ), wide AS (
+            SELECT a.event_type,
+                   a.mean AS mean_a, a.var AS var_a, a.n AS n_a,
+                   b.mean AS mean_b, b.var AS var_b, b.n AS n_b
+            FROM m a JOIN m b USING (event_type)
+            WHERE a.win = 'a' AND b.win = 'b'
+        )
+        SELECT event_type, n_a, n_b,
+               ROUND(mean_a - mean_b, 6) AS mean_diff,
+               ROUND((mean_a - mean_b) /
+                     sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat,
+               ROUND(POW(var_a / n_a + var_b / n_b, 2) /
+                     (POW(var_a / n_a, 2) / (n_a - 1)
+                      + POW(var_b / n_b, 2) / (n_b - 1)), 2) AS welch_df,
+               ABS(ROUND((mean_a - mean_b) /
+                         sqrt(var_a / n_a + var_b / n_b), 4)) > 1.96
+                   AS significant_5pct
+        FROM wide
+    """,
+    tags=("stats", "dq", "ab-test"),
+)
+def stat_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test per event_type between the two
+    halves of the month — the A/B-comparison / regression-monitor
+    primitive (PSI flags distribution shape shift; this flags MEAN
+    shift with a significance gate). Everything is two aggregation
+    passes over the events scan; the Welch-Satterthwaite df and the
+    1.96 two-sided 5% gate are plain expressions, rounded identically
+    in both engines so the flag never rides float last-bits."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "a")
+        .otherwise("b")
+        .alias("win"),
+    )
+    m = e.groupBy("event_type", "win").agg(
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+        F.count("*").cast("long").alias("n"),
+    )
+    a = m.filter(F.col("win") == "a").select(
+        "event_type",
+        F.col("mean").alias("mean_a"), F.col("var").alias("var_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = m.filter(F.col("win") == "b").select(
+        "event_type",
+        F.col("mean").alias("mean_b"), F.col("var").alias("var_b"),
+        F.col("n").alias("n_b"),
+    )
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+    df = F.pow(se2, 2) / (
+        F.pow(F.col("var_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+        + F.pow(F.col("var_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(F.col("mean_a") - F.col("mean_b"), 6).alias("mean_diff"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+        (F.abs(F.round(t, 4)) > 1.96).alias("significant_5pct"),
+    )
+
+
+@register(
+    "dq_benford_digits",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(FLOOR(ABS(value)) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INTEGER) AS d
+            FROM events WHERE ABS(value) >= 1
+        ), obs AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM digits GROUP BY 1
+        ), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM obs),
+        spine AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS d),
+        full_t AS (
+            SELECT s.d, COALESCE(o.cnt, 0) AS cnt, t.n,
+                   ln(1.0 + 1.0 / s.d) / ln(10.0) AS p_benford
+            FROM spine s LEFT JOIN obs o USING (d), tot t
+        )
+        SELECT d, cnt,
+               ROUND(CAST(cnt AS DOUBLE) / n, 6) AS p_observed,
+               ROUND(p_benford, 6) AS p_benford,
+               ROUND(POW(CAST(cnt AS DOUBLE) / n - p_benford, 2)
+                     / p_benford * n, 4) AS chi2_term
+        FROM full_t
+    """,
+    tags=("dq", "benford", "fraud"),
+)
+def dq_benford_digits(spark, sf_dir):
+    """Benford's-law first-digit profile of events.value — the
+    classic fabricated-data / instrumentation-bug detector: observed
+    leading-digit frequencies beside the log-law expectation with
+    per-digit chi-square contributions (sum them against the chi2(8)
+    critical value downstream). One scan -> 9-row digit rollup; the
+    digit extraction is integer/string arithmetic identical in both
+    engines (no float log10 flooring, which disagrees at powers of
+    ten)."""
+    e = table(spark, sf_dir, "events").filter(F.abs(F.col("value")) >= 1)
+    digits = e.select(
+        F.substring(
+            F.floor(F.abs(F.col("value"))).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").cast("long").alias("cnt"))
+    tot = obs.agg(F.sum("cnt").cast("long").alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    p_benford = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    full_t = (
+        spine.join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+            "n",
+            p_benford.alias("p_benford"),
+        )
+    )
+    p_obs = F.col("cnt").cast("double") / F.col("n")
+    return full_t.select(
+        "d",
+        "cnt",
+        F.round(p_obs, 6).alias("p_observed"),
+        F.round(F.col("p_benford"), 6).alias("p_benford"),
+        F.round(
+            F.pow(p_obs - F.col("p_benford"), 2) / F.col("p_benford") * F.col("n"), 4
+        ).alias("chi2_term"),
+    )

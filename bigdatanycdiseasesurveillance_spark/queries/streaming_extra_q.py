@@ -52,3 +52,36 @@ def stream_cms_partials(spark, sf_dir):
     sketch bit-for-bit; the md5 bucket family makes the whole thing
     DuckDB-replayable."""
     return P.streaming_cms(spark, sf_dir)
+
+
+# first-8-token lead-in key (see pipelines._prefix_fp)
+_PREFIX_FP_SQL = (
+    "md5(array_to_string(list_slice(list_filter(string_split(lower(text), ' '),"
+    " t -> t <> ''), 1, 8), ' '))"
+)
+
+
+@register(
+    "stream_ingest_dedup",
+    oracle=f"""
+        WITH existing AS (
+            SELECT DISTINCT {_PREFIX_FP_SQL} AS fp
+            FROM documents WHERE doc_id % 5 <> 0
+        ), fresh AS (
+            SELECT d.source
+            FROM documents d
+            WHERE d.doc_id % 5 = 0
+              AND {_PREFIX_FP_SQL} NOT IN (SELECT fp FROM existing)
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM fresh GROUP BY 1
+    """,
+    tags=("streaming", "dedup", "ST6", "incremental"),
+)
+def stream_ingest_dedup(spark, sf_dir):
+    """Ingest-time streaming dedup: the arriving delta streams in,
+    8-token lead-in fingerprints anti-join the existing corpus's static
+    index per micro-batch, and only unseen-lead-in content reaches the
+    rollup — the streaming twin of dedup_incremental_new_vs_old's batch
+    shape. availableNow drain equals the batch anti-join exactly."""
+    return P.streaming_ingest_dedup(spark, sf_dir)

@@ -510,3 +510,40 @@ def streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = cms_table(src, "user_key", width=32, depth=4)
     return _run_to_memory(agg, "complete")
+
+
+def _prefix_fp(text_col, k: int = 8):
+    """Lead-in fingerprint: md5 of the first k whitespace tokens of the
+    normalized text — the boilerplate/header dedup key (full-text md5
+    catches only byte-exact copies; templated corpora share lead-ins)."""
+    from ..functions.text_funcs import tokens
+
+    return F.md5(F.concat_ws(" ", F.slice(tokens(text_col), 1, k)))
+
+
+def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static anti-join dedup at ingest: arriving documents
+    (the doc_id % 5 == 0 delta as the stream) are lead-in-fingerprinted
+    and anti-joined against the EXISTING corpus's fingerprint set (a
+    static table — at scale, the maintained dedup index), so only
+    documents with an unseen lead-in survive to the per-source rollup.
+    Static-side state never grows with the stream; the anti-join is
+    per-micro-batch. The 8-token prefix key is what makes the filter
+    bite on a templated corpus (full-text md5 would pass everything —
+    the corpus has no byte-exact dups)."""
+    from ..tables import table as _table
+
+    src = stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    existing = (
+        _table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 != 0)
+        .select(_prefix_fp(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    fresh = src.withColumn("fp", _prefix_fp(F.col("text"))).join(
+        existing, "fp", "left_anti"
+    )
+    agg = fresh.groupBy("source").agg(F.count("*").cast("long").alias("n_new"))
+    return _run_to_memory(agg, "complete")
