@@ -240,3 +240,58 @@ def maint_compact_small_files(spark, sf_dir):
         "n_rows long, files_before long, files_after long,"
         " rows_preserved boolean, content_preserved boolean",
     )
+
+
+@register(
+    "maint_erasure_propagation",
+    oracle="""
+        WITH erase AS (
+            SELECT DISTINCT user_id FROM events WHERE user_id % 31 = 0
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS rows_before,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM erase) AS n_subjects,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                WHERE user_id % 31 = 0) AS rows_erased,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                WHERE user_id % 31 <> 0) AS rows_after,
+               TRUE AS no_residual
+    """,
+    tags=("maintenance", "erasure", "gdpr"),
+)
+def maint_erasure_propagation(spark, sf_dir):
+    """Erasure (right-to-be-forgotten) propagation: delete every record
+    of the subject set (user_id % 31 == 0 stands in for the request
+    list) via left-anti join, rewrite, and AUDIT the result — the
+    no_residual witness is an inner-join count against the subject
+    list on the rewritten table, pinned TRUE by the oracle alongside
+    exact before/erased/after accounting.
+
+    Scale: the subject list is small (broadcast anti-join — the fact
+    side never shuffles); the rewrite is partition-parallel, and on a
+    date-partitioned table only partitions containing subject rows
+    need rewriting (min/max pruning on the audit scan)."""
+    import tempfile
+
+    e = table(spark, sf_dir, "events")
+    subjects = e.filter(F.col("user_id") % 31 == 0).select("user_id").distinct()
+    cleaned = e.join(F.broadcast(subjects), "user_id", "left_anti")
+    out_dir = tempfile.mkdtemp(prefix="bdnds_erase_") + "/clean"
+    cleaned.write.mode("overwrite").parquet(out_dir)
+    after = spark.read.parquet(out_dir)
+    residual = after.join(F.broadcast(subjects), "user_id", "inner").count()
+    rows_before = e.count()
+    rows_after = after.count()
+    n_subjects = subjects.count()
+    return spark.createDataFrame(
+        [
+            (
+                rows_before,
+                n_subjects,
+                rows_before - rows_after,
+                rows_after,
+                residual == 0,
+            )
+        ],
+        "rows_before long, n_subjects long, rows_erased long,"
+        " rows_after long, no_residual boolean",
+    )

@@ -732,3 +732,73 @@ def dq_benford_digits(spark, sf_dir):
             F.pow(p_obs - F.col("p_benford"), 2) / F.col("p_benford") * F.col("n"), 4
         ).alias("chi2_term"),
     )
+
+
+@register(
+    "dq_quarantine_malformed",
+    oracle="""
+        WITH raw AS (
+            SELECT event_type,
+                   CASE WHEN event_id % 7 = 0
+                        THEN 'x' || props ELSE props END AS payload
+            FROM events
+        ), routed AS (
+            SELECT event_type,
+                   CASE WHEN json_valid(payload)
+                        THEN CAST(json_extract(payload, '$.k') AS BIGINT)
+                        END AS k,
+                   NOT json_valid(payload) AS quarantined
+            FROM raw
+        )
+        SELECT event_type,
+               CAST(SUM(CASE WHEN quarantined THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_parsed,
+               CAST(SUM(CASE WHEN quarantined THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quarantined,
+               CAST(SUM(CASE WHEN NOT quarantined THEN k END) AS BIGINT)
+                   AS sum_k
+        FROM routed GROUP BY 1
+    """,
+    tags=("dq", "quarantine", "bronze"),
+)
+def dq_quarantine_malformed(spark, sf_dir):
+    """Bronze-layer quarantine routing: parse each record's JSON payload
+    with an explicit schema (PERMISSIVE semantics: malformed input
+    lands in the corrupt-record column instead of failing the job),
+    route parse-failures to the quarantine leg, and roll both legs up per
+    type with a checksum over the parsed field. Malformation is
+    injected deterministically (event_id % 7 — same device as the PII
+    oracle) because the clean testdata parses 100%. The reference's
+    scrapers crash on malformed records; a 100 TB ingest must count
+    and keep them instead. One scan, no UDF — from_json is codegen."""
+    from pyspark.sql import types as T
+
+    e = table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    # PERMISSIVE from_json yields an all-null struct on malformed input
+    # (never a null struct), so detection needs the corrupt-record
+    # column — the same contract spark.read.json uses for bronze loads
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("_bad", T.StringType())]
+    )
+    parsed = e.select(
+        "event_type",
+        F.from_json(
+            payload, schema, {"columnNameOfCorruptRecord": "_bad"}
+        ).alias("p"),
+    ).select(
+        "event_type",
+        F.col("p.k").alias("k"),
+        F.col("p._bad").isNotNull().alias("quarantined"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.when(F.col("quarantined"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_parsed"),
+        F.sum(F.when(F.col("quarantined"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quarantined"),
+        F.sum(F.when(~F.col("quarantined"), F.col("k"))).cast("long").alias("sum_k"),
+    )

@@ -111,3 +111,47 @@ def scalar_null_semantics(spark, sf_dir):
         .cast("long")
         .alias("coalesce_sum"),
     )
+
+
+@register(
+    "udtf_token_spans",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+                       AS tok
+            FROM documents WHERE doc_id % 25 = 0
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS pos,
+               tok[i + 1] AS token,
+               CAST(length(tok[i + 1]) AS INTEGER) AS token_len
+        FROM t, unnest(range(least(len(tok), 5))) AS u(i)
+    """,
+    tags=("udtf", "U5", "api"),
+)
+def udtf_token_spans(spark, sf_dir):
+    """U5 as a REAL Python UDTF (Spark 4 `@udtf`): one input row fans
+    out to one row per leading token (first 5) with position and
+    length. The production path for this shape is native
+    posexplode/slice — cross-checked here by the oracle, which IS that
+    native formulation in SQL — so this entry exists to cover the
+    Python-UDTF API surface (arbitrary Python fan-out logic), gated to
+    a doc_id % 25 sample because row-at-a-time Python is the slow
+    path by design."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string, token_len int")
+    class TokenSpans:
+        def eval(self, doc_id, text):
+            toks = [t for t in (text or "").lower().split(" ") if t]
+            for i, t in enumerate(toks[:5]):
+                yield doc_id, i, t, len(t)
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    d.createOrReplaceTempView("udtf_docs_in")
+    spark.udtf.register("token_spans", TokenSpans)
+    return spark.sql(
+        "SELECT s.* FROM udtf_docs_in d, "
+        "LATERAL token_spans(d.doc_id, d.text) s"
+    )

@@ -359,3 +359,74 @@ def seq_transition_matrix(spark, sf_dir):
         "cnt",
         F.round(F.col("cnt") / F.sum("cnt").over(wp), 6).alias("prob"),
     )
+
+
+@register(
+    "join_scd2_point_in_time",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, event_type, ts,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ), changes AS (
+            SELECT user_id, event_type, ts AS valid_from
+            FROM o WHERE prev_type IS NULL OR event_type <> prev_type
+        ), scd2 AS (
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from) AS valid_to
+            FROM changes
+        ), lookups AS (
+            SELECT event_id, user_id, ts - INTERVAL 1 HOUR AS lts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT l.event_id, l.user_id, l.lts,
+               s.event_type AS type_at_lookup
+        FROM lookups l
+        LEFT JOIN scd2 s
+          ON s.user_id = l.user_id
+         AND s.valid_from <= l.lts
+         AND (s.valid_to IS NULL OR l.lts < s.valid_to)
+    """,
+    tags=("cdc", "scd2", "asof", "point-in-time"),
+)
+def join_scd2_point_in_time(spark, sf_dir):
+    """Point-in-time (AS OF) lookup against SCD2 history: for every
+    purchase, the user's event_type interval valid one hour BEFORE the
+    purchase — the time-travel join every feature store / audit query
+    needs (training-serving skew prevention: features must be as-of
+    label time, never current). The oracle is the interval-containment
+    range join; the engine runs the as-of union-window formulation
+    (ONE shuffle on user_id, no per-user interval fan-out, no
+    broadcast requirement) — equal because SCD2 intervals are
+    contiguous half-open, so the last valid_from <= t IS the
+    containing interval."""
+    from ..operators.joins import as_of_join
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    lookups = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("lts"),
+    )
+    out = as_of_join(
+        lookups,
+        changes.select("user_id", F.col("event_type").alias("utype"), "valid_from"),
+        key="user_id",
+        left_ts="lts",
+        right_ts="valid_from",
+        payload_cols=["utype"],
+    )
+    return out.select(
+        "event_id", "user_id", "lts", F.col("matched_utype").alias("type_at_lookup")
+    )
