@@ -273,3 +273,52 @@ def test_rowhash_checksum_partial_aggregation(spark, sf_dir):
     8-byte partial per (partition, group), never raw fingerprints."""
     df = q("dq_rowhash_checksum", spark, sf_dir)
     assert has_partial_aggregation(df), executed_plan(df)
+
+
+def test_hard_negatives_no_global_window(spark, sf_dir):
+    """The per-anchor argmax must be a partial-aggregating groupBy on
+    the anchor id — a Window here would single-partition the pair
+    stream at scale."""
+    df = q("ann_hard_negatives", spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Window" not in plan, plan
+    assert has_partial_aggregation(df), plan
+
+
+def test_cms_partial_aggregation(spark, sf_dir):
+    """The CMS build must map-side combine: the shuffle carries
+    (d, bucket) partials, never raw items."""
+    df = q("sketch_cms_user_counts", spark, sf_dir)
+    assert has_partial_aggregation(df), executed_plan(df)
+
+
+def test_containment_join_no_cartesian(spark, sf_dir):
+    """Containment pairs block on source — the join must be an
+    equi-join (hash/merge), never a cartesian over the corpus."""
+    plan = executed_plan(q("dedup_containment_pairs", spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_scd2_point_in_time_no_cartesian(spark, sf_dir):
+    """The point-in-time lookup must run as the union-window as-of —
+    no cartesian/broadcast-nested-loop interval probe."""
+    plan = executed_plan(q("join_scd2_point_in_time", spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_quarantine_no_python_nodes(spark, sf_dir):
+    """Quarantine routing is from_json + aggregation — it must stay
+    JVM-side (a Python UDF here would throttle every bronze load)."""
+    plan = executed_plan(q("dq_quarantine_malformed", spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_rerank_candidates_bounded(spark, sf_dir):
+    """Two-stage retrieval: the Python rerank stage must sit above a
+    LIMIT (the candidate bound) — rerank cost is K rows, not corpus
+    rows."""
+    plan = executed_plan(q("search_rerank_2stage", spark, sf_dir))
+    assert "MapInPandas" in plan, plan
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan, plan
