@@ -26,7 +26,7 @@ from ..tables import table
     oracle="""
         SELECT event_type,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-               TRUE AS merge_equals_direct,
+               TRUE AS merge_within_5pct,
                TRUE AS estimate_within_5pct
         FROM events GROUP BY event_type
     """,
@@ -36,14 +36,17 @@ def agg_hll_partial_merge(spark, sf_dir):
     """Re-aggregable distinct counting: build one HLL sketch per
     (event_type, day) partial, union the partials per type, and
     estimate — next to the direct whole-column sketch estimate and the
-    exact distinct. The merge-equals-direct identity (sketch union is
-    lossless over the same stream) is the contract that lets daily
-    sketch partials serve any date-range distinct query at 100 TB with
-    zero raw re-scan. Datasketches state has no DuckDB twin, so the
-    driver-checkable row is self-verifying: the (oracle-able) exact
-    count plus both contract booleans, which the oracle pins TRUE —
-    a sketch/merge regression flips the row red. Raw estimates stay
-    pinned in tests/test_basket.py."""
+    exact distinct. BOTH estimates must sit inside the 5% band around
+    the exact count (floored at 1 for tiny groups). The contract is
+    deliberately a tolerance, not bit-equality of merged vs direct:
+    the sf0.1 sweep caught that once sketches leave sparse mode the
+    union's dense register state can estimate a few counts off the
+    direct sketch (merged 1496 vs direct 1500 at 1500 users) — both
+    legal HLL behavior, both within spec. Datasketches state has no
+    DuckDB twin, so the row is self-verifying: the oracle-able exact
+    count plus the contract booleans pinned TRUE; a sketch/merge
+    regression flips the row red. Raw estimates stay pinned in
+    tests/test_basket.py."""
     e = table(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", "ts").cast("date")
     )
@@ -57,16 +60,16 @@ def agg_hll_partial_merge(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_estimate"),
         F.countDistinct("user_id").cast("long").alias("exact_users"),
     )
+    tol = F.greatest(F.lit(1.0), 0.05 * F.col("exact_users"))
     return merged.join(direct, "event_type").select(
         "event_type",
         "exact_users",
-        (F.col("merged_estimate") == F.col("direct_estimate")).alias(
-            "merge_equals_direct"
+        (F.abs(F.col("merged_estimate") - F.col("exact_users")) <= tol).alias(
+            "merge_within_5pct"
         ),
-        (
-            F.abs(F.col("direct_estimate") - F.col("exact_users"))
-            <= 0.05 * F.col("exact_users")
-        ).alias("estimate_within_5pct"),
+        (F.abs(F.col("direct_estimate") - F.col("exact_users")) <= tol).alias(
+            "estimate_within_5pct"
+        ),
     )
 
 

@@ -693,18 +693,26 @@ def tpch_q22_dormant_balance(spark, sf_dir):
     "tpch_q2_min_cost_supplier",
     oracle="""
         WITH unit AS (
+            -- exact integer ten-thousandths: ROUND(double, 4) disagrees
+            -- between engines on representable .xxxx5 boundaries (caught
+            -- by the sf0.1 sweep); cents*100 // qty is exact both sides
             SELECT l_partkey, l_suppkey,
-                   ROUND(l_extendedprice / l_quantity, 4) AS unit_price
+                   (CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * 100)
+                       // CAST(l_quantity AS BIGINT) AS unit_e4
             FROM lineitem WHERE l_quantity > 0
+        ), priced AS (
+            SELECT l_partkey, l_suppkey,
+                   unit_e4 / 10000.0 AS unit_price, unit_e4
+            FROM unit
         )
         SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, u.unit_price
-        FROM unit u
+        FROM priced u
         JOIN part p ON p.p_partkey = u.l_partkey
         JOIN supplier s ON s.s_suppkey = u.l_suppkey
         JOIN nation n ON n.n_nationkey = s.s_nationkey
         WHERE p.p_size <= 5
-          AND u.unit_price = (SELECT MIN(u2.unit_price) FROM unit u2
-                              WHERE u2.l_partkey = u.l_partkey)
+          AND u.unit_e4 = (SELECT MIN(u2.unit_e4) FROM unit u2
+                           WHERE u2.l_partkey = u.l_partkey)
     """,
     tags=("tpch", "correlated-min"),
 )
@@ -714,8 +722,11 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     lineitem unit price stands in for partsupp supplycost). The
     correlated MIN becomes a window-min over the partkey partition —
     one shuffle, no self-join — then dim joins (part filtered+broadcast,
-    supplier->nation broadcast). Prices round to 4dp on BOTH sides
-    before the min-equality so parity never rides on double tails."""
+    supplier->nation broadcast). Unit prices are exact integer
+    ten-thousandths (cents * 100 DIV quantity) so the min-equality and
+    the emitted price never ride on double rounding — ROUND(double, 4)
+    disagrees between engines on representable boundaries, which the
+    sf0.1 sweep caught at this query's value density."""
     from pyspark.sql import Window
 
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
@@ -725,14 +736,16 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     unit = li.select(
         "l_partkey",
         "l_suppkey",
-        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias(
-            "unit_price"
-        ),
+        F.expr(
+            "(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * 100)"
+            " DIV CAST(l_quantity AS BIGINT)"
+        ).alias("unit_e4"),
     )
     w = Window.partitionBy("l_partkey")
     return (
-        unit.withColumn("min_price", F.min("unit_price").over(w))
-        .filter(F.col("unit_price") == F.col("min_price"))
+        unit.withColumn("min_e4", F.min("unit_e4").over(w))
+        .filter(F.col("unit_e4") == F.col("min_e4"))
+        .withColumn("unit_price", F.col("unit_e4") / 10000.0)
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
