@@ -174,3 +174,133 @@ def cur_full_pipeline(spark, sf_dir):
         .unionAll(row(s4, "stage4_domain_cap"))
         .unionAll(row(s5, "stage5_token_budget"))
     )
+
+
+@register(
+    "llm_prep_pipeline",
+    oracle="""
+        WITH RECURSIVE quality AS (
+            SELECT doc_id, source, n_chars, text,
+                   list_distinct(list_filter(string_split(lower(text), ' '),
+                                             t -> t <> '')) AS tok,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS otok
+            FROM documents
+            WHERE len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) >= 30
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM quality a JOIN quality b
+              ON a.source = b.source
+             AND floor(a.n_chars / 50) = floor(b.n_chars / 50)
+             AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+                  (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
+                  >= 0.7
+        ), edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ), walk(node, comp) AS (
+            SELECT doc_id, doc_id FROM quality
+            UNION
+            SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+            WHERE w.comp < e.d
+        ), labels AS (
+            SELECT node AS doc_id, MIN(comp) AS canon FROM walk GROUP BY node
+        ), split AS (
+            SELECT q.doc_id, q.otok,
+                   CASE WHEN CAST(('0x' || substr(md5('gsplit:' ||
+                             CAST(l.canon AS VARCHAR)), 1, 15)) AS BIGINT)
+                          < 230584300921369408
+                        THEN 'test' ELSE 'train' END AS split
+            FROM quality q JOIN labels l USING (doc_id)
+        ), chunks AS (
+            SELECT doc_id,
+                   unnest(range(((len(otok) - 1) // 20) + 1)) AS chunk_idx,
+                   len(otok) AS n
+            FROM split WHERE split = 'train'
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs_in,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM quality)
+                   AS n_after_quality,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM split
+                WHERE split = 'train') AS n_train_docs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM split
+                WHERE split = 'test') AS n_test_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_train_chunks,
+               CAST(SUM(LEAST(32, n - chunk_idx * 20)) AS BIGINT)
+                   AS n_train_chunk_tokens
+        FROM chunks
+    """,
+    tags=("llm-prep", "pipeline", "composed"),
+)
+def llm_prep_pipeline(spark, sf_dir):
+    """The LLM-prep stages as ONE composed DAG: length/quality gate
+    (>= 30 tokens) -> duplicate-group-safe train/test split (blocked-
+    Jaccard pairs -> connected components -> md5 split on the CANONICAL
+    id, so no near-dup pair straddles the split) -> sliding-window
+    chunking (32/20) of the train split — with per-stage survivor
+    counts and the train-side token budget as the one-row contract.
+    The oracle chains the proven stage oracles (same thresholds, same
+    salts), so a regression in ANY stage flips the row.
+
+    Scale: each stage keeps its own proven plan (blocked pair join,
+    pointer-jumping CC, hash split, shuffle-free chunk explode); the
+    composition adds no new shuffle beyond its stages'."""
+    from ..functions.text_funcs import tokens as _tokens
+    from ..operators import dedup as D
+    from ..operators.packing import sliding_chunks
+
+    docs = table(spark, sf_dir, "documents")
+    quality = docs.filter(F.size(_tokens(F.col("text"))) >= 30)
+    pairs = D.jaccard_pairs(quality, threshold=0.7)
+    labels = D.connected_components(pairs)
+    canon = (
+        quality.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("canon"),
+        )
+    )
+    dev = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("gsplit:"), F.col("canon").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    split = canon.select(
+        "doc_id",
+        F.when(dev < F.lit(230584300921369408), "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+    train_docs = quality.join(
+        split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    chunks = sliding_chunks(train_docs, size=32, stride=20)
+    counts = {
+        "n_docs_in": docs.count(),
+        "n_after_quality": quality.count(),
+        "n_train_docs": split.filter(F.col("split") == "train").count(),
+        "n_test_docs": split.filter(F.col("split") == "test").count(),
+    }
+    chunk_agg = chunks.agg(
+        F.count("*").cast("long").alias("n_train_chunks"),
+        F.sum("chunk_len").cast("long").alias("n_train_chunk_tokens"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                counts["n_docs_in"],
+                counts["n_after_quality"],
+                counts["n_train_docs"],
+                counts["n_test_docs"],
+                int(chunk_agg["n_train_chunks"]),
+                int(chunk_agg["n_train_chunk_tokens"]),
+            )
+        ],
+        "n_docs_in long, n_after_quality long, n_train_docs long,"
+        " n_test_docs long, n_train_chunks long, n_train_chunk_tokens long",
+    )
