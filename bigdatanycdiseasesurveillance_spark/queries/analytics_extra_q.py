@@ -668,3 +668,81 @@ def ts_seasonal_strength(spark, sf_dir):
             6,
         ).alias("seasonal_strength"),
     )
+
+
+@register(
+    "ts_walkforward_backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS DOUBLE) AS cnt
+            FROM events GROUP BY 1, 2
+        ), idx AS (
+            SELECT event_type, day, cnt,
+                   CAST(datediff('day',
+                        MIN(day) OVER (PARTITION BY event_type), day)
+                        AS DOUBLE) AS i,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day DESC) AS rn_desc
+            FROM daily
+        ), cutoffs AS (
+            SELECT event_type, i AS ci, cnt AS actual
+            FROM idx WHERE rn_desc <= 5
+        ), fits AS (
+            SELECT t.event_type, c.ci, c.actual,
+                   regr_slope(t.cnt, t.i) AS slope,
+                   regr_intercept(t.cnt, t.i) AS icept,
+                   CAST(COUNT(*) AS BIGINT) AS n_train
+            FROM idx t
+            JOIN cutoffs c ON c.event_type = t.event_type AND t.i < c.ci
+            GROUP BY 1, 2, 3
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_folds,
+               ROUND(AVG(ABS((icept + slope * ci) - actual)
+                         / actual), 6) AS mape,
+               ROUND(MAX(ABS((icept + slope * ci) - actual)
+                         / actual), 6) AS worst_ape
+        FROM fits GROUP BY 1
+    """,
+    tags=("timeseries", "forecast", "backtest"),
+)
+def ts_walkforward_backtest(spark, sf_dir):
+    """Walk-forward (rolling-origin) backtest of the linear-trend
+    forecaster: for each of the last 5 days, fit on strictly earlier
+    days only and predict that day; report per-type MAPE and worst
+    APE — the honest out-of-sample accuracy number a forecasting stage
+    must publish (in-sample fit error flatters any model). The
+    fold x train-row fan-out is a per-type theta join on the day
+    index — folds x days rows per type, microscopic against the events
+    scan; regr_slope aggregates it straight back down."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    w0 = Window.partitionBy("event_type")
+    wd = Window.partitionBy("event_type").orderBy(F.desc("day"))
+    idx = daily.withColumn(
+        "i", F.datediff(F.col("day"), F.min("day").over(w0)).cast("double")
+    ).withColumn("rn_desc", F.row_number().over(wd))
+    cutoffs = idx.filter(F.col("rn_desc") <= 5).select(
+        "event_type", F.col("i").alias("ci"), F.col("cnt").alias("actual")
+    )
+    train = idx.select("event_type", "i", "cnt")
+    fits = (
+        train.join(F.broadcast(cutoffs), "event_type")
+        .filter(F.col("i") < F.col("ci"))
+        .groupBy("event_type", "ci", "actual")
+        .agg(
+            F.regr_slope(F.col("cnt"), F.col("i")).alias("slope"),
+            F.regr_intercept(F.col("cnt"), F.col("i")).alias("icept"),
+        )
+    )
+    ape = F.abs((F.col("icept") + F.col("slope") * F.col("ci")) - F.col("actual")) / F.col(
+        "actual"
+    )
+    return fits.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_folds"),
+        F.round(F.avg(ape), 6).alias("mape"),
+        F.round(F.max(ape), 6).alias("worst_ape"),
+    )

@@ -155,3 +155,52 @@ def udtf_token_spans(spark, sf_dir):
         "SELECT s.* FROM udtf_docs_in d, "
         "LATERAL token_spans(d.doc_id, d.text) s"
     )
+
+
+@register(
+    "src_schema_evolution_merge",
+    oracle="""
+        SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS n_with_type,
+               CAST(COUNT(*) AS BIGINT) AS n_null_type,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(SUM(event_id) * 2 AS BIGINT) AS id_checksum
+        FROM events
+    """,
+    tags=("sources", "schema-evolution", "S2"),
+)
+def src_schema_evolution_merge(spark, sf_dir):
+    """Schema evolution across snapshot versions: a v1 snapshot written
+    with the narrow schema (event_id, ts, user_id) and a v2 snapshot
+    with two added columns land in one directory; reading with
+    mergeSchema=true unions the schemas, v1 rows surfacing NULL for the
+    later columns — the append-only column-add contract every long-
+    lived ingest needs (the reference re-infers schemas per run and
+    silently drops mismatches). The profile row pins total/typed/null
+    counts plus an id checksum across both snapshots.
+
+    Scale: mergeSchema reconciles footers at planning time; the scan
+    itself stays columnar with per-file projections — no rewrite of old
+    snapshots when a column is added."""
+    import tempfile
+
+    e = table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="bdnds_schemaevo_")
+    e.select("event_id", "ts", "user_id").write.mode("overwrite").parquet(
+        f"{base}/v=1"
+    )
+    e.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/v=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("event_type").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_type"),
+        F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_type"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+    )
