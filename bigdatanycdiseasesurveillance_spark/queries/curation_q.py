@@ -551,3 +551,81 @@ def mix_token_budget(spark, sf_dir):
         .cast("long")
         .alias("tokens_kept"),
     )
+
+
+@register(
+    "cur_dedup_dividend",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, source, n_chars,
+                   list_distinct(list_filter(string_split(lower(text), ' '),
+                                             t -> t <> '')) AS tok,
+                   len(list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '')) AS n_tokens
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM toks a JOIN toks b
+              ON a.source = b.source
+             AND floor(a.n_chars / 50) = floor(b.n_chars / 50)
+             AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+                  (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
+                  >= 0.7
+        ), edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ), walk(node, comp) AS (
+            SELECT doc_id, doc_id FROM toks
+            UNION
+            SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+            WHERE w.comp < e.d
+        ), labels AS (
+            SELECT node AS doc_id, MIN(comp) AS canon FROM walk GROUP BY node
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT l.canon) AS BIGINT) AS n_canonical,
+               CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_raw,
+               CAST(SUM(CASE WHEN t.doc_id = l.canon
+                             THEN t.n_tokens ELSE 0 END) AS BIGINT)
+                   AS tokens_canonical,
+               ROUND(1.0 - CAST(SUM(CASE WHEN t.doc_id = l.canon
+                                         THEN t.n_tokens ELSE 0 END) AS DOUBLE)
+                           / SUM(t.n_tokens), 6) AS token_savings
+        FROM toks t JOIN labels l USING (doc_id)
+    """,
+    tags=("curation", "dedup", "llm-prep", "accounting"),
+)
+def cur_dedup_dividend(spark, sf_dir):
+    """The dedup dividend: how many training tokens near-dup
+    deduplication actually saves — raw corpus tokens vs tokens of
+    canonical group representatives only, with the savings fraction.
+    The number that justifies (or kills) a dedup stage's compute
+    budget before anyone runs it at 100 TB. Composes the proven
+    blocked-Jaccard pairs + connected-components plans with a token
+    rollup; one extra id-keyed join over the dedup plan itself."""
+    from ..functions.text_funcs import token_count
+    from ..operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    pairs = D.jaccard_pairs(docs, threshold=0.7)
+    labels = D.connected_components(pairs)
+    canon = (
+        toks.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("canon"),
+        )
+    )
+    is_canon = F.when(F.col("doc_id") == F.col("canon"), F.col("n_tokens")).otherwise(0)
+    return canon.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("canon").cast("long").alias("n_canonical"),
+        F.sum("n_tokens").cast("long").alias("tokens_raw"),
+        F.sum(is_canon).cast("long").alias("tokens_canonical"),
+        F.round(
+            F.lit(1.0) - F.sum(is_canon) / F.sum("n_tokens"), 6
+        ).alias("token_savings"),
+    )

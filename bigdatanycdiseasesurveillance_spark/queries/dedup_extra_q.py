@@ -271,3 +271,76 @@ def dedup_incremental_new_vs_old(spark, sf_dir):
     new = docs.filter(F.col("doc_id") % 5 == 0)
     old = docs.filter(F.col("doc_id") % 5 != 0)
     return D.minhash_md5_incremental_pairs(new, old)
+
+
+@register(
+    "dedup_source_overlap_matrix",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_distinct(list_filter(string_split(lower(text), ' '),
+                                             t -> t <> '')) AS tok
+            FROM documents
+        ), tokr AS (
+            SELECT doc_id, unnest(tok) AS t FROM toks
+        ), hashed AS (
+            SELECT doc_id, s.seed,
+                   CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || t),
+                                        1, 15)) AS BIGINT) AS h
+            FROM tokr CROSS JOIN (SELECT unnest(range(16)) AS seed) s
+        ), sig AS (
+            SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY doc_id, seed
+        ), bands AS (
+            SELECT doc_id, seed // 4 AS band,
+                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bsig
+            FROM sig GROUP BY doc_id, seed // 4
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+                        AND a.doc_id < b.doc_id
+        ), dup AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN toks ta ON ta.doc_id = c.id_a
+            JOIN toks tb ON tb.doc_id = c.id_b
+            WHERE CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
+                  (len(ta.tok) + len(tb.tok)
+                   - len(list_intersect(ta.tok, tb.tok))) >= 0.7
+        )
+        SELECT LEAST(sa.source, sb.source) AS source_x,
+               GREATEST(sa.source, sb.source) AS source_y,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+        FROM dup d
+        JOIN toks sa ON sa.doc_id = d.id_a
+        JOIN toks sb ON sb.doc_id = d.id_b
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 10
+    """,
+    tags=("dedup", "forensics", "llm-prep"),
+)
+def dedup_source_overlap_matrix(spark, sf_dir):
+    """Corpus forensics: the (source, source) near-dup pair matrix —
+    which sources mirror/scrape which. Unordered source pairs (LEAST/
+    GREATEST canonicalization) over the unblocked MinHash-LSH pair set
+    so CROSS-source duplication is visible (the blocked Jaccard tier
+    deliberately cannot see it), thresholded at >= 10 pairs. At 100 TB
+    this is a rollup of the maintained dup-pair table — the report
+    that tells a crawl operator which feeds to drop."""
+    from ..operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_md5_pairs(docs)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least(F.col("src_a"), F.col("src_b")).alias("source_x"),
+            F.greatest(F.col("src_a"), F.col("src_b")).alias("source_y"),
+        )
+        .agg(F.count("*").cast("long").alias("n_dup_pairs"))
+        .filter(F.col("n_dup_pairs") >= 10)
+    )
