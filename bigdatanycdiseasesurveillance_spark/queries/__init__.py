@@ -46,4 +46,6 @@ from . import (  # noqa: F401
     geo_pipeline_q,
     ir_q,
     lm_q,
+    # round-4 modules
+    corpus_export_q,
 )

@@ -746,3 +746,62 @@ def ts_walkforward_backtest(spark, sf_dir):
         F.round(F.avg(ape), 6).alias("mape"),
         F.round(F.max(ape), 6).alias("worst_ape"),
     )
+
+
+@register(
+    "skyline_user_activity",
+    oracle="""
+        WITH m AS (
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+            FROM events GROUP BY user_id
+        )
+        SELECT u.user_id,
+               CAST(u.n_events AS BIGINT) AS n_events,
+               CAST(u.n_days AS BIGINT) AS n_days
+        FROM m u
+        WHERE NOT EXISTS (
+            SELECT 1 FROM m v
+            WHERE v.n_events >= u.n_events AND v.n_days >= u.n_days
+              AND (v.n_events > u.n_events OR v.n_days > u.n_days)
+        )
+    """,
+    tags=("analytics", "skyline", "pareto"),
+)
+def skyline_user_activity(spark, sf_dir):
+    """2-D Pareto frontier (skyline): users not dominated on
+    (n_events, n_active_days). The oracle is the quadratic NOT EXISTS
+    definition; the engine uses the linear sweep rewrite — group users
+    by the x-dim, take each group's max y, running-max those over
+    descending x, and a user is on the frontier iff no strictly-higher
+    x group reaches their y (case A) and nobody in their own x group
+    strictly exceeds their y (case B). Both dims are integers, so group
+    keys and comparisons can never drift on a float ulp. Scale: one
+    user-keyed groupBy; the sweep runs over DISTINCT x values (bounded,
+    tiny) — the quadratic dominance test never materializes."""
+    m = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
+        )
+    )
+    groups = m.groupBy("n_events").agg(F.max("n_days").alias("gmax"))
+    wprev = Window.orderBy(F.desc("n_events")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    groups = groups.withColumn("prev_max", F.max("gmax").over(wprev))
+    return (
+        m.join(F.broadcast(groups), "n_events")
+        .filter(
+            (F.col("prev_max").isNull() | (F.col("prev_max") < F.col("n_days")))
+            & (F.col("gmax") == F.col("n_days"))
+        )
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+    )
