@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..tables import values_dim
+
 # (borough, zip_prefix) — J2's zip-prefix lookup
 BOROUGH_ZIP_PREFIXES = [
     ("Manhattan", "100"),
@@ -68,11 +70,13 @@ SUBREDDITS = [
 
 
 def borough_zip_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(BOROUGH_ZIP_PREFIXES, "borough string, zip_prefix string")
+    # values_dim -> LocalTableScan: broadcasting this dim costs no job
+    return values_dim(spark, BOROUGH_ZIP_PREFIXES, "borough string, zip_prefix string")
 
 
 def neighborhood_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    return values_dim(
+        spark,
         NEIGHBORHOODS,
         "neighborhood string, borough string, lat_min double, lat_max double,"
         " lon_min double, lon_max double, zips array<string>",
@@ -97,16 +101,16 @@ def alias_dim(spark: SparkSession) -> DataFrame:
     """J6 + J7 at build time: alias -> canonical neighborhood -> borough
     (a dim-to-dim join performed once at module load, not per record)."""
     rows = [(a, n, _NB_BOROUGH[n]) for a, n in ALIASES]
-    return spark.createDataFrame(
-        rows, "alias string, neighborhood string, alias_borough string"
+    return values_dim(
+        spark, rows, "alias string, neighborhood string, alias_borough string"
     )
 
 
 def subreddit_dim(spark: SparkSession) -> DataFrame:
     """J5 + J7: subreddit -> neighborhood -> borough."""
     rows = [(s, n, _NB_BOROUGH[n]) for s, n in SUBREDDITS]
-    return spark.createDataFrame(
-        rows, "subreddit string, neighborhood string, sub_borough string"
+    return values_dim(
+        spark, rows, "subreddit string, neighborhood string, sub_borough string"
     )
 
 
@@ -130,92 +134,77 @@ def enrich_with_location(
     Adds: neighborhood, borough, location_source. Sources that lack one
     of the signal columns (e.g. reddit posts have no zip) contribute a
     null signal for it — same as the reference's absent-field handling.
+
+    Construction note: the cascade is assembled as ONE spark.sql
+    statement over a temp view of `records` (dims inline as VALUES →
+    LocalRelation, so broadcasting them costs no job). PySpark Datasets
+    analyze eagerly per transformation, so the previous ~15-op
+    DataFrame chain paid ~15 rounds of growing-plan analysis (~0.7 s
+    of driver time) before a single row moved; one statement is one
+    analysis. The physical plan is unchanged (all-broadcast, zero
+    fact-side exchange — pinned in tests/test_plans.py).
     """
+    cols = records.columns
 
-    def _c(name: str, typ: str = "string") -> F.Column:
-        return F.col(name) if name in records.columns else F.lit(None).cast(typ)
+    def _sig(name: str, typ: str = "STRING") -> str:
+        return f"r.{name}" if name in cols else f"CAST(NULL AS {typ})"
 
-    sub_c, zip_c, text_c = _c(subreddit_col), _c(zip_col), _c(text_col)
-    lat_c, lon_c = _c(lat_col, "double"), _c(lon_col, "double")
-    sub = F.broadcast(
-        subreddit_dim(spark).select(
-            F.col("subreddit").alias("__sub"),
-            F.col("neighborhood").alias("sub_nbhd"),
-            "sub_borough",
-        )
-    )
-    bbox = F.broadcast(
-        neighborhood_dim(spark).select(
-            F.col("neighborhood").alias("geo_nbhd"),
-            F.col("borough").alias("geo_borough"),
-            "lat_min",
-            "lat_max",
-            "lon_min",
-            "lon_max",
-        )
-    )
-    nz = F.broadcast(
-        neighborhood_zip_dim(spark).select(
-            F.col("zip").alias("__zip"),
-            F.col("neighborhood").alias("zip_nbhd"),
-            F.col("borough").alias("zip_borough"),
-        )
-    )
-    bz = F.broadcast(
-        borough_zip_dim(spark).select(
-            F.col("zip_prefix").alias("__zp"), F.col("borough").alias("pfx_borough")
-        )
-    )
-    # alias -> (neighborhood, borough) is static Python data — building
-    # the when-chain from the constants avoids a collect() Spark job.
-    # The chain is emitted ONCE as two pre-join columns: inlining it into
-    # the three output expressions tripled the generated-code size and
-    # was the dominant Janino-compile cost of the whole cascade.
-    text_lc = F.lower(text_c)
-    alias_nbhd = F.lit(None).cast("string")
-    alias_borough = F.lit(None).cast("string")
-    # reverse-fold so earlier aliases in the table win ties
-    for alias, nbhd in reversed(ALIASES):
-        hit = F.instr(text_lc, alias) > 0
-        alias_nbhd = F.when(hit, F.lit(nbhd)).otherwise(alias_nbhd)
-        alias_borough = F.when(hit, F.lit(_NB_BOROUGH[nbhd])).otherwise(alias_borough)
+    sub_c, zip_c, text_c = _sig(subreddit_col), _sig(zip_col), _sig(text_col)
+    lat_c, lon_c = _sig(lat_col, "DOUBLE"), _sig(lon_col, "DOUBLE")
 
-    out = (
-        records.withColumns(
-            {"__alias_nbhd": alias_nbhd, "__alias_borough": alias_borough}
+    def _values(rows, names) -> str:
+        def lit(v):
+            return f"'{v}'" if isinstance(v, str) else repr(float(v)) + "D"
+
+        body = ", ".join(
+            "(" + ", ".join(lit(v) for v in r) + ")" for r in rows
         )
-        .join(sub, F.lower(sub_c) == F.col("__sub"), "left")
-        .join(
-            bbox,
-            (lat_c >= F.col("lat_min"))
-            & (lat_c <= F.col("lat_max"))
-            & (lon_c >= F.col("lon_min"))
-            & (lon_c <= F.col("lon_max")),
-            "left",
+        return f"VALUES {body} AS t({', '.join(names)})"
+
+    def _alias_case(pick) -> str:
+        whens = " ".join(
+            f"WHEN instr(__text_lc, '{a}') > 0 THEN '{pick(a, n)}'"
+            for a, n in ALIASES
         )
-        .join(nz, zip_c == F.col("__zip"), "left")
-        .join(bz, F.substring(zip_c, 1, 3) == F.col("__zp"), "left")
-    )
-    neighborhood = F.coalesce(
-        F.col("sub_nbhd"), F.col("geo_nbhd"), F.col("zip_nbhd"), F.col("__alias_nbhd")
-    )
-    borough = F.coalesce(
-        F.col("sub_borough"),
-        F.col("geo_borough"),
-        F.col("zip_borough"),
-        F.col("pfx_borough"),
-        F.col("__alias_borough"),
-    )
-    location_source = (
-        F.when(F.col("sub_nbhd").isNotNull(), "subreddit")
-        .when(F.col("geo_nbhd").isNotNull(), "coordinates")
-        .when(F.col("zip_nbhd").isNotNull() | F.col("pfx_borough").isNotNull(), "zip")
-        .when(F.col("__alias_nbhd").isNotNull(), "text_extraction")
-        .otherwise(None)
-    )
-    return out.select(
-        *[F.col(c) for c in records.columns],
-        neighborhood.alias("neighborhood"),
-        borough.alias("borough"),
-        location_source.alias("location_source"),
-    )
+        return f"CASE {whens} ELSE NULL END"
+
+    sub_rows = [(s, n, _NB_BOROUGH[n]) for s, n in SUBREDDITS]
+    bbox_rows = [(n[0], n[1], n[2], n[3], n[4], n[5]) for n in NEIGHBORHOODS]
+    nz_rows = [(z, n[0], n[1]) for n in NEIGHBORHOODS for z in n[6]]
+    bz_rows = [(p, b) for b, p in BOROUGH_ZIP_PREFIXES]
+
+    view = "__loc_enrich_records"
+    records.createOrReplaceTempView(view)
+    out_cols = ", ".join(f"r.{c}" for c in cols)
+    # the alias when-chain is computed ONCE in the `r` subquery:
+    # inlining it into the three output expressions tripled the
+    # generated-code size and was the dominant Janino-compile cost
+    return spark.sql(f"""
+        SELECT /*+ BROADCAST(s), BROADCAST(n), BROADCAST(z), BROADCAST(p) */
+               {out_cols},
+               COALESCE(s.sub_nbhd, n.geo_nbhd, z.zip_nbhd, r.__alias_nbhd)
+                   AS neighborhood,
+               COALESCE(s.sub_borough, n.geo_borough, z.zip_borough,
+                        p.pfx_borough, r.__alias_borough) AS borough,
+               CASE WHEN s.sub_nbhd IS NOT NULL THEN 'subreddit'
+                    WHEN n.geo_nbhd IS NOT NULL THEN 'coordinates'
+                    WHEN z.zip_nbhd IS NOT NULL
+                         OR p.pfx_borough IS NOT NULL THEN 'zip'
+                    WHEN r.__alias_nbhd IS NOT NULL THEN 'text_extraction'
+                    END AS location_source
+        FROM (
+            SELECT r.*,
+                   {_alias_case(lambda a, n: n)} AS __alias_nbhd,
+                   {_alias_case(lambda a, n: _NB_BOROUGH[n])} AS __alias_borough
+            FROM (SELECT r.*, lower({text_c}) AS __text_lc FROM {view} r) r
+        ) r
+        LEFT JOIN ({_values(sub_rows, ["subreddit", "sub_nbhd", "sub_borough"])}) s
+               ON lower({sub_c}) = s.subreddit
+        LEFT JOIN ({_values(bbox_rows, ["geo_nbhd", "geo_borough", "lat_min", "lat_max", "lon_min", "lon_max"])}) n
+               ON {lat_c} >= n.lat_min AND {lat_c} <= n.lat_max
+              AND {lon_c} >= n.lon_min AND {lon_c} <= n.lon_max
+        LEFT JOIN ({_values(nz_rows, ["zip", "zip_nbhd", "zip_borough"])}) z
+               ON {zip_c} = z.zip
+        LEFT JOIN ({_values(bz_rows, ["zip_prefix", "pfx_borough"])}) p
+               ON substring({zip_c}, 1, 3) = p.zip_prefix
+    """)

@@ -8,7 +8,7 @@ from ..functions.time_funcs import epoch_sec
 from ..operators import joins as J
 from ..operators import aggregations as agg
 from ..registry import register
-from ..tables import table
+from ..tables import table, values_dim
 
 
 @register(
@@ -92,7 +92,8 @@ def join_quantity_bands(spark, sf_dir):
     """J3: point-in-range broadcast join against a literal band dim (the
     point-in-bbox shape). Broadcast nested-loop — fact side streams."""
     li = table(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(
+    bands = values_dim(
+        spark,
         [("low", 0.0, 15.0), ("mid", 15.0, 30.0), ("high", 30.0, 45.0), ("top", 45.0, 100.0)],
         "band string, lo double, hi double",
     )

@@ -19,7 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import table
+from ..tables import table, values_dim
 from .curation_q import _BENCH_MOD, _shingle_sql
 
 _MIN_TOKENS = 30
@@ -290,13 +290,14 @@ def llm_prep_pipeline(spark, sf_dir):
         F.count("*").cast("long").alias("n_train_chunks"),
         F.sum("chunk_len").cast("long").alias("n_train_chunk_tokens"),
     ).collect()[0]
-    return spark.createDataFrame(
+    return values_dim(
+        spark,
         [
             (
-                counts["n_docs_in"],
-                counts["n_after_quality"],
-                counts["n_train_docs"],
-                counts["n_test_docs"],
+                int(counts["n_docs_in"]),
+                int(counts["n_after_quality"]),
+                int(counts["n_train_docs"]),
+                int(counts["n_test_docs"]),
                 int(chunk_agg["n_train_chunks"]),
                 int(chunk_agg["n_train_chunk_tokens"]),
             )

@@ -22,25 +22,22 @@ def _records(spark, sf_dir):
     # the cascade downstream is shuffle-free, so scan splits are the only
     # parallelism it will ever have — rebalance single-row-group inputs
     ev = parallelize_scan(table(spark, sf_dir, "events"))
-    zips = F.array(*[F.lit(z) for z in _ZIPS])
-    subs = F.array(*[F.lit(s) for s in _SUBS])
-    texts = F.array(*[F.lit(t) for t in _TEXTS])
-    return ev.select(
+
+    def arr(vals) -> str:
+        return "array(" + ", ".join(f"'{v}'" for v in vals) + ")"
+
+    # one selectExpr call — a Column-at-a-time build of these six
+    # expressions is ~20 Py4J round-trips of plan construction
+    return ev.selectExpr(
         "event_id",
-        F.element_at(zips, (F.col("user_id") % 8 + 1).cast("int")).alias("zip"),
-        F.when(
-            F.col("event_type") == "click",
-            F.element_at(subs, (F.col("user_id") % 5 + 1).cast("int")),
-        ).alias("subreddit"),
-        F.when(
-            F.col("event_type") == "purchase",
-            F.lit(40.60) + (F.col("user_id") % 37).cast("double") / 100.0,
-        ).alias("latitude"),
-        F.when(
-            F.col("event_type") == "purchase",
-            F.lit(-74.00) + (F.col("user_id") % 23).cast("double") / 100.0,
-        ).alias("longitude"),
-        F.element_at(texts, (F.col("event_id") % 4 + 1).cast("int")).alias("text"),
+        f"element_at({arr(_ZIPS)}, CAST(user_id % 8 + 1 AS INT)) AS zip",
+        "CASE WHEN event_type = 'click' THEN "
+        f"element_at({arr(_SUBS)}, CAST(user_id % 5 + 1 AS INT)) END AS subreddit",
+        "CASE WHEN event_type = 'purchase' THEN "
+        "40.60D + CAST(user_id % 37 AS DOUBLE) / 100.0D END AS latitude",
+        "CASE WHEN event_type = 'purchase' THEN "
+        "-74.00D + CAST(user_id % 23 AS DOUBLE) / 100.0D END AS longitude",
+        f"element_at({arr(_TEXTS)}, CAST(event_id % 4 + 1 AS INT)) AS text",
     )
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import table
+from ..tables import table, values_dim
 
 _SPLIT = "2024-01-16"  # base/delta boundary for incremental merge
 
@@ -227,7 +227,8 @@ def maint_compact_small_files(spark, sf_dir):
         )
     src = checksum(e).collect()[0]
     out = checksum(comp).collect()[0]
-    return spark.createDataFrame(
+    return values_dim(
+        spark,
         [
             (
                 int(out["n"]),
@@ -282,14 +283,15 @@ def maint_erasure_propagation(spark, sf_dir):
     rows_before = e.count()
     rows_after = after.count()
     n_subjects = subjects.count()
-    return spark.createDataFrame(
+    return values_dim(
+        spark,
         [
             (
                 rows_before,
                 n_subjects,
                 rows_before - rows_after,
                 rows_after,
-                residual == 0,
+                bool(residual == 0),
             )
         ],
         "rows_before long, n_subjects long, rows_erased long,"

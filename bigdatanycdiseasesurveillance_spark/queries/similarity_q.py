@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as S
 from ..registry import register
-from ..tables import table
+from ..tables import table, values_dim
 
 
 def _query_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
@@ -126,10 +126,14 @@ def _ivf_index(spark, sf_dir):
     local DataFrame, standing in for the persisted parquet of
     ivf_build(path=...)."""
     if sf_dir not in _IVF_INDEX:
-        _IVF_INDEX[sf_dir] = S.ivf_build(
-            table(spark, sf_dir, "embeddings")
-        ).collect()
-    return spark.createDataFrame(_IVF_INDEX[sf_dir])
+        _IVF_INDEX[sf_dir] = [
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in S.ivf_build(table(spark, sf_dir, "embeddings")).collect()
+        ]
+    # values_dim -> LocalTableScan: re-broadcasting the index costs no job
+    return values_dim(
+        spark, _IVF_INDEX[sf_dir], "cell int, centroid array<double>"
+    )
 
 
 def _emb_oracle_cte(dim: int = 64) -> str:
@@ -303,7 +307,7 @@ def search_documents_by_text(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     encoded = encode_documents(docs, dim=64, dtype="float64")
-    qdf = spark.createDataFrame([("q", _SEARCH_QUERY_TEXT)], "qid string, text string")
+    qdf = values_dim(spark, [("q", _SEARCH_QUERY_TEXT)], "qid string, text string")
     qvec = list(encode_documents(qdf, dim=64, dtype="float64").first()["embedding"])
     return S.brute_force_topk(
         encoded,

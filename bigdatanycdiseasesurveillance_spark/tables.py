@@ -92,6 +92,67 @@ def parallelize_scan(df: DataFrame, min_partitions: int | None = None) -> DataFr
     return df.repartition(target)
 
 
+def values_dim(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Small-dimension constructor that plans as a LocalRelation.
+
+    ``spark.createDataFrame(list)`` in PySpark round-trips through an
+    RDD and plans as ``Scan ExistingRDD`` with defaultParallelism
+    partitions — so every broadcast of such a dim is a real 32-task
+    job. Emitting the rows as a SQL VALUES clause instead yields
+    ``LocalTableScan``, which BroadcastExchange collects driver-side
+    with NO job: a KB-sized dim costs nothing at execution time, which
+    is what a dimension table should cost. Literal-only, for static
+    in-code dims (strings, numbers, bools, string-arrays, None).
+
+    `schema` is a DDL string ("name type, ..."); each column is cast to
+    its declared type so VALUES' literal-inference (e.g. INT where the
+    caller wants BIGINT) can't leak into join-key types.
+    """
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            return repr(v) + "D"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, (list, tuple)):
+            return "array(" + ", ".join(lit(x) for x in v) + ")"
+        raise TypeError(f"values_dim: unsupported literal {type(v)}")
+
+    cols = [c.strip().split(None, 1) for c in _split_ddl(schema)]
+    names = [c[0] for c in cols]
+    casts = ", ".join(
+        f"CAST({n} AS {t}) AS {n}" for n, t in ((c[0], c[1]) for c in cols)
+    )
+    body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return spark.sql(
+        f"SELECT {casts} FROM (VALUES {body}) AS t({', '.join(names)})"
+    )
+
+
+def _split_ddl(schema: str) -> list[str]:
+    """Split a DDL column list on top-level commas (array<..,..> safe)."""
+    out, depth, cur = [], 0, []
+    for ch in schema:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [table(spark, sf_dir, n) for n in names]
 
