@@ -85,3 +85,25 @@ def stream_ingest_dedup(spark, sf_dir):
     rollup — the streaming twin of dedup_incremental_new_vs_old's batch
     shape. availableNow drain equals the batch anti-join exactly."""
     return P.streaming_ingest_dedup(spark, sf_dir)
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle="""
+        SELECT user_id,
+               event_type AS last_type,
+               ts AS last_ts,
+               ROUND(value, 2) AS last_value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    tags=("streaming", "foreachBatch", "upsert", "ST4", "S11"),
+)
+def stream_foreachbatch_upsert(spark, sf_dir):
+    """foreachBatch MERGE into the versioned gold table: four real
+    micro-batches (maxFilesPerTrigger=1), each rewriting gold as
+    last-writer-wins on (ts, event_id) — arrival order never decides a
+    winner, so the final table equals this batch oracle for any
+    batching. The streaming-sink tier of S11's upsert primitive."""
+    return P.streaming_foreachbatch_upsert(spark, sf_dir)

@@ -547,3 +547,72 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = fresh.groupBy("source").agg(F.count("*").cast("long").alias("n_new"))
     return _run_to_memory(agg, "complete")
+
+
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 + S11 composition: per-micro-batch MERGE into a versioned
+    gold table via foreachBatch — the production streaming-upsert idiom
+    (Delta's `foreachBatch + MERGE`, expressed over the engine's
+    versioned-parquet gold sink). The source is staged into four files
+    and streamed with maxFilesPerTrigger=1, so the merge crosses REAL
+    micro-batch boundaries and the gold table is rewritten once per
+    batch (version=N+1, _SUCCESS-gated — a mid-merge crash leaves the
+    previous committed version readable).
+
+    Winner selection inside and across batches compares the DATA
+    ordering (ts, event_id), never arrival order, so the final table
+    equals the batch last-writer-wins result for ANY batching — that is
+    the invariant that makes a streaming upsert replayable.
+
+    Reference: the upsert loop in src/database/psql_db_client.py:369-417
+    (per-row ON CONFLICT DO UPDATE), distributed."""
+    import tempfile
+
+    from ..sources import sinks as SK
+
+    ev = table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="bdnds_fbu_stage_")
+    gold = tempfile.mkdtemp(prefix="bdnds_fbu_gold_")
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
+
+    schema = spark.read.parquet(stage).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        # arg-max by (ts, event_id): struct comparison is field-ordered
+        # and event_id is unique, so the winner is deterministic; a
+        # partial-aggregable max, no window
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("ts", "event_id", "event_type", "value")
+                ).alias("s")
+            )
+            .select("user_id", "s.ts", "s.event_id", "s.event_type", "s.value")
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        new = latest_per_user(batch_df)
+        if SK.latest_gold_version(gold) > 0:
+            old = SK.read_latest_gold(batch_df.sparkSession, gold)
+            new = latest_per_user(old.unionByName(new))
+        SK.write_gold_version(new, gold)
+
+    q = (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdnds_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return SK.read_latest_gold(spark, gold).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("ts").alias("last_ts"),
+        F.round("value", 2).alias("last_value"),
+    )
