@@ -322,3 +322,54 @@ def test_rerank_candidates_bounded(spark, sf_dir):
     plan = executed_plan(q("search_rerank_2stage", spark, sf_dir))
     assert "MapInPandas" in plan, plan
     assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan, plan
+
+
+def test_values_dims_plan_as_local_relation(spark, sf_dir):
+    """Static dims must plan as LocalTableScan (VALUES -> LocalRelation),
+    never Scan ExistingRDD: broadcasting a LocalTableScan is a driver-side
+    collect with NO job, while createDataFrame's RDD form runs a
+    32-task job per broadcast per query (the round-4 bench regression
+    root cause — SCALE.md ground rule 5)."""
+    from bigdatanycdiseasesurveillance_spark.domain import location as L
+
+    for dim in (
+        L.subreddit_dim(spark),
+        L.neighborhood_dim(spark),
+        L.neighborhood_zip_dim(spark),
+        L.borough_zip_dim(spark),
+    ):
+        plan = executed_plan(dim)
+        assert "LocalTableScan" in plan, plan
+        assert "ExistingRDD" not in plan, plan
+    # the composed cascade must contain no RDD scan either
+    df = q("loc_fallback_resolution", spark, sf_dir)
+    assert "ExistingRDD" not in executed_plan(df)
+
+
+def test_values_dim_roundtrips_types(spark):
+    """values_dim literal emission: strings (with quotes), ints, floats
+    (full precision), bools, string arrays, and NULLs must round-trip
+    exactly, and the declared DDL types must stick."""
+    from bigdatanycdiseasesurveillance_spark.tables import values_dim
+
+    rows = [
+        ("it's", 7, 0.1, True, ["a", "b'c"], None),
+        ("x", -3, 2.5e-17, False, [], 9),
+    ]
+    df = values_dim(
+        spark,
+        rows,
+        "s string, i bigint, f double, b boolean, arr array<string>, n bigint",
+    )
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string", "bigint", "double", "boolean", "array<string>", "bigint",
+    ]
+    got = [
+        (r.s, r.i, r.f, r.b, list(r.arr), r.n)
+        for r in df.orderBy("i").collect()
+    ]
+    assert got == [
+        ("x", -3, 2.5e-17, False, [], 9),
+        ("it's", 7, 0.1, True, ["a", "b'c"], None),
+    ]
+    assert "LocalTableScan" in executed_plan(df)
