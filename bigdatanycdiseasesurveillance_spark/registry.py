@@ -74,7 +74,14 @@ def _driver_coverage() -> set[str]:
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
             with open(path) as fh:
-                seen.update(json.load(fh).keys())
+                for name, row in json.load(fh).items():
+                    # only GREEN rows count as covered: a query that was
+                    # sampled but failed (then fixed) still needs a green
+                    # driver row, so it must stay in the priority tier
+                    if row.get("hash_match") or (
+                        row.get("err") == "no_oracle" and row.get("spark_rows")
+                    ):
+                        seen.add(name)
         except Exception as exc:  # malformed round artifact — ordering hint only
             logging.getLogger(__name__).warning(
                 "ignoring unreadable coverage artifact %s: %s", path, exc
