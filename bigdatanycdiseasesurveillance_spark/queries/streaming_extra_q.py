@@ -107,3 +107,66 @@ def stream_foreachbatch_upsert(spark, sf_dir):
     winner, so the final table equals this batch oracle for any
     batching. The streaming-sink tier of S11's upsert primitive."""
     return P.streaming_foreachbatch_upsert(spark, sf_dir)
+
+
+def _e2e_oracle() -> str:
+    """Generated from the SAME constants the streaming DAG uses
+    (relevance vocab + location aliases/prefixes) so the two can never
+    drift apart."""
+    from ..domain.location import ALIASES, BOROUGH_ZIP_PREFIXES, _NB_BOROUGH
+    from ..operators.relevance import (
+        HAZARD_VOCAB,
+        PRIMARY_VOCAB,
+        SECONDARY_VOCAB,
+    )
+
+    def arr(vocab):
+        return "[" + ", ".join(f"'{k}'" for k in vocab) + "]"
+
+    zips = "['11102','11211','10027','10003','10463','11354','99999','10550']"
+    alias_case = "CASE " + " ".join(
+        f"WHEN instr(lower(text), '{a}') > 0 THEN '{_NB_BOROUGH[n]}'"
+        for a, n in ALIASES
+    ) + " ELSE NULL END"
+    pfx_rows = ", ".join(f"('{b}','{p}')" for b, p in BOROUGH_ZIP_PREFIXES)
+    return f"""
+        WITH m AS (
+            SELECT doc_id, text,
+                   len(list_filter({arr(PRIMARY_VOCAB)},
+                                   k -> contains(lower(text), k))) AS np,
+                   len(list_filter({arr(SECONDARY_VOCAB)},
+                                   k -> contains(lower(text), k))) AS ns,
+                   len(list_filter({arr(HAZARD_VOCAB)},
+                                   k -> contains(lower(text), k))) AS nh
+            FROM documents
+        ), rel AS (
+            SELECT doc_id, text,
+                   CASE WHEN np >= 3 THEN 'severe'
+                        WHEN np >= 2 THEN 'moderate' ELSE 'mild' END AS severity,
+                   ({zips})[CAST(doc_id % 8 + 1 AS INTEGER)] AS zip,
+                   {alias_case} AS alias_borough
+            FROM m
+            WHERE length(text) >= 5 AND (np > 0 OR ns >= 2 OR nh > 0)
+        ), pfx AS (
+            SELECT * FROM (VALUES {pfx_rows}) t(pfx_borough, zip_prefix)
+        )
+        SELECT COALESCE(p.pfx_borough, r.alias_borough, 'unknown') AS borough,
+               r.severity,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM rel r LEFT JOIN pfx p ON substring(r.zip, 1, 3) = p.zip_prefix
+        GROUP BY 1, 2
+    """
+
+
+@register(
+    "stream_surveillance_e2e",
+    oracle=_e2e_oracle(),
+    tags=("streaming", "composed", "relevance", "location", "flagship"),
+)
+def stream_surveillance_e2e(spark, sf_dir):
+    """The reference's full consumer chain (relevance -> location ->
+    dashboard rollup) as ONE streaming DAG: stateless map-side
+    relevance + enrichment, broadcast LocalRelation dims, one tiny
+    complete-mode aggregate. availableNow drain equals the chained
+    batch oracle exactly."""
+    return P.streaming_surveillance_e2e(spark, sf_dir)

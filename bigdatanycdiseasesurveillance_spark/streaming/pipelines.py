@@ -616,3 +616,54 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("ts").alias("last_ts"),
         F.round("value", 2).alias("last_value"),
     )
+
+
+def streaming_surveillance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE consumer chain as ONE streaming DAG
+    (relevance_consumer -> location_consumer -> dashboard rollup;
+    reference: src/spark_consumers/*.py run as separate Kafka consumers
+    with JSON-file handoffs): documents stream in, relevance extraction
+    runs as pure column expressions on the micro-batches, irrelevant
+    records drop, survivors are location-enriched (zip-prefix broadcast
+    dim + text-alias scan — the doc stream's available signals), and
+    the dashboard aggregate (borough x severity counts) maintains
+    itself incrementally. No intermediate files, no per-stage consumer
+    processes, one watermark-free complete-mode aggregate whose state
+    is boroughs x severities rows.
+
+    Scale: relevance/enrichment are stateless map-side work; the only
+    stream state is the final tiny aggregate; the static dims broadcast
+    as LocalRelations (no job)."""
+    from ..domain.location import ALIASES, _NB_BOROUGH, borough_zip_dim
+    from ..operators.relevance import extract_relevance
+
+    src = stream_table(spark, sf_dir, "documents")
+    rel = extract_relevance(src).filter(F.col("is_relevant"))
+    zips = ["11102", "11211", "10027", "10003", "10463", "11354", "99999", "10550"]
+    zarr = "array(" + ", ".join(f"'{z}'" for z in zips) + ")"
+    alias_case = "CASE " + " ".join(
+        f"WHEN instr(lower(text), '{a}') > 0 THEN '{_NB_BOROUGH[n]}'"
+        for a, n in ALIASES
+    ) + " ELSE NULL END"
+    with_sig = rel.selectExpr(
+        "doc_id",
+        "severity",
+        f"element_at({zarr}, CAST(doc_id % 8 + 1 AS INT)) AS zip",
+        f"{alias_case} AS alias_borough",
+    )
+    bz = F.broadcast(
+        borough_zip_dim(spark).select(
+            F.col("zip_prefix").alias("__zp"),
+            F.col("borough").alias("pfx_borough"),
+        )
+    )
+    enriched = with_sig.join(
+        bz, F.substring(F.col("zip"), 1, 3) == F.col("__zp"), "left"
+    ).withColumn(
+        "borough",
+        F.coalesce(F.col("pfx_borough"), F.col("alias_borough"), F.lit("unknown")),
+    )
+    agg = enriched.groupBy("borough", "severity").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    return _run_to_memory(agg, "complete")
