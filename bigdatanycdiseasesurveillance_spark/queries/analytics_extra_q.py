@@ -805,3 +805,132 @@ def skyline_user_activity(spark, sf_dir):
             F.col("n_days").cast("long").alias("n_days"),
         )
     )
+
+
+_HW_ALPHA, _HW_BETA, _HW_GAMMA = 0.5, 0.3, 0.2
+_HW_M = 7
+
+
+def _hw_oracle() -> str:
+    """Holt-Winters additive recursion as a recursive CTE that carries
+    the 7-slot seasonal state as columns s0..s6 — generated so the
+    slot-update CASE arms stay mechanical."""
+    a, b, g, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M
+    slots = ", ".join(f"s{j}" for j in range(m))
+    sp = (
+        "CASE (s.t - 1) % 7 "
+        + " ".join(f"WHEN {j} THEN h.s{j}" for j in range(m))
+        + " END"
+    )
+    new_level = f"{a} * (s.x - ({sp})) + {1 - a} * (h.level + h.trend)"
+    new_slots = ", ".join(
+        f"CASE WHEN (s.t - 1) % 7 = {j} "
+        f"THEN {g} * (s.x - ({new_level})) + {1 - g} * h.s{j} "
+        f"ELSE h.s{j} END AS s{j}"
+        for j in range(m)
+    )
+    init_slots = ", ".join(
+        f"i.x{j + 1} - i.l0 AS s{j}" for j in range(m)
+    )
+    init_cols = ", ".join(
+        f"MAX(CASE WHEN t = {j + 1} THEN x END) AS x{j + 1}" for j in range(m)
+    )
+    return f"""
+        WITH RECURSIVE s AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS DOUBLE) AS x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(date_trunc('day', ts) AS DATE)) AS t
+            FROM events GROUP BY 1, 2
+        ),
+        init AS (
+            SELECT event_type,
+                   AVG(CASE WHEN t <= {m} THEN x END) AS l0,
+                   {init_cols}
+            FROM s GROUP BY event_type
+        ),
+        h AS (
+            SELECT s.event_type, s.t, s.day, s.x,
+                   i.l0 AS level,
+                   CAST(0.0 AS DOUBLE) AS trend,
+                   {init_slots},
+                   CAST(NULL AS DOUBLE) AS fitted
+            FROM s JOIN init i USING (event_type) WHERE s.t = {m}
+            UNION ALL
+            SELECT s.event_type, s.t, s.day, s.x,
+                   {new_level} AS level,
+                   {b} * (({new_level}) - h.level) + {1 - b} * h.trend AS trend,
+                   {new_slots},
+                   h.level + h.trend + ({sp}) AS fitted
+            FROM h JOIN s ON s.event_type = h.event_type AND s.t = h.t + 1
+        )
+        SELECT event_type, day,
+               CAST(x AS BIGINT) AS n_events,
+               fitted, level
+        FROM h WHERE t > {m}
+    """
+
+
+@register(
+    "ts_holt_winters",
+    oracle=_hw_oracle(),
+    tags=("timeseries", "forecast", "seasonal", "pandas-udf", "recursive", "M10"),
+)
+def ts_holt_winters(spark, sf_dir):
+    """Holt-Winters ADDITIVE triple smoothing with period-7 seasonality
+    — the true recursive form of Prophet's weekly-seasonality niche
+    (reference: src/analysis/disease_outbreak_forecaster.py:56-126),
+    completing the M10 ladder above the closed-form dow-offset model
+    (ts_seasonal_dow_forecast) and trend-only Holt (ts_holt_linear).
+
+    Init at t=7: level = mean of the first week, trend = 0, seasonal
+    slot s_j = x_{{j+1}} - level. For t >= 8, with phase p = (t-1) % 7:
+    fitted = level + trend + s_p; level' = a(x - s_p) + (1-a)(level +
+    trend); trend' = b(level' - level) + (1-b) trend; s_p' = g(x -
+    level') + (1-g) s_p. Phase indexes the OBSERVATION sequence (gaps
+    compress), identically on both engines. The applyInPandas kernel
+    and the recursive-CTE oracle evaluate the same left-associated IEEE
+    expressions, so doubles are emitted raw and agree bit-for-bit (the
+    ts_holt_linear device, with the 7-slot state carried as columns).
+    Scale: one shuffle of the pre-aggregated days x types series; the
+    sequential recursion touches series rows only, never raw events."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events")
+    s = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+
+    a, b, g, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M
+
+    def hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        n = len(pdf)
+        if n < m + 1:
+            return pdf.iloc[0:0].assign(fitted=0.0, level=0.0)
+        xs = [float(v) for v in pdf["x"]]
+        level = sum(xs[:m]) / m
+        trend = 0.0
+        season = [xs[j] - level for j in range(m)]
+        rows = []
+        for t in range(m + 1, n + 1):  # 1-based t, matching the CTE
+            x = xs[t - 1]
+            p = (t - 1) % m
+            sp = season[p]
+            fitted = level + trend + sp
+            new_level = a * (x - sp) + (1 - a) * (level + trend)
+            new_trend = b * (new_level - level) + (1 - b) * trend
+            season[p] = g * (x - new_level) + (1 - g) * sp
+            level, trend = new_level, new_trend
+            rows.append((pdf["day"][t - 1], int(x), fitted, level))
+        out = pd.DataFrame(
+            rows, columns=["day", "n_events", "fitted", "level"]
+        )
+        out.insert(0, "event_type", pdf["event_type"][0])
+        return out
+
+    return s.groupBy("event_type").applyInPandas(
+        hw,
+        "event_type string, day date, n_events long, fitted double, level double",
+    )
