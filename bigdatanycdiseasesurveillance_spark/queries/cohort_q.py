@@ -201,3 +201,117 @@ def win_value_suite(spark, sf_dir):
             "delta_from_first"
         ),
     )
+
+
+@register(
+    "attr_multi_touch",
+    oracle="""
+        WITH p AS (
+            SELECT event_id AS pid, user_id, ts AS pts, value
+            FROM events WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT event_id AS cid, user_id, ts AS cts
+            FROM events WHERE event_type = 'click'
+        ), touch AS (
+            SELECT p.pid, p.value,
+                   CAST(c.cts AS DATE) AS click_day,
+                   COUNT(*) OVER (PARTITION BY p.pid) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY p.pid
+                                      ORDER BY c.cts, c.cid) AS rn_asc,
+                   ROW_NUMBER() OVER (PARTITION BY p.pid
+                                      ORDER BY c.cts DESC, c.cid DESC) AS rn_desc
+            FROM p JOIN c
+              ON p.user_id = c.user_id
+             AND c.cts < p.pts
+             AND c.cts >= p.pts - INTERVAL 7 DAY
+        ), credits AS (
+            SELECT 'linear' AS model, click_day, value / n AS credit FROM touch
+            UNION ALL
+            SELECT 'first', click_day, value FROM touch WHERE rn_asc = 1
+            UNION ALL
+            SELECT 'last', click_day, value FROM touch WHERE rn_desc = 1
+        )
+        SELECT model, click_day,
+               ROUND(SUM(credit), 2) AS credit,
+               CAST(COUNT(*) AS BIGINT) AS n_touches
+        FROM credits GROUP BY 1, 2
+    """,
+    tags=("analytics", "attribution", "join", "window"),
+)
+def attr_multi_touch(spark, sf_dir):
+    """Multi-touch attribution: purchase value credited to the user's
+    clicks in the prior 7 days under three models at once — linear
+    (value/n per touch), first-touch, last-touch — rolled up per
+    (model, click day). One user-keyed range join bounded by the 7-day
+    window, per-purchase window ranks, and a 3-way credit explode (no
+    re-scan per model). Completes the funnel/cohort/attribution trio of
+    the product-analytics tier. Scale: the join shuffles on user_id
+    (bucketing co-locates it); window state is per-purchase touches,
+    bounded by click rate x 7 days."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id"),
+        F.col("ts").alias("cts"),
+    )
+    touch = p.join(
+        c,
+        (p.user_id == c.user_id)
+        & (c.cts < p.pts)
+        & (c.cts >= p.pts - F.expr("INTERVAL 7 DAY")),
+    ).select(
+        "pid",
+        "value",
+        F.col("cts").cast("date").alias("click_day"),
+        "cts",
+        "cid",
+    )
+    wp = Window.partitionBy("pid")
+    touch = (
+        touch.withColumn("n", F.count("*").over(wp))
+        .withColumn(
+            "rn_asc", F.row_number().over(wp.orderBy("cts", "cid"))
+        )
+        .withColumn(
+            "rn_desc",
+            F.row_number().over(wp.orderBy(F.desc("cts"), F.desc("cid"))),
+        )
+    )
+    credits = touch.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.lit("linear").alias("model"),
+                        (F.col("value") / F.col("n")).alias("credit"),
+                    ),
+                    F.struct(
+                        F.lit("first").alias("model"),
+                        F.when(F.col("rn_asc") == 1, F.col("value")).alias(
+                            "credit"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit("last").alias("model"),
+                        F.when(F.col("rn_desc") == 1, F.col("value")).alias(
+                            "credit"
+                        ),
+                    ),
+                ),
+                lambda s: s.credit.isNotNull(),
+            )
+        ).alias("cr"),
+        "click_day",
+    )
+    return credits.groupBy(
+        F.col("cr.model").alias("model"), "click_day"
+    ).agg(
+        F.round(F.sum("cr.credit"), 2).alias("credit"),
+        F.count("*").cast("long").alias("n_touches"),
+    )
