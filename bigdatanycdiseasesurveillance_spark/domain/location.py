@@ -147,7 +147,7 @@ def enrich_with_location(
     cols = records.columns
 
     def _sig(name: str, typ: str = "STRING") -> str:
-        return f"r.{name}" if name in cols else f"CAST(NULL AS {typ})"
+        return f"r.`{name}`" if name in cols else f"CAST(NULL AS {typ})"
 
     sub_c, zip_c, text_c = _sig(subreddit_col), _sig(zip_col), _sig(text_col)
     lat_c, lon_c = _sig(lat_col, "DOUBLE"), _sig(lon_col, "DOUBLE")
@@ -175,7 +175,7 @@ def enrich_with_location(
 
     view = "__loc_enrich_records"
     records.createOrReplaceTempView(view)
-    out_cols = ", ".join(f"r.{c}" for c in cols)
+    out_cols = ", ".join(f"r.`{c}`" for c in cols)
     # the alias when-chain is computed ONCE in the `r` subquery:
     # inlining it into the three output expressions tripled the
     # generated-code size and was the dominant Janino-compile cost

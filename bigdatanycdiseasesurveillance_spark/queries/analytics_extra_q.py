@@ -907,8 +907,10 @@ def ts_holt_winters(spark, sf_dir):
     def hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("day").reset_index(drop=True)
         n = len(pdf)
-        if n < m + 1:
-            return pdf.iloc[0:0].assign(fitted=0.0, level=0.0)
+        if n < m + 1:  # series too short to initialize: no output rows
+            return pd.DataFrame(
+                columns=["event_type", "day", "n_events", "fitted", "level"]
+            )
         xs = [float(v) for v in pdf["x"]]
         level = sum(xs[:m]) / m
         trend = 0.0

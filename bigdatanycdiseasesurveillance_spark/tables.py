@@ -115,7 +115,9 @@ def values_dim(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
         if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
+            # Spark's SQL parser interprets backslash escapes inside
+            # string literals (unlike ANSI) — double them first
+            return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
         if isinstance(v, float):
             return repr(v) + "D"
         if isinstance(v, int):
