@@ -802,3 +802,54 @@ def dq_quarantine_malformed(spark, sf_dir):
         .alias("n_quarantined"),
         F.sum(F.when(~F.col("quarantined"), F.col("k"))).cast("long").alias("sum_k"),
     )
+
+
+_L_DIV = 3
+
+
+@register(
+    "dq_l_diversity",
+    oracle=f"""
+        WITH g AS (
+            SELECT c_nationkey, c_mktsegment,
+                   COUNT(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) AS l_exact,
+                   COUNT(*) AS cnt
+            FROM customer GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT CAST(MIN(l_exact) AS BIGINT) AS l_min,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN l_exact < {_L_DIV} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_below_l,
+               ROUND(SUM(CASE WHEN l_exact < {_L_DIV} THEN cnt ELSE 0 END) * 1.0
+                     / SUM(cnt), 6) AS frac_rows_below_l
+        FROM g
+    """,
+    tags=("quality", "privacy", "agg"),
+)
+def dq_l_diversity(spark, sf_dir):
+    """l-diversity companion to dq_k_anonymity: per quasi-identifier
+    class, the count of DISTINCT sensitive values (the account-balance
+    band, floor(acctbal/2000), as the sensitive attribute) — k-anonymity alone permits
+    a class where every member shares the sensitive value, which is
+    exactly the homogeneity attack l-diversity counts. Same single
+    groupBy + one-row rollup shape; the distinct-count is per-class
+    partial-aggregable."""
+    g = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.countDistinct(F.floor(F.col("c_acctbal") / 2000.0).cast("long")).alias("l_exact"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    below_rows = F.when(F.col("l_exact") < _L_DIV, F.col("cnt")).otherwise(F.lit(0))
+    return g.agg(
+        F.min("l_exact").cast("long").alias("l_min"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("l_exact") < _L_DIV, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below_l"),
+        F.round(F.sum(below_rows) * F.lit(1.0) / F.sum("cnt"), 6).alias(
+            "frac_rows_below_l"
+        ),
+    )
