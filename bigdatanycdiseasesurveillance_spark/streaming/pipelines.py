@@ -549,7 +549,9 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
-def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_foreachbatch_upsert(
+    spark: SparkSession, sf_dir: str, gold_dir: str | None = None
+) -> DataFrame:
     """ST4 + S11 composition: per-micro-batch MERGE into a versioned
     gold table via foreachBatch — the production streaming-upsert idiom
     (Delta's `foreachBatch + MERGE`, expressed over the engine's
@@ -565,14 +567,17 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     the invariant that makes a streaming upsert replayable.
 
     Reference: the upsert loop in src/database/psql_db_client.py:369-417
-    (per-row ON CONFLICT DO UPDATE), distributed."""
+    (per-row ON CONFLICT DO UPDATE), distributed.
+
+    `gold_dir` is exposed so tests can assert the per-batch version
+    trail (one committed gold version per micro-batch)."""
     import tempfile
 
     from ..sources import sinks as SK
 
     ev = table(spark, sf_dir, "events")
     stage = tempfile.mkdtemp(prefix="bdnds_fbu_stage_")
-    gold = tempfile.mkdtemp(prefix="bdnds_fbu_gold_")
+    gold = gold_dir or tempfile.mkdtemp(prefix="bdnds_fbu_gold_")
     ev.repartition(4).write.mode("overwrite").parquet(stage)
 
     schema = spark.read.parquet(stage).schema

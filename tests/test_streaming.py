@@ -424,3 +424,40 @@ def test_user_totals_state_tiers_agree(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_foreachbatch_upsert_writes_one_gold_version_per_batch(spark, sf_dir):
+    """The foreachBatch MERGE must actually cross micro-batch
+    boundaries: 4 staged files + maxFilesPerTrigger=1 -> 4 committed
+    gold versions, and the final version equals the batch
+    last-writer-wins result."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigdatanycdiseasesurveillance_spark.sources.sinks import (
+        latest_gold_version,
+    )
+    from bigdatanycdiseasesurveillance_spark.streaming.pipelines import (
+        streaming_foreachbatch_upsert,
+    )
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    gold = tempfile.mkdtemp(prefix="bdnds_test_gold_")
+    out = streaming_foreachbatch_upsert(spark, sf_dir, gold_dir=gold)
+    assert latest_gold_version(gold) == 4
+
+    e = table(spark, sf_dir, "events")
+    expected = (
+        e.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.event_type").alias("last_type"),
+            F.col("s.ts").alias("last_ts"),
+            F.round("s.value", 2).alias("last_value"),
+        )
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
