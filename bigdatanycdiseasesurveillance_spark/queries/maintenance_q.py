@@ -297,3 +297,53 @@ def maint_erasure_propagation(spark, sf_dir):
         "rows_before long, n_subjects long, rows_erased long,"
         " rows_after long, no_residual boolean",
     )
+
+
+@register(
+    "inc_join_delta_maintenance",
+    oracle="""
+        SELECT o.o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey % 10 = 0 OR l.l_orderkey % 7 = 0
+        GROUP BY o.o_orderstatus
+    """,
+    tags=("maintenance", "incremental", "join", "mv"),
+)
+def inc_join_delta_maintenance(spark, sf_dir):
+    """Incremental view maintenance for JOINs — the delta algebra
+    d(A JOIN B) = dA JOIN B_old UNION A_old JOIN dB UNION dA JOIN dB —
+    completing agg_incremental_merge's partial-merge story (aggregates)
+    with the join tier: when deltas arrive for both sides of a
+    materialized join, only the three delta terms recompute; the
+    base JOIN base bulk (the expensive term at 100 TB) is never
+    touched. The oracle computes the same rowset from the FULL join
+    restricted to delta-involving rows, so the algebraic identity
+    itself is what gets value-checked. Money in exact integer cents
+    (the repo's standard device for order-insensitive sums)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", (F.col("o_orderkey") % 10 == 0).alias("o_is_delta")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        (F.col("l_orderkey") % 7 == 0).alias("l_is_delta"),
+    )
+    o_base, o_delta = o.filter(~F.col("o_is_delta")), o.filter("o_is_delta")
+    l_base, l_delta = li.filter(~F.col("l_is_delta")), li.filter("l_is_delta")
+
+    def j(a, b):
+        return a.join(b, a["o_orderkey"] == b["l_orderkey"]).select(
+            "o_orderstatus", "l_extendedprice"
+        )
+
+    delta_rows = (
+        j(o_delta, l_base).unionByName(j(o_base, l_delta)).unionByName(j(o_delta, l_delta))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return delta_rows.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(cents).cast("long").alias("revenue_cents"),
+    )
