@@ -225,14 +225,23 @@ def win_value_suite(spark, sf_dir):
              AND c.cts < p.pts
              AND c.cts >= p.pts - INTERVAL 7 DAY
         ), credits AS (
-            SELECT 'linear' AS model, click_day, value / n AS credit FROM touch
+            -- exact integer micro-cents: value/n as floats summed in
+            -- engine-dependent order can land on a ROUND boundary; the
+            -- contract is integer floor division instead
+            SELECT 'linear' AS model, click_day,
+                   CAST(ROUND(value * 100) AS BIGINT) * 1000000 // n AS credit
+            FROM touch
             UNION ALL
-            SELECT 'first', click_day, value FROM touch WHERE rn_asc = 1
+            SELECT 'first', click_day,
+                   CAST(ROUND(value * 100) AS BIGINT) * 1000000
+            FROM touch WHERE rn_asc = 1
             UNION ALL
-            SELECT 'last', click_day, value FROM touch WHERE rn_desc = 1
+            SELECT 'last', click_day,
+                   CAST(ROUND(value * 100) AS BIGINT) * 1000000
+            FROM touch WHERE rn_desc = 1
         )
         SELECT model, click_day,
-               ROUND(SUM(credit), 2) AS credit,
+               CAST(SUM(credit) AS BIGINT) AS credit_microcents,
                CAST(COUNT(*) AS BIGINT) AS n_touches
         FROM credits GROUP BY 1, 2
     """,
@@ -242,7 +251,9 @@ def attr_multi_touch(spark, sf_dir):
     """Multi-touch attribution: purchase value credited to the user's
     clicks in the prior 7 days under three models at once — linear
     (value/n per touch), first-touch, last-touch — rolled up per
-    (model, click day). One user-keyed range join bounded by the 7-day
+    (model, click day), in exact integer micro-cents (floor division —
+    float credit sums are order-dependent and can straddle a ROUND
+    boundary between engines). One user-keyed range join bounded by the 7-day
     window, per-purchase window ranks, and a 3-way credit explode (no
     re-scan per model). Completes the funnel/cohort/attribution trio of
     the product-analytics tier. Scale: the join shuffles on user_id
@@ -283,25 +294,24 @@ def attr_multi_touch(spark, sf_dir):
             F.row_number().over(wp.orderBy(F.desc("cts"), F.desc("cid"))),
         )
     )
+    cents = F.round(F.col("value") * 100).cast("long") * F.lit(1000000)
     credits = touch.select(
         F.explode(
             F.filter(
                 F.array(
                     F.struct(
                         F.lit("linear").alias("model"),
-                        (F.col("value") / F.col("n")).alias("credit"),
+                        F.expr(
+                            "CAST(ROUND(value * 100) AS BIGINT) * 1000000 DIV n"
+                        ).alias("credit"),
                     ),
                     F.struct(
                         F.lit("first").alias("model"),
-                        F.when(F.col("rn_asc") == 1, F.col("value")).alias(
-                            "credit"
-                        ),
+                        F.when(F.col("rn_asc") == 1, cents).alias("credit"),
                     ),
                     F.struct(
                         F.lit("last").alias("model"),
-                        F.when(F.col("rn_desc") == 1, F.col("value")).alias(
-                            "credit"
-                        ),
+                        F.when(F.col("rn_desc") == 1, cents).alias("credit"),
                     ),
                 ),
                 lambda s: s.credit.isNotNull(),
@@ -312,6 +322,6 @@ def attr_multi_touch(spark, sf_dir):
     return credits.groupBy(
         F.col("cr.model").alias("model"), "click_day"
     ).agg(
-        F.round(F.sum("cr.credit"), 2).alias("credit"),
+        F.sum("cr.credit").cast("long").alias("credit_microcents"),
         F.count("*").cast("long").alias("n_touches"),
     )
