@@ -373,3 +373,29 @@ def test_values_dim_roundtrips_types(spark):
         ("it's", 7, 0.1, True, ["a", "b'c"], None),
     ]
     assert "LocalTableScan" in executed_plan(df)
+
+
+def test_chunk_boilerplate_never_all_pairs(spark, sf_dir):
+    """Boilerplate flagging is an equi-join on the chunk key — the plan
+    must contain no nested-loop/cartesian stage, and the chunk-support
+    aggregation must partial-aggregate (map-side combine) before its
+    shuffle."""
+    df = q("txt_chunk_boilerplate", spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert has_partial_aggregation(df), plan
+
+
+def test_global_rank_single_partition_only_for_offsets(spark, sf_dir):
+    """The scale contract of the ranged rewrite: the per-row work is
+    partitioned by the bucket key; only the tiny bucket-counts
+    prefix-sum may use a single-partition exchange, and the offsets
+    join back to rows must be a broadcast."""
+    df = q("win_global_rank_ranged", spark, sf_dir)
+    plan = executed_plan(df)
+    assert broadcast_join_count(df) >= 1, plan
+    # shuffle structure bounds the rewrite: day-groupBy for counts +
+    # single-partition exchange of the tiny counts table for the
+    # prefix sum + day hash-exchange for the per-bucket local window
+    assert shuffle_count(df) <= 3, plan
