@@ -40,7 +40,8 @@ def brute_force_topk(
     top-k — no join, no shuffle of the corpus, TakeOrderedAndProject
     keeps only k rows per partition. extra_cols carries metadata
     columns (the Chroma-style filtered-search projection) through."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # one parsed expression, not len(vec) Py4J literal calls
+    q = F.expr("array(" + ", ".join(repr(float(x)) + "D" for x in query_vec) + ")")
     scored = emb if where is None else emb.filter(where)
     sim = cosine(as_double(F.col(vec_col)), as_double(q))
     carried = [F.col(c) for c in (extra_cols or [])]

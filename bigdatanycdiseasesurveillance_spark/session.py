@@ -61,15 +61,24 @@ def get_spark(app_name: str = "bdnds-engine", master: str | None = None) -> Spar
     return builder.getOrCreate()
 
 
+_CONFS_APPLIED: set[int] = set()
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally-created session.
 
     The correctness driver owns its own SparkSession; timestamp/Arrow
-    semantics must not depend on how that session was built.
+    semantics must not depend on how that session was built. Applied
+    once per session object — table() calls this on every read, and
+    re-setting six confs is six Py4J round-trips of pure overhead.
     """
+    key = id(spark)
+    if key in _CONFS_APPLIED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # conf not settable at runtime in this build — keep going
             pass
+    _CONFS_APPLIED.add(key)
     return spark
