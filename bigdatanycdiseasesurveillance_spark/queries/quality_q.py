@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import table
+from ..tables import table, values_dim
 
 _K_ANON = 10
 
@@ -852,4 +852,57 @@ def dq_l_diversity(spark, sf_dir):
         F.round(F.sum(below_rows) * F.lit(1.0) / F.sum("cnt"), 6).alias(
             "frac_rows_below_l"
         ),
+    )
+
+
+@register(
+    "dq_observe_metrics",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clicks,
+               CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS max_value_cents
+        FROM events
+    """,
+    tags=("quality", "observe", "metrics"),
+)
+def dq_observe_metrics(spark, sf_dir):
+    """Spark-native `observe()` metrics: the data-quality counters ride
+    the SAME pass as the (noop-sunk) main action — zero extra scans,
+    which at 100 TB is the difference between free monitoring and
+    doubling the read. The observed values are re-emitted as a
+    LocalRelation row; exact integer cents keep the sum
+    order-insensitive. The reference re-reads its tables to compute
+    dashboard counters (src/dashboard/app.py aggregates); observe()
+    is the engine-native form."""
+    from pyspark.sql import Observation
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    obs = Observation("dq")
+    df = table(spark, sf_dir, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("sum_value_cents"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "n_clicks"
+        ),
+        F.max(cents).alias("max_value_cents"),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return values_dim(
+        spark,
+        [
+            (
+                int(m["n_rows"]),
+                int(m["sum_value_cents"]),
+                int(m["n_clicks"]),
+                int(m["max_value_cents"]),
+            )
+        ],
+        "n_rows bigint, sum_value_cents bigint, n_clicks bigint,"
+        " max_value_cents bigint",
     )

@@ -182,3 +182,34 @@ def sql_dashboard_severity(spark, sf_dir):
         LIMIT 10
         """
     )
+
+
+@register(
+    "scalar_variant_props",
+    oracle="""
+        SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10
+                    AS BIGINT) AS k_band,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                    AS BIGINT) AS k_sum
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("scalar", "variant", "semistructured"),
+)
+def scalar_variant_props(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured props: parse_json once
+    into the binary VARIANT encoding, then typed variant_get access —
+    the engine-native successor to per-access get_json_object string
+    re-parsing (scalar_json_props covers that classic path). At 100 TB
+    the difference is one parse per row vs one per extraction."""
+    e = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select(k.alias("k"))
+        .groupBy(F.floor(F.col("k") / 10).cast("long").alias("k_band"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+    )
