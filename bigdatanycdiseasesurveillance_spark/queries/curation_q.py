@@ -629,3 +629,143 @@ def cur_dedup_dividend(spark, sf_dir):
             F.lit(1.0) - F.sum(is_canon) / F.sum("n_tokens"), 6
         ).alias("token_savings"),
     )
+
+
+@register(
+    "cur_decontaminate_spans",
+    oracle=_TOK_CTE
+    + f"""
+        , corpus AS (
+            SELECT doc_id, tok FROM toks WHERE doc_id % {_BENCH_MOD} <> 0
+        ), bench_sh AS (
+            SELECT DISTINCT unnest({_shingle_sql(5)}) AS sh
+            FROM toks WHERE doc_id % {_BENCH_MOD} = 0
+        ), csh AS (
+            SELECT doc_id,
+                   unnest(range(0, len(tok) - 4)) AS p,
+                   unnest(list_transform(range(0, len(tok) - 4),
+                          i -> array_to_string(tok[i+1 : i+5], ' '))) AS sh
+            FROM corpus
+        ), hits AS (
+            SELECT c.doc_id, c.p FROM csh c JOIN bench_sh b USING (sh)
+        ), covered AS (
+            SELECT DISTINCT doc_id, unnest(range(p, p + 5)) AS tp FROM hits
+        ), isl AS (
+            SELECT doc_id, tp,
+                   tp - row_number() OVER (PARTITION BY doc_id ORDER BY tp)
+                       AS grp
+            FROM covered
+        ), spans AS (
+            SELECT doc_id, COUNT(*) AS n_covered,
+                   COUNT(DISTINCT grp) AS n_spans
+            FROM isl GROUP BY doc_id
+        ), words AS (
+            SELECT doc_id, unnest(range(0, len(tok))) AS tp, unnest(tok) AS w
+            FROM corpus
+        ), kept AS (
+            SELECT wd.doc_id, wd.tp, wd.w
+            FROM words wd LEFT JOIN covered c
+              ON wd.doc_id = c.doc_id AND wd.tp = c.tp
+            WHERE c.tp IS NULL
+        ), rebuilt AS (
+            SELECT doc_id,
+                   md5(COALESCE(string_agg(w, ' ' ORDER BY tp), ''))
+                       AS cleaned_md5
+            FROM kept GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               CAST(len(c.tok) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(s.n_covered, 0) AS BIGINT) AS n_covered,
+               CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
+               COALESCE(r.cleaned_md5, md5('')) AS cleaned_md5
+        FROM corpus c
+        LEFT JOIN spans s USING (doc_id)
+        LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    tags=("curation", "decontamination", "spans", "training-data"),
+)
+def cur_decontaminate_spans(spark, sf_dir):
+    """SPAN-level decontamination — the surgical upgrade of
+    cur_decontaminate's doc-level flag: every token position covered by
+    a benchmark-shared 5-gram is excised and the document REBUILT from
+    the surviving tokens (contaminated docs keep their clean content
+    instead of being dropped whole — at 100 TB that's the difference
+    between losing a few sentences and losing the document). Emits the
+    covered-token count, the number of maximal contaminated spans
+    (islands of covered positions), and the rebuild digest so the
+    oracle value-checks the cleaned CONTENT. Scale shape: positional
+    shingle explode, broadcast benchmark shingle set, islands via one
+    per-doc window, anti-join rebuild — no all-pairs stage."""
+    from ..functions.text_funcs import tokens
+
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tok")
+    )
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    bench_sh = (
+        docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(
+            F.explode(
+                F.when(
+                    F.size("tok") >= 5,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("tok") - 5),
+                        lambda i: F.array_join(F.slice("tok", i + 1, 5), " "),
+                    ),
+                ).otherwise(F.array())
+            ).alias("sh")
+        )
+        .distinct()
+    )
+    csh = corpus.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("tok") >= 5,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tok") - 5),
+                    lambda i: F.array_join(F.slice("tok", i + 1, 5), " "),
+                ),
+            ).otherwise(F.array())
+        ).alias("p", "sh"),
+    )
+    hits = csh.join(F.broadcast(bench_sh), "sh").select("doc_id", "p")
+    covered = hits.select(
+        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 4)).alias("tp")
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("tp")
+    spans = (
+        covered.withColumn("grp", F.col("tp") - F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_covered"),
+            F.countDistinct("grp").cast("long").alias("n_spans"),
+        )
+    )
+    words = corpus.select("doc_id", F.posexplode("tok").alias("tp", "w"))
+    kept = words.join(covered, ["doc_id", "tp"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tp", "w"))),
+                    lambda s: s.w,
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5")
+    )
+    return (
+        corpus.select("doc_id", F.size("tok").cast("long").alias("n_tokens"))
+        .join(spans, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+    )
