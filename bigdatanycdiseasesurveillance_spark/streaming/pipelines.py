@@ -20,6 +20,7 @@ driver can compare it against a SQL oracle.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -550,7 +551,11 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_foreachbatch_upsert(
-    spark: SparkSession, sf_dir: str, gold_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    gold_dir: str | None = None,
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """ST4 + S11 composition: per-micro-batch MERGE into a versioned
     gold table via foreachBatch — the production streaming-upsert idiom
@@ -576,9 +581,10 @@ def streaming_foreachbatch_upsert(
     from ..sources import sinks as SK
 
     ev = table(spark, sf_dir, "events")
-    stage = tempfile.mkdtemp(prefix="bdnds_fbu_stage_")
+    stage = stage_dir or tempfile.mkdtemp(prefix="bdnds_fbu_stage_")
     gold = gold_dir or tempfile.mkdtemp(prefix="bdnds_fbu_gold_")
-    ev.repartition(4).write.mode("overwrite").parquet(stage)
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        ev.repartition(4).write.mode("overwrite").parquet(stage)
 
     schema = spark.read.parquet(stage).schema
     src = (
@@ -610,7 +616,10 @@ def streaming_foreachbatch_upsert(
 
     q = (
         src.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdnds_ckpt_"))
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="bdnds_ckpt_"),
+        )
         .trigger(availableNow=True)
         .start()
     )

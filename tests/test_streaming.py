@@ -461,3 +461,30 @@ def test_foreachbatch_upsert_writes_one_gold_version_per_batch(spark, sf_dir):
     got = {tuple(r) for r in out.collect()}
     want = {tuple(r) for r in expected.collect()}
     assert got == want
+
+
+def test_foreachbatch_upsert_checkpoint_prevents_reprocessing(spark, sf_dir):
+    """Exactly-once contract: a second availableNow drain with the SAME
+    checkpoint and the SAME staged source commits NOTHING new — the
+    committed offsets cover every file, so the gold version count is
+    unchanged (a reprocessing bug would append versions 5..8)."""
+    import tempfile
+
+    from bigdatanycdiseasesurveillance_spark.sources.sinks import (
+        latest_gold_version,
+    )
+    from bigdatanycdiseasesurveillance_spark.streaming.pipelines import (
+        streaming_foreachbatch_upsert,
+    )
+
+    gold = tempfile.mkdtemp(prefix="bdnds_test_gold2_")
+    stage = tempfile.mkdtemp(prefix="bdnds_test_stage2_")
+    ckpt = tempfile.mkdtemp(prefix="bdnds_test_ckpt2_")
+    streaming_foreachbatch_upsert(
+        spark, sf_dir, gold_dir=gold, stage_dir=stage, checkpoint_dir=ckpt
+    )
+    assert latest_gold_version(gold) == 4
+    streaming_foreachbatch_upsert(
+        spark, sf_dir, gold_dir=gold, stage_dir=stage, checkpoint_dir=ckpt
+    )
+    assert latest_gold_version(gold) == 4
