@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text_funcs import token_count, tokens
 from ..registry import register
-from ..tables import table
+from ..tables import table, values_dim
 
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -462,5 +462,154 @@ def search_rerank_2stage(spark, sf_dir):
             F.round(0.5 * norm + 0.5 * ce_r, 6).alias("final_score"),
         )
         .orderBy(F.desc("final_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_RM3_FB_DOCS = 10
+_RM3_EXP_TERMS = 5
+
+
+@register(
+    "search_rm3_expansion",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS term
+            FROM documents
+        ),
+        dl AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '')) AS doclen
+            FROM documents
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n, AVG(doclen) AS avg_len FROM dl
+        ),
+        q AS (SELECT unnest(['data', 'stream', 'join']) AS term),
+        dfq AS (
+            SELECT t.term, COUNT(DISTINCT t.doc_id) AS df
+            FROM tok t JOIN q ON t.term = q.term GROUP BY t.term
+        ),
+        tf AS (
+            SELECT t.doc_id, t.term, COUNT(*) AS tf
+            FROM tok t JOIN q ON t.term = q.term GROUP BY t.doc_id, t.term
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   SUM(
+                       ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                       * (tf.tf * ({_BM25_K1} + 1.0))
+                       / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                          + {_BM25_B} * dl.doclen / stats.avg_len))
+                   ) AS score
+            FROM tf
+            JOIN dfq ON tf.term = dfq.term
+            JOIN dl ON dl.doc_id = tf.doc_id, stats
+            GROUP BY tf.doc_id
+        ),
+        fb AS (
+            SELECT doc_id FROM scored
+            ORDER BY ROUND(score, 4) DESC, doc_id LIMIT {_RM3_FB_DOCS}
+        ),
+        exp_terms AS (
+            SELECT t.term FROM tok t JOIN fb USING (doc_id)
+            WHERE t.term NOT IN (SELECT term FROM q)
+            GROUP BY t.term
+            ORDER BY COUNT(*) DESC, t.term LIMIT {_RM3_EXP_TERMS}
+        ),
+        q2 AS (
+            SELECT term FROM q UNION SELECT term FROM exp_terms
+        ),
+        dfq2 AS (
+            SELECT t.term, COUNT(DISTINCT t.doc_id) AS df
+            FROM tok t JOIN q2 ON t.term = q2.term GROUP BY t.term
+        ),
+        tf2 AS (
+            SELECT t.doc_id, t.term, COUNT(*) AS tf
+            FROM tok t JOIN q2 ON t.term = q2.term GROUP BY t.doc_id, t.term
+        ),
+        scored2 AS (
+            SELECT tf2.doc_id,
+                   SUM(
+                       ln((stats.n - dfq2.df + 0.5) / (dfq2.df + 0.5) + 1.0)
+                       * (tf2.tf * ({_BM25_K1} + 1.0))
+                       / (tf2.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                          + {_BM25_B} * dl.doclen / stats.avg_len))
+                   ) AS score
+            FROM tf2
+            JOIN dfq2 ON tf2.term = dfq2.term
+            JOIN dl ON dl.doc_id = tf2.doc_id, stats
+            GROUP BY tf2.doc_id
+        )
+        SELECT doc_id, ROUND(score, 4) AS bm25
+        FROM scored2
+        ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    tags=("search", "bm25", "rm3", "prf", "ir"),
+)
+def search_rm3_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback query expansion (RM3-style, tf-based):
+    BM25 first pass -> top-10 feedback docs -> the 5 most frequent
+    non-query terms in the feedback set join the query -> full BM25
+    re-score with the expanded term set. Expansion selection uses exact
+    INTEGER term counts (not float relevance-model weights) so the
+    chosen term set can never flip on a summation-order ulp — the
+    engine/oracle boundary discipline the float-weight form lacks.
+    Scale: two ranked-retrieval passes over the same postings explode;
+    the feedback set and expansion terms are k-row broadcasts; df/tf
+    shuffles are term-keyed partial aggregations."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = docs.select("doc_id", token_count(F.col("text")).alias("doclen"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("doclen").alias("avg_len"))
+
+    def bm25_scores(qterm_df):
+        qt = tok.join(F.broadcast(qterm_df), "term")
+        dfq = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        tf = qt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        idf = F.log(
+            (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        denom = F.col("tf") + _BM25_K1 * (
+            1.0 - _BM25_B + _BM25_B * F.col("doclen") / F.col("avg_len")
+        )
+        return (
+            tf.join(F.broadcast(dfq), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom
+                ).alias("score")
+            )
+        )
+
+    q0 = values_dim(
+        spark, [(t,) for t in _QUERY_TERMS], "term string"
+    )
+    fb = (
+        bm25_scores(q0)
+        .orderBy(F.desc(F.round("score", 4)), F.asc("doc_id"))
+        .limit(_RM3_FB_DOCS)
+        .select("doc_id")
+    )
+    exp_terms = (
+        tok.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(_RM3_EXP_TERMS)
+        .select("term")
+    )
+    q2 = q0.unionByName(exp_terms).distinct()
+    return (
+        bm25_scores(q2)
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
     )
