@@ -175,3 +175,72 @@ def cluster_geo_pipeline(spark, sf_dir):
     return stats.join(F.broadcast(top), "cluster_id").select(
         "cluster_id", "size", "centroid_lat", "centroid_lon", "top_neighborhood"
     )
+
+
+def _geohash_oracle() -> str:
+    from ..functions.geohash import geohash_stages
+
+    cx, cy, value, chars = geohash_stages("lat", "lon", precision=6)
+    return f"""
+        WITH pts AS (
+            SELECT user_id,
+                   40.60 + CAST(user_id % 37 AS DOUBLE) / 100.0 AS lat,
+                   -74.00 + CAST(user_id % 23 AS DOUBLE) / 100.0 AS lon
+            FROM events WHERE event_type = 'purchase'
+        ), s1 AS (
+            SELECT user_id, {cx} AS gh_cx, {cy} AS gh_cy FROM pts
+        ), s2 AS (
+            SELECT user_id, {value} AS gh_v FROM s1
+        ), g AS (
+            SELECT user_id, {chars} AS geohash FROM s2
+        )
+        SELECT geohash,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM g GROUP BY geohash
+        ORDER BY n_events DESC, geohash LIMIT 20
+    """
+
+
+@register(
+    "geo_geohash_rollup",
+    oracle=_geohash_oracle(),
+    tags=("geo", "geohash", "blocking"),
+)
+def geo_geohash_rollup(spark, sf_dir):
+    """Geohash-6 hot-cell rollup over the purchase lattice: the encode
+    is generated closed-form integer SQL (functions/geohash.py — bit
+    interleave + base32, validated against the canonical u4pruydqqvj
+    test vector), chained as three projections so each stage computes
+    once and stays in whole-stage codegen. Geohash prefixes are the
+    public-format spatial blocking key: a prefix equi-join replaces a
+    quadratic distance join, exactly the eps-grid trick grid_dbscan
+    uses, but exchangeable with external systems. One groupBy shuffle
+    on the cell key; TakeOrdered top-20."""
+    from ..functions.geohash import geohash_stages
+
+    cx, cy, value, chars = geohash_stages("lat", "lon", precision=6)
+    pts = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .selectExpr(
+            "user_id",
+            "40.60D + CAST(user_id % 37 AS DOUBLE) / 100.0D AS lat",
+            "-74.00D + CAST(user_id % 23 AS DOUBLE) / 100.0D AS lon",
+        )
+    )
+    g = (
+        pts.withColumn("gh_cx", F.expr(cx))
+        .withColumn("gh_cy", F.expr(cy))
+        .withColumn("gh_v", F.expr(value))
+        .withColumn("geohash", F.expr(chars))
+    )
+    return (
+        g.groupBy("geohash")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("geohash"))
+        .limit(20)
+    )

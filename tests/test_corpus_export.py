@@ -120,3 +120,36 @@ def test_skyline_is_exact_pareto_frontier(spark, sf_dir):
         for r in SPECS["skyline_user_activity"].fn(spark, sf_dir).collect()
     }
     assert got == expect and got
+
+
+def test_geohash_sql_matches_python_twin(spark):
+    """The generated closed-form geohash SQL must equal the Python twin
+    (itself pinned to the canonical u4pruydqqvj test vector) across a
+    lat/lon grid including cell-edge values."""
+    from bigdatanycdiseasesurveillance_spark.functions.geohash import (
+        geohash_py,
+        geohash_stages,
+    )
+    from bigdatanycdiseasesurveillance_spark.tables import values_dim
+
+    assert geohash_py(57.64911, 10.40744, 11) == "u4pruydqqvj"
+    pts = [
+        (40.7484, -73.9857),
+        (-90.0, -180.0),
+        (89.999999, 179.999999),
+        (0.0, 0.0),
+        (40.60, -74.00),
+        (-33.8688, 151.2093),
+    ]
+    cx, cy, value, chars = geohash_stages("lat", "lon", precision=6)
+    df = (
+        values_dim(
+            spark, [(float(a), float(b)) for a, b in pts], "lat double, lon double"
+        )
+        .selectExpr("lat", "lon", f"{cx} AS gh_cx", f"{cy} AS gh_cy")
+        .selectExpr("lat", "lon", f"{value} AS gh_v")
+        .selectExpr("lat", "lon", f"{chars} AS gh")
+    )
+    got = {(r["lat"], r["lon"]): r["gh"] for r in df.collect()}
+    for a, b in pts:
+        assert got[(a, b)] == geohash_py(a, b, 6), (a, b)
