@@ -70,32 +70,76 @@ def _driver_coverage() -> set[str]:
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    green: set[str] = set()
+    sampled: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
             with open(path) as fh:
                 for name, row in json.load(fh).items():
+                    sampled.add(name)
                     # only GREEN rows count as covered: a query that was
                     # sampled but failed (then fixed) still needs a green
                     # driver row, so it must stay in the priority tier
                     if row.get("hash_match") or (
                         row.get("err") == "no_oracle" and row.get("spark_rows")
                     ):
-                        seen.add(name)
+                        green.add(name)
         except Exception as exc:  # malformed round artifact — ordering hint only
             logging.getLogger(__name__).warning(
                 "ignoring unreadable coverage artifact %s: %s", path, exc
             )
-    return seen
+    return green, sampled
 
 
 def all_specs() -> dict[str, QuerySpec]:
     # Import the query modules for their registration side effects.
     from . import queries  # noqa: F401
 
-    # Stable order, never-driver-sampled specs first: registration order
-    # within each tier, so repeat calls (and rounds) agree.
-    seen = _driver_coverage()
+    # Stable order, four tiers for drivers that sample a prefix:
+    #   1. sampled-but-never-green (a past round's failure, since fixed):
+    #      the highest-priority re-certification targets;
+    #   2. this round's new operators (never sampled, no external
+    #      verification yet) — the explicit list below, updated when a
+    #      build round adds queries;
+    #   3. older never-sampled entries (most were judge-re-run in past
+    #      rounds), registration order;
+    #   4. green-covered, registration order.
+    # Repeat calls (and rounds) agree given the same artifacts.
+    green, sampled = _driver_coverage()
     idx = {n: i for i, n in enumerate(_REGISTRY)}
-    ordered = sorted(_REGISTRY, key=lambda n: (n in seen, idx[n]))
+    recent = {n: i for i, n in enumerate(_ROUND_NEW)}
+
+    def key(n: str):
+        if n in green:
+            return (3, idx[n])
+        if n in sampled:
+            return (0, idx[n])
+        if n in recent:
+            return (1, recent[n])
+        return (2, idx[n])
+
+    ordered = sorted(_REGISTRY, key=key)
     return {n: _REGISTRY[n] for n in ordered}
+
+
+# Queries added in the current build round (tier 2 above). Names that
+# have since gone green sort into tier 4 automatically, so stale
+# entries here are harmless.
+_ROUND_NEW = (
+    "txt_chunk_boilerplate",
+    "win_global_rank_ranged",
+    "samp_group_reservoir",
+    "export_shard_manifest",
+    "skyline_user_activity",
+    "stream_foreachbatch_upsert",
+    "stream_surveillance_e2e",
+    "ts_holt_winters",
+    "attr_multi_touch",
+    "dq_l_diversity",
+    "inc_join_delta_maintenance",
+    "dq_observe_metrics",
+    "scalar_variant_props",
+    "cur_decontaminate_spans",
+    "search_rm3_expansion",
+    "geo_geohash_rollup",
+)
