@@ -430,3 +430,85 @@ def join_scd2_point_in_time(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "lts", F.col("matched_utype").alias("type_at_lookup")
     )
+
+
+_RC_WIN = 7
+
+
+@register(
+    "win_rolling_corr",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ), w AS (
+            SELECT day, x, y,
+                   COUNT(*) OVER win AS n,
+                   SUM(x) OVER win AS sx,
+                   SUM(y) OVER win AS sy,
+                   SUM(x * x) OVER win AS sxx,
+                   SUM(y * y) OVER win AS syy,
+                   SUM(x * y) OVER win AS sxy
+            FROM daily
+            WINDOW win AS (ORDER BY day ROWS BETWEEN {_RC_WIN - 1} PRECEDING
+                           AND CURRENT ROW)
+        )
+        SELECT day, x, y,
+               CASE WHEN n >= {_RC_WIN}
+                         AND (n * sxx - sx * sx) > 0
+                         AND (n * syy - sy * sy) > 0
+                    THEN ROUND(
+                        (n * sxy - sx * sy)
+                        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 4)
+                    END AS rolling_corr
+        FROM w
+    """,
+    tags=("window", "timeseries", "correlation"),
+)
+def win_rolling_corr(spark, sf_dir):
+    """Rolling 7-day Pearson correlation between the click and purchase
+    daily series — the co-movement monitor behind "are informal signals
+    tracking official ones this week" (the reference's
+    official-vs-informal comparison, windowed). All five windowed sums
+    are over INTEGER counts, so the correlation's numerator and both
+    variance terms are exact integers at any summation order — the only
+    float ops are two sqrts and one division on identical operands,
+    which both engines evaluate bit-for-bit. One day-grain shuffle;
+    window state is 7 rows."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    win = Window.orderBy("day").rowsBetween(-(_RC_WIN - 1), 0)
+    w = (
+        daily.withColumn("n", F.count("*").over(win))
+        .withColumn("sx", F.sum("x").over(win))
+        .withColumn("sy", F.sum("y").over(win))
+        .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(win))
+        .withColumn("syy", F.sum(F.col("y") * F.col("y")).over(win))
+        .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(win))
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.round(
+        num / F.sqrt(vx.cast("double")) / F.sqrt(vy.cast("double")), 4
+    )
+    return w.select(
+        "day",
+        "x",
+        "y",
+        F.when((F.col("n") >= _RC_WIN) & (vx > 0) & (vy > 0), corr).alias(
+            "rolling_corr"
+        ),
+    )

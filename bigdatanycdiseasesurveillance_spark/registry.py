@@ -142,4 +142,5 @@ _ROUND_NEW = (
     "cur_decontaminate_spans",
     "search_rm3_expansion",
     "geo_geohash_rollup",
+    "win_rolling_corr",
 )
