@@ -59,10 +59,10 @@ def register(
     return deco
 
 
-def _driver_coverage() -> set[str]:
-    """Query names already green-checked by past correctness rounds
+def _driver_coverage() -> tuple[set[str], set[str]]:
+    """(green, sampled) query-name sets from past correctness rounds
     (CORRECTNESS_r*.json at the repo root). Used only to order the
-    registry so never-yet-sampled queries surface first for drivers that
+    registry so the neediest specs surface first for drivers that
     sample a prefix; sampling is otherwise out of our control."""
     import glob
     import json
