@@ -17,10 +17,11 @@ count, which is precisely what makes the scale trick safely testable.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import table
+from ..tables import table, values_dim
 
 
 @register(
@@ -220,3 +221,83 @@ def graph_pagerank_nations(spark, sf_dir):
     return ranks.join(F.broadcast(n), ranks.k == n.n_nationkey).select(
         F.col("n_name").alias("nation"), F.round("pr", 6).alias("pagerank")
     )
+
+
+_BFS_TOPK = 3
+_BFS_MAX_HOPS = 25
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+        WITH RECURSIVE e0 AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey
+            GROUP BY 1, 2
+        ), e AS (
+            SELECT src, dst FROM e0
+            QUALIFY row_number() OVER (
+                PARTITION BY src ORDER BY w DESC, dst) <= {_BFS_TOPK}
+        ), walk(node, d) AS (
+            SELECT CAST(0 AS BIGINT), 0
+            UNION
+            SELECT e.dst, w.d + 1
+            FROM walk w JOIN e ON e.src = w.node
+            WHERE w.d < {_BFS_MAX_HOPS}
+        )
+        SELECT node AS nationkey, CAST(MIN(d) AS BIGINT) AS hops
+        FROM walk GROUP BY node
+    """,
+    tags=("graph", "bfs", "iterative"),
+)
+def graph_bfs_hops(spark, sf_dir):
+    """BFS hop levels from nation 0 over the top-3-strongest-partner
+    trade graph (per-source top-k by exact integer edge weight, dst
+    tie-break — deterministic and scale-free where a fixed weight
+    threshold is not). Same scale split as PageRank: the edge build is
+    the heavy distributed part (three fact joins, run once, cached);
+    the traversal then iterates on node-sized frontiers — each hop is
+    one tiny broadcast join + anti-join, with a scalar emptiness probe
+    per level (bounded by graph diameter, the CC-convergence
+    precedent). Unreachable nations are simply absent, matching the
+    recursive-CTE oracle."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    wtop = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    edges = (
+        e0.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= _BFS_TOPK)
+        .select("src", "dst")
+        .cache()
+    )
+    dist = values_dim(spark, [(0, 0)], "node bigint, hops bigint")
+    frontier = dist
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), F.lit(hop).cast("long").alias("hops"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .cache()
+        )
+        if nxt.limit(1).count() == 0:  # frontier exhausted — diameter reached
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist.select(F.col("node").alias("nationkey"), "hops")

@@ -143,4 +143,5 @@ _ROUND_NEW = (
     "search_rm3_expansion",
     "geo_geohash_rollup",
     "win_rolling_corr",
+    "graph_bfs_hops",
 )
