@@ -1,6 +1,6 @@
 """Targeted gate: run ONLY the named queries against their oracles.
 
-Usage: cd /tmp && python /root/repo/tools/gate_one.py name1 name2 [--sf DIR]
+Usage: cd /tmp && python /root/repo/tools/gate_one.py name1 name2 [--sf DIR] [--cpus N]
 
 Same normalization as gate_sim.py; for iterating on new queries without
 paying the full 197-query sweep.
@@ -22,6 +22,11 @@ if "--sf" in args:
     i = args.index("--sf")
     SF = args[i + 1]
     args = args[:i] + args[i + 2:]
+CPUS = 8
+if "--cpus" in args:
+    i = args.index("--cpus")
+    CPUS = int(args[i + 1])
+    args = args[:i] + args[i + 2:]
 NAMES = args
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -29,7 +34,7 @@ from gate_sim_lib import norm_rows  # noqa: E402  (shared normalization)
 
 
 def main():
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark = SparkSession.builder.master(f"local[{CPUS}]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
