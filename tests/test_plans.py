@@ -399,3 +399,15 @@ def test_global_rank_single_partition_only_for_offsets(spark, sf_dir):
     # single-partition exchange of the tiny counts table for the
     # prefix sum + day hash-exchange for the per-bucket local window
     assert shuffle_count(df) <= 3, plan
+
+
+def test_ivf_search_uses_prebuilt_index(spark, sf_dir):
+    """IVF query-time contract (the round-3 scale-killer, fixed): the
+    search must NOT rebuild centroids — no explode/aggregation pass
+    over the embedding corpus at query time. Pin: zero Generate
+    (posexplode) nodes and exactly ONE scan of the embeddings table
+    (the pruned candidate read)."""
+    df = q("ann_ivf_search", spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Generate" not in plan, plan
+    assert plan.count("embeddings.parquet") == 1, plan
