@@ -410,3 +410,84 @@ def txt_skipgram_cooc(spark, sf_dir):
             "cnt",
         )
     )
+
+
+# GPT-2-style pretokenizer, restricted to the regex subset Java (Spark)
+# and RE2 (DuckDB) tokenize IDENTICALLY: contractions, space-prefixed
+# letter runs, space-prefixed digit runs, punctuation runs, space runs.
+# (The original pattern's \s+(?!\S) lookahead is RE2-unsupported and is
+# subsumed here by the trailing branches.)
+_BPE_PAT = r"'(?:s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
+@register(
+    "txt_bpe_pretoken_stats",
+    oracle=f"""
+        WITH toks AS (
+            SELECT event_type,
+                   unnest(regexp_extract_all(props,
+                          '{_BPE_PAT.replace("'", "''")}')) AS tok
+            FROM events
+        ), counts AS (
+            SELECT event_type, tok, COUNT(*) AS cnt
+            FROM toks GROUP BY 1, 2
+        ), top AS (
+            SELECT event_type, tok AS top_pretoken, cnt AS top_cnt
+            FROM counts
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type ORDER BY cnt DESC, tok) = 1
+        )
+        SELECT c.event_type,
+               CAST(SUM(c.cnt) AS BIGINT) AS total_pretokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               MIN(t.top_pretoken) AS top_pretoken,
+               CAST(MIN(t.top_cnt) AS BIGINT) AS top_cnt
+        FROM counts c JOIN top t USING (event_type)
+        GROUP BY c.event_type
+    """,
+    tags=("text", "tokenizer", "bpe", "llm-prep"),
+)
+def txt_bpe_pretoken_stats(spark, sf_dir):
+    """BPE-style pretokenization (the GPT-2 pretokenizer regex,
+    restricted to the Java/RE2-identical subset) over the JSON props
+    payloads — the token-count estimator an LLM-data pipeline runs
+    before committing to a real BPE pass: contractions, space-glued
+    word/digit runs, punctuation runs. Per event type: total and
+    distinct pretokens plus the modal pretoken (deterministic
+    tie-break). All-integer outputs; one explode + two term-keyed
+    aggregations, whole-stage codegen (regexp_extract_all is
+    JVM-native — the brief's 'BPE-ish regex' token counter without a
+    Python tokenizer in the scan path)."""
+    ev = table(spark, sf_dir, "events")
+    toks = ev.select(
+        "event_type",
+        F.explode(
+            F.regexp_extract_all("props", F.lit(_BPE_PAT), F.lit(0))
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("event_type", "tok").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("tok"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("tok").alias("top_pretoken"),
+            F.col("cnt").alias("top_cnt"),
+        )
+    )
+    return (
+        counts.groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("total_pretokens"),
+            F.count("*").cast("long").alias("n_distinct"),
+        )
+        .join(F.broadcast(top), "event_type")
+        .select(
+            "event_type",
+            "total_pretokens",
+            "n_distinct",
+            "top_pretoken",
+            F.col("top_cnt").cast("long").alias("top_cnt"),
+        )
+    )

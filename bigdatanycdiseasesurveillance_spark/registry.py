@@ -144,4 +144,5 @@ _ROUND_NEW = (
     "geo_geohash_rollup",
     "win_rolling_corr",
     "graph_bfs_hops",
+    "txt_bpe_pretoken_stats",
 )
