@@ -301,3 +301,87 @@ def graph_bfs_hops(spark, sf_dir):
         dist = dist.unionByName(nxt)
         frontier = nxt
     return dist.select(F.col("node").alias("nationkey"), "hops")
+
+
+@register(
+    "tree_subtree_rollup",
+    oracle="""
+        WITH RECURSIVE v AS (
+            SELECT user_id AS u,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1
+        ), walk AS (
+            SELECT u AS root, u AS node FROM v
+            UNION ALL
+            SELECT w.root, c.u
+            FROM walk w JOIN v c ON c.u > 0 AND (c.u - 1) // 2 = w.node
+        )
+        SELECT w.root AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_subtree,
+               CAST(SUM(n.cents) AS BIGINT) AS subtree_cents
+        FROM walk w JOIN v n ON n.u = w.node
+        GROUP BY w.root
+    """,
+    tags=("graph", "tree", "hierarchy", "iterative"),
+)
+def tree_subtree_rollup(spark, sf_dir):
+    """Hierarchy rollup (BOM explosion / org-chart subtree totals): the
+    user population forms a heap-numbered tree (parent(u) = (u-1) div
+    2), and every node reports its subtree size and subtree value in
+    exact cents. Engine form: LEAF-PRUNING level-synchronous
+    aggregation — each round, nodes with no unprocessed children fold
+    their accumulated totals into their parent and retire; rounds =
+    tree depth (log n), every round one anti-join + one parent-keyed
+    groupBy on the node-sized table, never a path-enumeration join
+    (the oracle's recursive descendant walk materializes n x depth
+    rows — fine for the oracle, wrong at 1e9 nodes). The per-level
+    scalar emptiness probe is the CC-convergence precedent."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    nodes = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").cast("long").alias("node"))
+        .agg(F.sum(cents).alias("sub_v"), F.lit(1).cast("long").alias("n"))
+        .withColumn(
+            "parent",
+            F.when(F.col("node") > 0, F.expr("(node - 1) DIV 2")),
+        )
+        .cache()
+    )
+    cur = nodes.select("node", "parent", "sub_v", F.col("n").alias("n_subtree"))
+    done = None
+    for _ in range(40):  # bound >> any realistic depth; loop exits at root
+        # localCheckpoint truncates lineage: each round references the
+        # previous frame ~3x, so without truncation the logical plan
+        # grows 3^depth and the driver OOMs building plan strings
+        cur = cur.localCheckpoint(eager=True)
+        children = cur.select(F.col("parent").alias("cnode")).distinct()
+        leaves = cur.join(
+            children, cur.node == children.cnode, "left_anti"
+        ).localCheckpoint(eager=True)
+        if leaves.limit(1).count() == 0:
+            break
+        done = leaves if done is None else done.unionByName(leaves)
+        pushed = leaves.filter(F.col("parent").isNotNull()).groupBy(
+            F.col("parent").alias("tnode")
+        ).agg(
+            F.sum("sub_v").alias("add_v"), F.sum("n_subtree").alias("add_n")
+        )
+        rest = cur.join(leaves.select("node"), "node", "left_anti")
+        cur = rest.join(
+            F.broadcast(pushed), rest.node == pushed.tnode, "left"
+        ).select(
+            "node",
+            "parent",
+            (F.col("sub_v") + F.coalesce(F.col("add_v"), F.lit(0))).alias(
+                "sub_v"
+            ),
+            (
+                F.col("n_subtree") + F.coalesce(F.col("add_n"), F.lit(0))
+            ).alias("n_subtree"),
+        )
+    return done.select(
+        F.col("node").alias("user_id"),
+        "n_subtree",
+        F.col("sub_v").alias("subtree_cents"),
+    )

@@ -145,4 +145,5 @@ _ROUND_NEW = (
     "win_rolling_corr",
     "graph_bfs_hops",
     "txt_bpe_pretoken_stats",
+    "tree_subtree_rollup",
 )
