@@ -289,16 +289,19 @@ def graph_bfs_hops(spark, sf_dir):
     dist = values_dim(spark, [(0, 0)], "node bigint, hops bigint")
     frontier = dist
     for hop in range(1, _BFS_MAX_HOPS + 1):
+        # localCheckpoint truncates lineage: dist/frontier otherwise
+        # embed every prior level's plan and double per hop (the
+        # connected-components precedent in operators/dedup.py)
         nxt = (
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"), F.lit(hop).cast("long").alias("hops"))
             .distinct()
             .join(dist, "node", "left_anti")
-            .cache()
+            .localCheckpoint(eager=True)
         )
         if nxt.limit(1).count() == 0:  # frontier exhausted — diameter reached
             break
-        dist = dist.unionByName(nxt)
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return dist.select(F.col("node").alias("nationkey"), "hops")
 
