@@ -10,11 +10,10 @@ from ..registry import register
 from ..tables import table
 
 
-def _kmeans_oracle(k: int = 5, iters: int = 8) -> str:
-    """Replay lloyd_kmeans_2d exactly: deterministic smallest-id init,
-    nearest-centroid assignment with ties to the smallest cluster id,
-    per-iteration centroid means rounded to 6 decimals (so cross-engine
-    float-sum drift cannot compound), fixed iteration count."""
+def _kmeans_assign_cte(k: int = 5, iters: int = 8) -> str:
+    """The lloyd_kmeans_2d replay as a CTE chain ending in s{iters}
+    (pid, x, y, cid) — shared by the kmeans profile oracle and the
+    SemDeDup oracle."""
     parts = [
         """WITH pts AS (
             SELECT vec_id AS pid,
@@ -43,16 +42,21 @@ def _kmeans_oracle(k: int = 5, iters: int = 8) -> str:
             FROM s{t} GROUP BY cid
         )""".format(t=t, p=t - 1)
         )
-    parts.append(
-        """
+    return "".join(parts)
+
+
+def _kmeans_oracle(k: int = 5, iters: int = 8) -> str:
+    """Replay lloyd_kmeans_2d exactly: deterministic smallest-id init,
+    nearest-centroid assignment with ties to the smallest cluster id,
+    per-iteration centroid means rounded to 6 decimals (so cross-engine
+    float-sum drift cannot compound), fixed iteration count."""
+    return _kmeans_assign_cte(k, iters) + """
         SELECT CAST(cid AS BIGINT) AS cluster_id,
                CAST(COUNT(*) AS BIGINT) AS size,
                ROUND(AVG(x), 4) AS centroid_x,
                ROUND(AVG(y), 4) AS centroid_y
         FROM s{t} GROUP BY cid
         """.format(t=iters)
-    )
-    return "".join(parts)
 
 
 @register(
@@ -249,4 +253,80 @@ def mm_decode_pipeline(spark, sf_dir):
         F.sum("n_bytes").cast("long").alias("total_bytes"),
         F.round(F.avg("target_w"), 2).alias("avg_target_w"),
         F.sum("n_sampled").cast("long").alias("total_sampled_frames"),
+    )
+
+
+_SEMDEDUP_T = 0.35
+
+
+def _semdedup_oracle() -> str:
+    return _kmeans_assign_cte(5, 8) + f"""
+        , emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), sim_pairs AS (
+            SELECT a.cid, a.pid AS id_a, b.pid AS id_b
+            FROM s8 a JOIN s8 b ON a.cid = b.cid AND a.pid < b.pid
+            JOIN emb ea ON ea.vec_id = a.pid
+            JOIN emb eb ON eb.vec_id = b.pid
+            WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4)
+                  >= {_SEMDEDUP_T}
+        ), dropped AS (
+            SELECT DISTINCT cid, id_b AS pid FROM sim_pairs
+        )
+        SELECT CAST(s.cid AS BIGINT) AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CASE WHEN d.pid IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN d.pid IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept
+        FROM s8 s LEFT JOIN dropped d ON d.cid = s.cid AND d.pid = s.pid
+        GROUP BY s.cid
+    """
+
+
+@register(
+    "dedup_semdedup_profile",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "semdedup", "cluster", "M3", "M8", "composed", "llm-prep"),
+)
+def dedup_semdedup_profile(spark, sf_dir):
+    """SemDeDup (Abbas et al.'s cluster-then-dedup recipe, the
+    published scale path for semantic dedup): k-means clusters bound
+    the candidate space, then full-vector cosine pairs form ONLY
+    within clusters, and a vector is dropped when a lower-id
+    cluster-mate sits above the similarity threshold (keep-first —
+    deterministic, no CC needed). Composes the two proven tiers
+    (deterministic Lloyd k-means + blocked cosine pairs, both
+    individually oracle-green) into the named pipeline; per-cluster
+    kept/dropped counts. Scale: clustering is the global pass;
+    pairwise work is per-cluster quadratic — the knob (k) that trades
+    recall for cost, never corpus x corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    assigned = C.lloyd_kmeans_2d(pts, k=5, iters=8)
+    from ..operators.dedup import embedding_cosine_pairs
+
+    embc = emb.join(assigned, "vec_id")
+    pairs = embedding_cosine_pairs(
+        embc, block_col="cluster_id", threshold=_SEMDEDUP_T
+    )
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct().withColumn(
+        "is_dropped", F.lit(True)
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(F.when(F.col("is_dropped"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("is_dropped").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
     )

@@ -146,4 +146,5 @@ _ROUND_NEW = (
     "graph_bfs_hops",
     "txt_bpe_pretoken_stats",
     "tree_subtree_rollup",
+    "dedup_semdedup_profile",
 )
