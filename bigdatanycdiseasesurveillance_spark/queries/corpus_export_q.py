@@ -83,10 +83,16 @@ def txt_chunk_boilerplate(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(w) / F.lit(float(_CHUNK))).cast("int")
-    chunk_arr = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(w, i * _CHUNK + 1, _CHUNK), " "),
-    )
+    # guard n_chunks == 0: Spark's sequence(0, -1) yields a DESCENDING
+    # [0, -1] where DuckDB's range(0, 0) is empty — empty docs must
+    # produce zero chunks on both engines
+    chunk_arr = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(w, i * _CHUNK + 1, _CHUNK), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     chunks = docs.select(
         "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk")
     )
