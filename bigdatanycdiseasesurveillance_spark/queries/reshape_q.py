@@ -8,6 +8,7 @@ DuckDB's IS NOT DISTINCT FROM.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -204,3 +205,87 @@ def src_schema_evolution_merge(spark, sf_dir):
         F.countDistinct("event_type").cast("long").alias("n_types"),
         F.sum("event_id").cast("long").alias("id_checksum"),
     )
+
+
+@register(
+    "feat_quantile_normalize",
+    oracle="""
+        WITH src AS (
+            SELECT event_type, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ), gq AS (
+            SELECT value AS gval,
+                   ROW_NUMBER() OVER (ORDER BY value, event_id) AS grank
+            FROM events
+        ), tot AS (SELECT COUNT(*) AS big_n FROM events),
+        mapped AS (
+            SELECT s.event_type, s.rn, s.n,
+                   ((s.rn - 1) * (t.big_n - 1)) // (s.n - 1) + 1 AS grank
+            FROM src s, tot t WHERE s.n > 1
+        ), probes AS (
+            SELECT m.event_type,
+                   CASE WHEN m.rn = 1 THEN 'p0'
+                        WHEN m.rn = (m.n + 1) // 2 THEN 'p50'
+                        WHEN m.rn = m.n THEN 'p100' END AS probe,
+                   g.gval
+            FROM mapped m JOIN gq g ON g.grank = m.grank
+            WHERE m.rn IN (1, (m.n + 1) // 2, m.n)
+        )
+        SELECT event_type, probe, ROUND(gval, 2) AS normalized_value
+        FROM probes
+    """,
+    tags=("feature", "quantile-normalize", "reshape"),
+)
+def feat_quantile_normalize(spark, sf_dir):
+    """Quantile normalization across strata (the ML-preprocessing
+    transform that maps each stratum's value distribution onto the
+    GLOBAL distribution): a row at within-stratum rank rn maps to the
+    global value at rank floor((rn-1)(N-1)/(n-1)) + 1 — exact integer
+    rank arithmetic, so the mapping can never drift on a float
+    boundary. Emitted as min/median/max probes per stratum (the
+    transform applied at three pinned ranks). Scale: the per-stratum
+    window shuffles on the stratum key; the GLOBAL ranking here uses a
+    single-partition window for oracle parity, with
+    win_global_rank_ranged's range-bucket offset rewrite as the
+    documented production substitution (identical output by
+    construction)."""
+    ev = table(spark, sf_dir, "events")
+    wsrc = Window.partitionBy("event_type").orderBy("value", "event_id")
+    src = (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("rn", F.row_number().over(wsrc))
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy("event_type"))
+        )
+    )
+    glob = ev.select(
+        F.col("value").alias("gval"),
+        F.row_number()
+        .over(Window.orderBy("value", "event_id"))
+        .alias("grank"),
+    )
+    big_n = ev.count()
+    mapped = src.filter(F.col("n") > 1).withColumn(
+        "grank",
+        F.expr(f"(rn - 1) * ({big_n} - 1) DIV (n - 1) + 1"),
+    )
+    probes = (
+        mapped.filter(
+            (F.col("rn") == 1)
+            | (F.col("rn") == F.expr("(n + 1) DIV 2"))
+            | (F.col("rn") == F.col("n"))
+        )
+        .join(glob, "grank")
+        .select(
+            "event_type",
+            F.when(F.col("rn") == 1, "p0")
+            .when(F.col("rn") == F.expr("(n + 1) DIV 2"), "p50")
+            .otherwise("p100")
+            .alias("probe"),
+            F.round("gval", 2).alias("normalized_value"),
+        )
+    )
+    return probes

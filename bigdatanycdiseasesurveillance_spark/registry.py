@@ -147,4 +147,5 @@ _ROUND_NEW = (
     "txt_bpe_pretoken_stats",
     "tree_subtree_rollup",
     "dedup_semdedup_profile",
+    "feat_quantile_normalize",
 )

@@ -575,7 +575,11 @@ def streaming_foreachbatch_upsert(
     (per-row ON CONFLICT DO UPDATE), distributed.
 
     `gold_dir` is exposed so tests can assert the per-batch version
-    trail (one committed gold version per micro-batch)."""
+    trail (one committed gold version per micro-batch). The staging
+    write exists only to manufacture real micro-batches in the sandbox
+    (one parquet table = one availableNow batch otherwise); production
+    points the readStream at the actual landing directory and stages
+    nothing."""
     import tempfile
 
     from ..sources import sinks as SK
