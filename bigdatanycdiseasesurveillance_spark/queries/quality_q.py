@@ -906,3 +906,78 @@ def dq_observe_metrics(spark, sf_dir):
         "n_rows bigint, sum_value_cents bigint, n_clicks bigint,"
         " max_value_cents bigint",
     )
+
+
+def _calibration_oracle() -> str:
+    from ..operators.relevance import (
+        HAZARD_VOCAB,
+        PRIMARY_VOCAB,
+        SECONDARY_VOCAB,
+    )
+
+    def arr(vocab):
+        return "[" + ", ".join(f"'{k}'" for k in vocab) + "]"
+
+    return f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len(list_filter({arr(PRIMARY_VOCAB)},
+                                   k -> contains(lower(text), k))) AS np,
+                   len(list_filter({arr(SECONDARY_VOCAB)},
+                                   k -> contains(lower(text), k))) AS ns,
+                   len(list_filter({arr(HAZARD_VOCAB)},
+                                   k -> contains(lower(text), k))) AS nh,
+                   length(text) AS lt
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(ROUND(LEAST(0.9, 0.25 * np + 0.1 * ns) * 100)
+                        AS BIGINT) AS conf_pct,
+                   CASE WHEN lt >= 5 AND (np > 0 OR ns >= 2 OR nh > 0)
+                        THEN 1 ELSE 0 END AS y
+            FROM m
+        )
+        SELECT CAST(conf_pct // 10 AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(conf_pct) * 1.0 / COUNT(*) / 100.0, 4)
+                   AS mean_confidence,
+               ROUND(SUM(y) * 1.0 / COUNT(*), 4) AS frac_relevant
+        FROM scored GROUP BY 1
+    """
+
+
+@register(
+    "eval_calibration_bins",
+    oracle=_calibration_oracle(),
+    tags=("eval", "calibration", "relevance"),
+)
+def eval_calibration_bins(spark, sf_dir):
+    """Reliability diagram for the relevance stage's confidence score:
+    decile bins of confidence vs the realized relevant fraction — the
+    model-evaluation check that says whether 'confidence 0.7' MEANS
+    70% (the reference publishes confidence,
+    relevance_consumer.py:251-264, but never audits it). Confidence is
+    carried as exact integer percent (ROUND(conf*100)) so bin
+    membership and both ratios are integer arithmetic at any
+    summation order; only the two final divisions touch floats, on
+    identical operands in both engines. One tiny-key groupBy."""
+    from ..operators.relevance import extract_relevance
+
+    d = extract_relevance(table(spark, sf_dir, "documents"))
+    conf_pct = F.round(F.col("confidence") * 100).cast("long")
+    scored = d.select(
+        conf_pct.alias("conf_pct"),
+        F.col("is_relevant").cast("int").alias("y"),
+    )
+    return (
+        scored.groupBy(F.expr("conf_pct DIV 10").cast("long").alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum("conf_pct") * 1.0 / F.count("*") / 100.0, 4
+            ).alias("mean_confidence"),
+            F.round(F.sum("y") * 1.0 / F.count("*"), 4).alias(
+                "frac_relevant"
+            ),
+        )
+    )

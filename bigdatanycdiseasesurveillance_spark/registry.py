@@ -148,4 +148,5 @@ _ROUND_NEW = (
     "tree_subtree_rollup",
     "dedup_semdedup_profile",
     "feat_quantile_normalize",
+    "eval_calibration_bins",
 )
