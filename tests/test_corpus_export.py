@@ -153,3 +153,47 @@ def test_geohash_sql_matches_python_twin(spark):
     got = {(r["lat"], r["lon"]): r["gh"] for r in df.collect()}
     for a, b in pts:
         assert got[(a, b)] == geohash_py(a, b, 6), (a, b)
+
+
+def test_semdedup_partitions_each_cluster(spark, sf_dir):
+    """kept + dropped = cluster size, k clusters, totals cover the
+    corpus — the SemDeDup profile is a partition of the vectors."""
+    rows = SPECS["dedup_semdedup_profile"].fn(spark, sf_dir).collect()
+    emb_n = table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_vecs"]
+    assert sum(r["n_vecs"] for r in rows) == emb_n
+
+
+def test_quantile_normalize_probe_bounds(spark, sf_dir):
+    """Every stratum's p0 probe maps to the global minimum and p100 to
+    the global maximum (rank mapping sends rn=1 -> grank=1 and rn=n ->
+    grank=N); p50 lies between them."""
+    from pyspark.sql import functions as F2
+
+    rows = SPECS["feat_quantile_normalize"].fn(spark, sf_dir).collect()
+    lo, hi = (
+        table(spark, sf_dir, "events")
+        .agg(F2.min("value"), F2.max("value"))
+        .first()
+    )
+    by = {}
+    for r in rows:
+        by.setdefault(r["event_type"], {})[r["probe"]] = r["normalized_value"]
+    for probes in by.values():
+        assert probes["p0"] == round(lo, 2)
+        assert probes["p100"] == round(hi, 2)
+        assert probes["p0"] <= probes["p50"] <= probes["p100"]
+
+
+def test_calibration_bins_cover_corpus(spark, sf_dir):
+    """Bin counts sum to the document count and confidences stay inside
+    their bins ([bin/10, bin/10 + 0.1))."""
+    rows = SPECS["eval_calibration_bins"].fn(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    for r in rows:
+        lo = r["bin"] / 10.0
+        assert lo <= r["mean_confidence"] <= lo + 0.1 + 1e-9, r
+        assert 0.0 <= r["frac_relevant"] <= 1.0
