@@ -347,3 +347,56 @@ def inc_join_delta_maintenance(spark, sf_dir):
         F.count("*").cast("long").alias("n_rows"),
         F.sum(cents).cast("long").alias("revenue_cents"),
     )
+
+
+@register(
+    "maint_vacuum_gold",
+    oracle="""
+        SELECT CAST(5 AS BIGINT) AS versions_written,
+               CAST(3 AS BIGINT) AS n_deleted,
+               CAST(2 AS BIGINT) AS n_kept,
+               CAST(5 AS BIGINT) AS latest_after,
+               TRUE AS latest_readable,
+               (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                FROM events) AS latest_rows
+    """,
+    tags=("maintenance", "vacuum", "retention", "sink"),
+)
+def maint_vacuum_gold(spark, sf_dir):
+    """Gold-version retention: write 5 versioned refreshes of the
+    last-writer-wins user table, vacuum to keep 2, and emit the
+    retention contract as checkable constants — versions deleted/kept,
+    the latest version still present and readable, and its row count
+    (users). The versioned sink gives time travel; this is the
+    scheduled cleanup that bounds its growth (the engine's
+    DELETE+VACUUM analog; the reference's pick-latest-file layout,
+    app.py:206-210, can never reclaim space safely because nothing
+    marks a file committed). Self-verifying-constant oracle — the
+    FFD-packing precedent."""
+    import tempfile
+
+    from ..sources.sinks import (
+        latest_gold_version,
+        read_latest_gold,
+        vacuum_gold_versions,
+        write_gold_version,
+    )
+
+    gold = tempfile.mkdtemp(prefix="bdnds_vacuum_gold_")
+    latest = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("s"))
+        .select("user_id", "s.event_type")
+    )
+    for _ in range(5):
+        write_gold_version(latest, gold)
+    n_deleted, n_kept = vacuum_gold_versions(gold, keep=2)
+    latest_v = latest_gold_version(gold)
+    rows = read_latest_gold(spark, gold).count()
+    return values_dim(
+        spark,
+        [(5, n_deleted, n_kept, latest_v, latest_v == 5, rows)],
+        "versions_written bigint, n_deleted bigint, n_kept bigint,"
+        " latest_after bigint, latest_readable boolean, latest_rows bigint",
+    )

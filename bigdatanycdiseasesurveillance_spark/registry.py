@@ -149,4 +149,5 @@ _ROUND_NEW = (
     "dedup_semdedup_profile",
     "feat_quantile_normalize",
     "eval_calibration_bins",
+    "maint_vacuum_gold",
 )

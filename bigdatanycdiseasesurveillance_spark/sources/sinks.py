@@ -212,3 +212,31 @@ def read_latest_gold(spark: SparkSession, base_dir: str) -> DataFrame:
     if v == 0:
         raise FileNotFoundError(f"no gold versions under {base_dir}")
     return spark.read.parquet(os.path.join(base_dir, f"version={v}"))
+
+
+def vacuum_gold_versions(base_dir: str, keep: int = 2) -> tuple[int, int]:
+    """Retention for the versioned gold sink: delete all but the newest
+    `keep` COMMITTED versions (plus any uncommitted partials, which a
+    crashed writer leaves behind). Returns (n_deleted, n_kept). The
+    versioned layout makes time travel possible but accretes a
+    directory per refresh — this is the scheduled cleanup that bounds
+    it, the engine's analog of DELETE+VACUUM on a table format."""
+    if not os.path.isdir(base_dir):
+        return (0, 0)
+    committed = []
+    partial = []
+    for d in os.listdir(base_dir):
+        if not d.startswith("version="):
+            continue
+        tail = d.split("=", 1)[1]
+        if not tail.isdigit():
+            continue
+        if os.path.exists(os.path.join(base_dir, d, "_SUCCESS")):
+            committed.append(int(tail))
+        else:
+            partial.append(int(tail))
+    committed.sort()
+    doomed = committed[:-keep] if keep > 0 else committed
+    for v in doomed + partial:
+        _remove_dir(os.path.join(base_dir, f"version={v}"))
+    return (len(doomed) + len(partial), len(committed) - len(doomed))
