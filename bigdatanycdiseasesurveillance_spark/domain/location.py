@@ -152,9 +152,15 @@ def enrich_with_location(
     sub_c, zip_c, text_c = _sig(subreddit_col), _sig(zip_col), _sig(text_col)
     lat_c, lon_c = _sig(lat_col, "DOUBLE"), _sig(lon_col, "DOUBLE")
 
+    def _slit(v: str) -> str:
+        # Same escaping as tables.values_dim: Spark's parser interprets
+        # backslash escapes inside string literals, and a dim value with
+        # an apostrophe ("hell's kitchen") must not break the SQL.
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+
     def _values(rows, names) -> str:
         def lit(v):
-            return f"'{v}'" if isinstance(v, str) else repr(float(v)) + "D"
+            return _slit(v) if isinstance(v, str) else repr(float(v)) + "D"
 
         body = ", ".join(
             "(" + ", ".join(lit(v) for v in r) + ")" for r in rows
@@ -163,7 +169,7 @@ def enrich_with_location(
 
     def _alias_case(pick) -> str:
         whens = " ".join(
-            f"WHEN instr(__text_lc, '{a}') > 0 THEN '{pick(a, n)}'"
+            f"WHEN instr(__text_lc, {_slit(a)}) > 0 THEN {_slit(pick(a, n))}"
             for a, n in ALIASES
         )
         return f"CASE {whens} ELSE NULL END"
@@ -173,13 +179,19 @@ def enrich_with_location(
     nz_rows = [(z, n[0], n[1]) for n in NEIGHBORHOODS for z in n[6]]
     bz_rows = [(p, b) for b, p in BOROUGH_ZIP_PREFIXES]
 
-    view = "__loc_enrich_records"
+    # uuid-suffixed view: a fixed name lets concurrent/nested enrichments
+    # in one session clobber each other's input between create and
+    # spark.sql, and leaks into session state. Analysis is eager, so the
+    # view can be dropped as soon as spark.sql returns the DataFrame.
+    import uuid
+
+    view = f"__loc_enrich_records_{uuid.uuid4().hex}"
     records.createOrReplaceTempView(view)
     out_cols = ", ".join(f"r.`{c}`" for c in cols)
     # the alias when-chain is computed ONCE in the `r` subquery:
     # inlining it into the three output expressions tripled the
     # generated-code size and was the dominant Janino-compile cost
-    return spark.sql(f"""
+    out = spark.sql(f"""
         SELECT /*+ BROADCAST(s), BROADCAST(n), BROADCAST(z), BROADCAST(p) */
                {out_cols},
                COALESCE(s.sub_nbhd, n.geo_nbhd, z.zip_nbhd, r.__alias_nbhd)
@@ -208,3 +220,5 @@ def enrich_with_location(
         LEFT JOIN ({_values(bz_rows, ["zip_prefix", "pfx_borough"])}) p
                ON substring({zip_c}, 1, 3) = p.zip_prefix
     """)
+    spark.catalog.dropTempView(view)
+    return out

@@ -187,7 +187,7 @@ def sql_dashboard_severity(spark, sf_dir):
 @register(
     "scalar_variant_props",
     oracle="""
-        SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10
+        SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10.0)
                     AS BIGINT) AS k_band,
                CAST(COUNT(*) AS BIGINT) AS cnt,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))

@@ -61,7 +61,11 @@ def get_spark(app_name: str = "bdnds-engine", master: str | None = None) -> Spar
     return builder.getOrCreate()
 
 
-_CONFS_APPLIED: set[int] = set()
+# Sentinel attribute set on the SparkSession object itself. An id()-keyed
+# set is wrong here: after a session is stopped and GC'd, a new session
+# can reuse the same address and silently skip conf application (and the
+# set would grow unbounded across session churn).
+_CONFS_SENTINEL = "_bdnds_runtime_confs_applied"
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
@@ -72,13 +76,15 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     once per session object — table() calls this on every read, and
     re-setting six confs is six Py4J round-trips of pure overhead.
     """
-    key = id(spark)
-    if key in _CONFS_APPLIED:
+    if getattr(spark, _CONFS_SENTINEL, False):
         return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # conf not settable at runtime in this build — keep going
             pass
-    _CONFS_APPLIED.add(key)
+    try:
+        setattr(spark, _CONFS_SENTINEL, True)
+    except Exception:  # session proxy forbids attributes — fall through, re-apply next time
+        pass
     return spark

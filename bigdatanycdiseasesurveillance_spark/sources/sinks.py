@@ -11,6 +11,7 @@ skip-existing is a left-anti join — all distributed, no collect().
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -214,29 +215,51 @@ def read_latest_gold(spark: SparkSession, base_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(base_dir, f"version={v}"))
 
 
-def vacuum_gold_versions(base_dir: str, keep: int = 2) -> tuple[int, int]:
+def vacuum_gold_versions(
+    base_dir: str, keep: int = 2, partial_grace_sec: float = 3600.0
+) -> tuple[int, int]:
     """Retention for the versioned gold sink: delete all but the newest
-    `keep` COMMITTED versions (plus any uncommitted partials, which a
-    crashed writer leaves behind). Returns (n_deleted, n_kept). The
+    `keep` COMMITTED versions, plus stale uncommitted partials (a
+    crashed writer's leftovers). Returns (n_deleted, n_kept). The
     versioned layout makes time travel possible but accretes a
     directory per refresh — this is the scheduled cleanup that bounds
-    it, the engine's analog of DELETE+VACUUM on a table format."""
+    it, the engine's analog of DELETE+VACUUM on a table format.
+
+    Two safety rails (a vacuum must never destroy live data):
+    - ``keep`` is clamped to >= 1 — keep=0 would delete every committed
+      version including the one readers are on;
+    - a partial (no _SUCCESS) is deleted only when its newest mtime is
+      older than ``partial_grace_sec`` — an in-flight concurrent writer
+      is indistinguishable from a crashed one by marker alone, so age is
+      the tiebreaker (same rule Delta/Iceberg vacuums use for orphans).
+    """
     if not os.path.isdir(base_dir):
         return (0, 0)
+    keep = max(1, int(keep))
+    now = time.time()
     committed = []
-    partial = []
+    stale_partial = []
     for d in os.listdir(base_dir):
         if not d.startswith("version="):
             continue
         tail = d.split("=", 1)[1]
         if not tail.isdigit():
             continue
-        if os.path.exists(os.path.join(base_dir, d, "_SUCCESS")):
+        path = os.path.join(base_dir, d)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
             committed.append(int(tail))
         else:
-            partial.append(int(tail))
+            try:
+                newest = max(
+                    (os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)),
+                    default=os.path.getmtime(path),
+                )
+            except OSError:  # raced with its writer — definitely in flight
+                continue
+            if now - newest > partial_grace_sec:
+                stale_partial.append(int(tail))
     committed.sort()
-    doomed = committed[:-keep] if keep > 0 else committed
-    for v in doomed + partial:
+    doomed = committed[:-keep]
+    for v in doomed + stale_partial:
         _remove_dir(os.path.join(base_dir, f"version={v}"))
-    return (len(doomed) + len(partial), len(committed) - len(doomed))
+    return (len(doomed) + len(stale_partial), len(committed) - len(doomed))

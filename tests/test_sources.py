@@ -225,3 +225,40 @@ def test_gold_versioning(spark, tmp_path):
     assert write_gold_version(v2, base) == 2
     latest = read_latest_gold(spark, base)
     assert sorted(map(tuple, latest.collect())) == [("a", 2), ("b", 5)]
+
+
+def test_vacuum_safety_rails(spark, tmp_path):
+    """Vacuum must never destroy live data: keep=0 clamps to 1 (the
+    latest committed version survives), and a FRESH partial — which is
+    indistinguishable from an in-flight concurrent writer — is spared
+    until it outlives the grace period."""
+    import os
+
+    from bigdatanycdiseasesurveillance_spark.sources.sinks import (
+        latest_gold_version,
+        vacuum_gold_versions,
+        write_gold_version,
+    )
+
+    base = str(tmp_path / "gold_rails")
+    df = spark.createDataFrame([("a", 1)], "k string, cnt int")
+    for _ in range(3):
+        write_gold_version(df, base)
+    # a fresh partial: version=9 dir with data but no _SUCCESS
+    partial = os.path.join(base, "version=9")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"inflight")
+
+    n_deleted, n_kept = vacuum_gold_versions(base, keep=0)
+    assert n_kept == 1 and latest_gold_version(base) == 3  # keep=0 clamped
+    assert os.path.isdir(partial)  # fresh partial spared by grace period
+    assert n_deleted == 2
+
+    # age the partial past the grace window -> swept
+    old = 1.0
+    os.utime(os.path.join(partial, "part-00000.parquet"), (old, old))
+    os.utime(partial, (old, old))
+    n_deleted, n_kept = vacuum_gold_versions(base, keep=1)
+    assert not os.path.isdir(partial)
+    assert n_deleted == 1 and n_kept == 1
