@@ -87,3 +87,252 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b", F.round(j, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-linear pair STATISTICS (the bounded verification surface).
+#
+# The pair-list emitters above are exact but their OUTPUT is quadratic on
+# near-dup-heavy corpora (the templated test corpus has ~5M qualifying
+# pairs over 5k docs at sf0.1 — any emitter is output-bound there). The
+# stats variants below keep the candidate algorithms — prefix filtering /
+# MinHash-LSH banding — but run them over the DISTINCT-TOKEN-SET relation
+# and fold the pair multiset into one multiplicity-weighted row:
+#
+#   (n_docs, n_sets, n_pairs, jaccard_sum_e4, pair_digest)
+#
+# Two docs with the same token set have identical similarity relations to
+# every other doc, so collapsing to distinct sets with a count `c` loses
+# nothing: a qualifying set-pair (A,B) stands for c_A*c_B doc pairs, and a
+# set with c >= 2 stands for C(c,2) internal pairs at jaccard exactly 1.0.
+# All arithmetic is integer-exact (jaccard as round-half-up 1e-4 fixed
+# point via (20000*i + u) DIV (2*u)), so a DuckDB oracle replays it
+# bit-for-bit; the digest is an order-insensitive modular sum of md5 term
+# hashes — the repo's standard checksum device (dq_rowhash_checksum).
+#
+# Token sets ride as 64-bit BITMASKS (token id = alphabetical rank), so
+# the exact verify is two popcounts instead of an array intersect. The
+# mask kernel is gated on vocabulary <= 63; that is precisely the regime
+# where pair emitters explode (tiny vocab => everything is similar). For
+# real open-vocabulary corpora the candidate buckets are small and the
+# scale contracts are prefix_filter_jaccard_pairs (pair list) and
+# dedup.duplicate_groups (linear connected components).
+# ---------------------------------------------------------------------------
+
+DIGEST_MOD = 1_000_003
+
+
+def _mask_groups(df: DataFrame, text_col: str, id_col: str):
+    """(toks, g): toks = (id, tok array); g = one row per distinct
+    non-empty token set: (mask, c, rep). Raises when the vocabulary
+    exceeds 63 tokens (mask kernel domain)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"), distinct_tokens(F.col(text_col)).alias("tok")
+    ).filter(F.size("tok") > 0)
+    tok_rows = toks.select("id", F.explode("tok").alias("t"))
+    vocab = tok_rows.select("t").distinct()
+    n_vocab = vocab.count()  # control-plane scalar: vocabulary cardinality
+    if n_vocab > 63:
+        raise ValueError(
+            f"bitmask set-similarity kernel needs vocabulary <= 63 tokens "
+            f"(got {n_vocab}); use prefix_filter_jaccard_pairs for open vocabularies"
+        )
+    # alphabetical token ids — deterministic, replayable in SQL. The
+    # single-partition window is over <= 63 rows.
+    dict_df = vocab.select(
+        "t", (F.row_number().over(Window.orderBy("t")) - 1).alias("tid")
+    )
+    masks = (
+        tok_rows.join(F.broadcast(dict_df), "t")
+        .groupBy("id")
+        .agg(F.sum(F.expr("shiftleft(1L, tid)")).alias("mask"))
+    )
+    g = masks.groupBy("mask").agg(
+        F.count("*").cast("long").alias("c"), F.min("id").alias("rep")
+    )
+    # g is consumed 4+ times downstream (both join sides, within-set
+    # terms, totals); it is distinct-set-sized (tiny), so materialize it
+    # once and truncate lineage instead of recomputing the corpus scan
+    # per consumer.
+    return toks, g.localCheckpoint(eager=False)
+
+
+def _pair_stats_row(g: DataFrame, cand: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Fold candidate set-pairs (mask_a, mask_b) + within-set pairs into
+    the single stats row. The exact verify (den*i >= num*u, i.e.
+    jaccard >= threshold, in integers) happens here, so candidate
+    schemes may overshoot but never cheat."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+    ga = F.broadcast(g.select(F.col("mask").alias("mask_a"), F.col("c").alias("ca")))
+    gb = F.broadcast(g.select(F.col("mask").alias("mask_b"), F.col("c").alias("cb")))
+    cross = (
+        cand.join(ga, "mask_a")
+        .join(gb, "mask_b")
+        .withColumn("i", F.expr("bit_count(mask_a & mask_b)"))
+        .withColumn("u", F.expr("bit_count(mask_a | mask_b)"))
+        .filter(f"{den} * i >= {num} * u")
+        .select(
+            (F.col("ca") * F.col("cb")).alias("w"),
+            F.expr("(20000 * i + u) DIV (2 * u)").alias("je4"),
+            "mask_a",
+            "mask_b",
+        )
+    )
+    within = g.filter("c >= 2").select(
+        F.expr("c * (c - 1) DIV 2").alias("w"),
+        F.lit(10000).cast("long").alias("je4"),
+        F.col("mask").alias("mask_a"),
+        F.col("mask").alias("mask_b"),
+    )
+    terms = cross.unionByName(within).withColumn(
+        "hv",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("mask_a").cast("string"),
+                        F.col("mask_b").cast("string"),
+                        F.col("je4").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % DIGEST_MOD,
+    )
+    stats = terms.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(F.sum(F.col("w") * F.col("je4")), F.lit(0))
+        .cast("long")
+        .alias("jaccard_sum_e4"),
+        F.coalesce(F.sum(F.expr("(w * hv) % {m}".format(m=DIGEST_MOD))) % DIGEST_MOD, F.lit(0))
+        .cast("long")
+        .alias("pair_digest"),
+    )
+    totals = g.agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_sets"),
+    )
+    return stats.crossJoin(F.broadcast(totals)).select(
+        "n_docs", "n_sets", "n_pairs", "jaccard_sum_e4", "pair_digest"
+    )
+
+
+def jaccard_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= threshold, folded to the stats row.
+
+    Candidates come from the SAME prefix-filter scheme as
+    prefix_filter_jaccard_pairs (rarest-token prefixes under a global
+    frequency order), run over the distinct-set relation; the oracle is
+    brute force over all set pairs — so a prefix-filter recall bug goes
+    red on n_pairs/digest, which is the point of the surface."""
+    toks, g = _mask_groups(df, text_col, id_col)
+
+    gt = g.join(toks, g["rep"] == toks["id"]).select(
+        "mask", F.explode("tok").alias("t")
+    )
+    freq = gt.groupBy("t").agg(F.count("*").alias("f"))
+    ordered = (
+        gt.join(freq, "t")
+        .groupBy("mask")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("f", "t"))), lambda s: s["t"]
+            ).alias("stok")
+        )
+    )
+    sz = F.size("stok")
+    plen = sz - F.ceil(F.lit(threshold) * sz).cast("int") + F.lit(1)
+    # prefix rows self-join below — checkpoint the (distinct-set-sized)
+    # prefix relation so both join sides share one materialization.
+    prefixes = ordered.select(
+        "mask", F.explode(F.slice("stok", 1, plen)).alias("pt")
+    ).localCheckpoint(eager=False)
+    cand = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), F.col("a.pt") == F.col("b.pt"))
+        .filter(F.col("a.mask") < F.col("b.mask"))
+        .select(F.col("a.mask").alias("mask_a"), F.col("b.mask").alias("mask_b"))
+        .distinct()
+    )
+    return _pair_stats_row(g, cand, threshold)
+
+
+def minhash_md5_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH (md5 hash family) candidate pairs, exact-verified and
+    folded to the stats row. The FULL banding pipeline runs — per-seed
+    md5 hashes, groupBy-min signatures, band equi-join — over distinct
+    token sets; the oracle replays the identical hash family, so a
+    banding bug changes the candidate set and goes red."""
+    toks, g = _mask_groups(df, text_col, id_col)
+    rows_per_band = n_hashes // bands
+
+    gt = g.join(toks, g["rep"] == toks["id"]).select(
+        "mask", F.explode("tok").alias("t")
+    )
+    hashed = gt.select(
+        "mask",
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{s}:"), F.col("t"))), 1, 15), 16, 10
+            )
+            .cast("long")
+            .alias(f"h{s}")
+            for s in range(n_hashes)
+        ],
+    )
+    sig = hashed.groupBy("mask").agg(
+        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(n_hashes)]
+    )
+    # one explode, not a bands-way union: a union re-evaluates the whole
+    # signature chain per branch, and the self-join would double that
+    # again. banded is (bands * n_sets) rows — checkpoint it so the two
+    # join sides share one materialization.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{s}").cast("string")
+                        for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("bsig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        sig.select("mask", F.explode(band_structs).alias("bb"))
+        .select("mask", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bsig"])
+        .filter(F.col("a.mask") < F.col("b.mask"))
+        .select(F.col("a.mask").alias("mask_a"), F.col("b.mask").alias("mask_b"))
+        .distinct()
+    )
+    return _pair_stats_row(g, cand)

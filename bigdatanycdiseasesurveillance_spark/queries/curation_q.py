@@ -146,47 +146,90 @@ def txt_repetition_signals(spark, sf_dir):
 
 
 _J_T = 0.7
-_JACC = (
-    "CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) / "
-    "(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))"
-)
+
+
+# Shared CTE for the bounded pair-stats contracts: collapse the corpus
+# to distinct token-set groups as 63-bit masks (token id = alphabetical
+# rank), with multiplicity c and a min-doc_id representative. See
+# operators/setsim.py's corpus-linear stats rationale.
+_MASK_CTE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(lower(text), ' '),
+                                         t -> t <> '')) AS tok
+        FROM documents
+        WHERE len(list_filter(string_split(lower(text), ' '),
+                              t -> t <> '')) > 0
+    ), tokr AS (
+        SELECT doc_id, unnest(tok) AS t FROM toks
+    ), dict AS (
+        SELECT t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS tid
+        FROM (SELECT DISTINCT t FROM tokr)
+    ), m AS (
+        SELECT r.doc_id, CAST(SUM(1::BIGINT << d.tid) AS BIGINT) AS mask
+        FROM tokr r JOIN dict d ON r.t = d.t GROUP BY r.doc_id
+    ), g AS (
+        SELECT mask, CAST(COUNT(*) AS BIGINT) AS c, MIN(doc_id) AS rep
+        FROM m GROUP BY mask
+    )
+"""
+
+# Terms -> stats-row folding shared by both pair-stats oracles. Expects a
+# CTE named `terms(w, je4, ma, mb)` in scope.
+_PAIR_STATS_SELECT = """
+    , ht AS (
+        SELECT w, je4,
+               CAST(('0x' || substr(md5(CAST(ma AS VARCHAR) || ':'
+                    || CAST(mb AS VARCHAR) || ':'
+                    || CAST(je4 AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 1000003 AS hv
+        FROM terms
+    )
+    SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM g) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_sets,
+           CAST(COALESCE(SUM(w), 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(w * je4), 0) AS BIGINT) AS jaccard_sum_e4,
+           CAST(COALESCE(SUM((w * hv) % 1000003) % 1000003, 0) AS BIGINT)
+               AS pair_digest
+    FROM ht
+"""
 
 
 @register(
     "dedup_prefix_jaccard",
-    oracle=f"""
-        WITH toks AS (
-            SELECT doc_id,
-                   list_distinct(list_filter(string_split(lower(text), ' '),
-                                             t -> t <> '')) AS tok
-            FROM documents
-            WHERE len(list_filter(string_split(lower(text), ' '),
-                                  t -> t <> '')) > 0
-        ), pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   ROUND({_JACC}, 4) AS jaccard
-            FROM toks a JOIN toks b
-              ON a.doc_id < b.doc_id
-             AND len(a.tok) >= CEIL({_J_T} * len(b.tok))
-             AND len(b.tok) >= CEIL({_J_T} * len(a.tok))
-        )
-        SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {_J_T}
-    """,
+    oracle=_MASK_CTE
+    + """
+    , cp AS (
+        SELECT a.mask AS ma, b.mask AS mb, a.c * b.c AS w,
+               CAST(bit_count(a.mask & b.mask) AS INTEGER) AS i,
+               CAST(bit_count(a.mask | b.mask) AS INTEGER) AS u
+        FROM g a JOIN g b ON a.mask < b.mask
+        WHERE 10 * CAST(bit_count(a.mask & b.mask) AS INTEGER)
+              >= 7 * CAST(bit_count(a.mask | b.mask) AS INTEGER)
+    ), terms AS (
+        SELECT w, (20000 * i + u) // (2 * u) AS je4, ma, mb FROM cp
+        UNION ALL
+        SELECT c * (c - 1) // 2, 10000, mask, mask FROM g WHERE c >= 2
+    )
+    """
+    + _PAIR_STATS_SELECT,
     tags=("dedup", "M2", "setsim", "exact"),
 )
 def dedup_prefix_jaccard(spark, sf_dir):
-    """EXACT unblocked Jaccard join via prefix filtering (AllPairs/
-    PPJoin): the complete >= 0.7 pair set over the whole corpus, no
-    block key, no recall loss. Prefix tokens are the globally rarest
-    tokens, so candidate buckets are tiny and skew-free by construction.
-    The oracle is brute-force all-pairs (with the implied length
-    filter) — feasible at oracle scale, which is exactly the point of
-    having the prefix-filter plan for cluster scale."""
-    from ..operators.setsim import prefix_filter_jaccard_pairs
+    """EXACT all-pairs Jaccard >= 0.7 via prefix filtering (AllPairs/
+    PPJoin), folded to a corpus-linear stats row: (n_docs, n_sets,
+    n_pairs, exact fixed-point jaccard sum, order-insensitive pair
+    digest). The templated corpus has ~5M qualifying pairs over 5k docs
+    at sf0.1, so any pair-LIST emitter is output-quadratic there; this
+    contract keeps the prefix-filter candidate scheme honest — the
+    oracle is BRUTE FORCE over all distinct-set pairs, so a recall bug
+    in the prefix theorem's implementation flips n_pairs/digest red —
+    while the output stays one row at any corpus size. The pair list
+    itself remains available as prefix_filter_jaccard_pairs; the
+    corpus-scale dedup contract is dedup_duplicate_groups."""
+    from ..operators.setsim import jaccard_pair_stats
 
-    return prefix_filter_jaccard_pairs(
-        table(spark, sf_dir, "documents"), threshold=_J_T
-    )
+    return jaccard_pair_stats(table(spark, sf_dir, "documents"), threshold=_J_T)
 
 
 _QVEC_ID = 0

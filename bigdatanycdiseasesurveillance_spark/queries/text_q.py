@@ -354,54 +354,68 @@ def dedup_fingerprint_pairs(spark, sf_dir):
     return fingerprint_pairs(table(spark, sf_dir, "documents"))
 
 
+def _minhash_md5_stats_oracle() -> str:
+    from .curation_q import _MASK_CTE, _PAIR_STATS_SELECT
+
+    return (
+        _MASK_CTE
+        + """
+    , gt AS (
+        SELECT g.mask, r.t
+        FROM g JOIN (SELECT doc_id, unnest(tok) AS t FROM toks) r
+          ON r.doc_id = g.rep
+    ), hashed AS (
+        SELECT mask, s.seed,
+               CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || t),
+                                    1, 15)) AS BIGINT) AS h
+        FROM gt CROSS JOIN (SELECT unnest(range(16)) AS seed) s
+    ), sig AS (
+        SELECT mask, seed, MIN(h) AS mh FROM hashed GROUP BY mask, seed
+    ), bands AS (
+        SELECT mask, seed // 4 AS band,
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bsig
+        FROM sig GROUP BY mask, seed // 4
+    ), cand AS (
+        SELECT DISTINCT a.mask AS ma, b.mask AS mb
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+                    AND a.mask < b.mask
+    ), cp AS (
+        SELECT c.ma, c.mb, ga.c * gb.c AS w,
+               CAST(bit_count(c.ma & c.mb) AS INTEGER) AS i, CAST(bit_count(c.ma | c.mb) AS INTEGER) AS u
+        FROM cand c
+        JOIN g ga ON ga.mask = c.ma
+        JOIN g gb ON gb.mask = c.mb
+        WHERE 10 * CAST(bit_count(c.ma & c.mb) AS INTEGER) >= 7 * CAST(bit_count(c.ma | c.mb) AS INTEGER)
+    ), terms AS (
+        SELECT w, (20000 * i + u) // (2 * u) AS je4, ma, mb FROM cp
+        UNION ALL
+        SELECT c * (c - 1) // 2, 10000, mask, mask FROM g WHERE c >= 2
+    )
+    """
+        + _PAIR_STATS_SELECT
+    )
+
+
 @register(
     "dedup_minhash_md5",
-    oracle="""
-        WITH toks AS (
-            SELECT doc_id,
-                   list_distinct(list_filter(string_split(lower(text), ' '),
-                                             t -> t <> '')) AS tok
-            FROM documents
-        ), tokr AS (
-            SELECT doc_id, unnest(tok) AS t FROM toks
-        ), hashed AS (
-            SELECT doc_id, s.seed,
-                   CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || t),
-                                        1, 15)) AS BIGINT) AS h
-            FROM tokr CROSS JOIN (SELECT unnest(range(16)) AS seed) s
-        ), sig AS (
-            SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY doc_id, seed
-        ), bands AS (
-            SELECT doc_id, seed // 4 AS band,
-                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bsig
-            FROM sig GROUP BY doc_id, seed // 4
-        ), cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a
-            JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
-                        AND a.doc_id < b.doc_id
-        )
-        SELECT c.id_a, c.id_b,
-               ROUND(CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
-                     (len(ta.tok) + len(tb.tok)
-                      - len(list_intersect(ta.tok, tb.tok))), 4) AS jaccard
-        FROM cand c
-        JOIN toks ta ON ta.doc_id = c.id_a
-        JOIN toks tb ON tb.doc_id = c.id_b
-        WHERE ROUND(CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
-                    (len(ta.tok) + len(tb.tok)
-                     - len(list_intersect(ta.tok, tb.tok))), 4) >= 0.7
-    """,
+    oracle=_minhash_md5_stats_oracle(),
     tags=("dedup", "M2", "lsh", "oracle-replayable"),
 )
 def dedup_minhash_md5(spark, sf_dir):
     """M2 with a SQL-replayable hash family: the full MinHash-LSH
     pipeline (md5-derived per-seed hashes -> groupBy-min signatures ->
     banding -> candidate equi-join -> exact-Jaccard verify) checked
-    end-to-end against DuckDB. The xxhash64 variant stays the fast
-    path; this row is the driver-verifiable witness that the banding
-    algorithm itself is right."""
-    return D.minhash_md5_pairs(table(spark, sf_dir, "documents"))
+    end-to-end against DuckDB, folded to the corpus-linear stats row
+    (n_docs, n_sets, n_pairs, jaccard_sum_e4, pair_digest) over
+    distinct token sets — the pair-LIST form is output-quadratic on the
+    templated near-dup corpus (~140 s at sf0.1). The oracle replays
+    the identical hash family and banding, so a banding bug changes
+    the candidate set and flips the stats red; the xxhash64 variant
+    (dedup_minhash_lsh) stays the throughput path."""
+    from ..operators.setsim import minhash_md5_pair_stats
+
+    return minhash_md5_pair_stats(table(spark, sf_dir, "documents"))
 
 
 # --- deterministic sampling (operators/sampling.py) -------------------

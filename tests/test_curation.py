@@ -171,12 +171,77 @@ def test_prefix_filter_join_plan_has_no_cartesian(spark, sf_dir):
     """The exact unblocked similarity join must stay an equi-join plan:
     any CartesianProduct/BroadcastNestedLoop would mean the prefix
     scheme silently degenerated to all-pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = prefix_filter_jaccard_pairs(docs, threshold=0.7)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_pair_stats_candidates_stay_equi_join(spark, sf_dir):
+    """The bounded stats contract keeps the prefix-filter candidate
+    scheme: the only nested-loop join allowed in its plan is the 1-row
+    totals scalar attach (crossJoin(broadcast(<1-row aggregate>)))."""
     from bigdatanycdiseasesurveillance_spark.registry import all_specs
 
     df = all_specs()["dedup_prefix_jaccard"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoop" not in plan, plan
+    assert plan.count("BroadcastNestedLoop") <= 1, plan
+
+
+def test_pair_stats_matches_pair_list(spark):
+    """The collapsed stats row must equal the brute-force pair list
+    aggregated: same pair count and the same fixed-point jaccard sum
+    (within-set dup pairs included)."""
+    from bigdatanycdiseasesurveillance_spark.operators.setsim import (
+        jaccard_pair_stats,
+        minhash_md5_pair_stats,
+    )
+    from bigdatanycdiseasesurveillance_spark.operators.dedup import minhash_md5_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "s1"),
+        (2, "alpha beta gamma delta epsilon", "s2"),  # exact dup pair (j=1.0)
+        (3, "alpha beta gamma delta zeta", "s1"),
+        (4, "completely unrelated tokens here", "s2"),
+        (5, "alpha beta gamma delta epsilon zeta", "s3"),
+        (6, "one two three four five", "s1"),
+        (7, "one two three four five six seven", "s2"),
+        (8, "epsilon delta gamma beta alpha", "s3"),  # same SET as 1/2, other order
+    ]
+    df = _docs(spark, rows)
+
+    pairs = prefix_filter_jaccard_pairs(df, threshold=0.7).collect()
+    stats = jaccard_pair_stats(df, threshold=0.7).collect()[0]
+    assert stats["n_docs"] == 8
+    assert stats["n_sets"] == 6  # docs 1,2,8 share one token set
+    assert stats["n_pairs"] == len(pairs)
+    # fixed-point (20000*i+u) DIV (2*u) equals round-half-up(j*10000)
+    want_sum = sum(int(round(r["jaccard"] * 10000)) for r in pairs)
+    assert stats["jaccard_sum_e4"] == want_sum
+    assert 0 <= stats["pair_digest"] < 1_000_003
+
+    mh_pairs = minhash_md5_pairs(df).collect()
+    mh_stats = minhash_md5_pair_stats(df).collect()[0]
+    assert mh_stats["n_pairs"] == len(mh_pairs)
+    assert mh_stats["jaccard_sum_e4"] == sum(
+        int(round(r["jaccard"] * 10000)) for r in mh_pairs
+    )
+
+
+def test_mask_kernel_rejects_open_vocabulary(spark):
+    import pytest
+
+    from bigdatanycdiseasesurveillance_spark.operators.setsim import (
+        jaccard_pair_stats,
+    )
+
+    big_vocab = spark.range(70).selectExpr(
+        "id AS doc_id", "concat('tok', id) AS text", "'s' AS source"
+    )
+    with pytest.raises(ValueError, match="vocabulary <= 63"):
+        jaccard_pair_stats(big_vocab).collect()
 
 
 def test_misra_gries_candidates_superset_of_heavy_hitters(spark):
