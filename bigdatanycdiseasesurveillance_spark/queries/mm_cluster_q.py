@@ -256,6 +256,48 @@ def mm_decode_pipeline(spark, sf_dir):
     )
 
 
+@register(
+    "mm_decode_real_headers",
+    # Every field is a closed-form function of doc_id (the builder's
+    # parameter derivation), so the oracle replays the ENTIRE real-codec
+    # round trip: build valid PNG/WAV bytes -> stdlib parse -> metadata.
+    # A struct-layout/endianness/CRC/RIFF-size bug on either side breaks
+    # parity. PNG n_bytes = 8 sig + 25 IHDR + 12 IEND = 45; WAV n_bytes
+    # = 44-byte canonical header + frames*channels*2.
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_type,
+               CASE WHEN doc_id % 2 = 0 THEN 45
+                    ELSE 44 + (1 + doc_id % 100) * (1 + doc_id % 2) * 2
+                    END AS n_bytes,
+               CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16 ELSE 0 END AS width,
+               CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 16) % 16 ELSE 0
+                    END AS height,
+               CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bit_depth,
+               CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 + doc_id % 2 END AS channels,
+               CASE WHEN doc_id % 2 = 0 THEN 0
+                    ELSE 8000 + (doc_id % 4) * 4000 END AS sample_rate,
+               CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 + doc_id % 100 END AS n_frames,
+               TRUE AS header_ok
+        FROM documents
+    """,
+    tags=("multimodal", "real-codec"),
+)
+def mm_decode_real_headers(spark, sf_dir):
+    """Real-codec twin of mm_decode_pipeline: REAL bytes through REAL
+    stdlib parsers. Builds a valid header-only PNG (signature + IHDR +
+    IEND) or canonical WAV per doc, then decodes with struct/zlib-CRC32
+    (PNG) and the `wave` module + RIFF size check (WAV) in an
+    Arrow-batched mapInPandas — the production decode shape with the
+    parser bodies swappable for PIL/soundfile. Closes the one Section 2.12
+    family whose tested kernel (md5 stub) differed entirely from the
+    production one."""
+    from ..operators import multimodal as MM
+
+    media = MM.attach_real_media(table(spark, sf_dir, "documents"))
+    return MM.decode_real_headers(media)
+
+
 _SEMDEDUP_T = 0.35
 
 

@@ -34,3 +34,45 @@ def test_frame_sampling_only_video(spark, sf_dir):
     assert out.filter((F.col("media_type") != "video") & (F.col("n_sampled") > 0)).count() == 0
     video = out.filter(F.col("media_type") == "video")
     assert video.filter(F.col("n_sampled") == 0).count() == 0
+
+
+def test_real_codec_round_trip(spark, sf_dir):
+    """Builder -> stdlib parser round trip over REAL bytes: metadata
+    must match the closed-form parameters and every header must verify
+    (PNG CRC32, WAV RIFF size)."""
+    docs = table(spark, sf_dir, "documents").limit(64)
+    out = MM.decode_real_headers(MM.attach_real_media(docs)).collect()
+    assert len(out) == 64
+    for r in out:
+        p = MM._media_params(r["doc_id"])
+        assert r["header_ok"] is True, r
+        assert r["media_type"] == p["media_type"]
+        if p["media_type"] == "png":
+            assert (r["width"], r["height"]) == (p["width"], p["height"])
+            assert (r["bit_depth"], r["channels"]) == (8, 3)
+            assert r["n_bytes"] == 45
+        else:
+            assert r["sample_rate"] == p["sample_rate"]
+            assert r["channels"] == p["channels"]
+            assert r["n_frames"] == p["n_frames"]
+            assert r["n_bytes"] == 44 + p["n_frames"] * p["channels"] * 2
+
+
+def test_real_codec_detects_corruption(spark):
+    """Flipping one IHDR byte must flip header_ok: the CRC check is
+    real, not decorative."""
+    media = MM.attach_real_media(
+        spark.range(2).selectExpr("id * 2 AS doc_id")  # two PNG rows
+    )
+    corrupted = media.select(
+        "doc_id",
+        "media_type",
+        # flip a byte inside the IHDR data (offset 18 = width field)
+        F.concat(
+            F.expr("substring(payload, 1, 18)"),
+            F.expr("CAST(X'FF' AS BINARY)"),
+            F.expr("substring(payload, 20, 100)"),
+        ).alias("payload"),
+    )
+    rows = MM.decode_real_headers(corrupted).collect()
+    assert rows and all(r["header_ok"] is False for r in rows)
