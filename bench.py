@@ -61,17 +61,23 @@ def main() -> None:
 
     # Per-query error isolation: one broken query must never zero out
     # the whole benchmark (BENCH_r02 died whole on one AnalysisException).
-    # Each query runs twice: the cold time (headline, comparable to
-    # prior rounds) includes per-query analysis/codegen; the warm time
-    # is steady-state execution — the number that matters on a cluster
-    # where a plan compiles once and runs over 100 TB.
+    # Each query runs three times: the cold time (headline, comparable
+    # to prior rounds) includes per-query analysis/codegen; the warm
+    # time is the MIN of two steady-state executions — the number that
+    # matters on a cluster where a plan compiles once and runs over
+    # 100 TB. warm_spread = (max-min)/min over the warm runs is the
+    # shared-box noise band: a regression is a plan problem only when
+    # it exceeds the spread.
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm_spread: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, spec in sorted(specs.items()):
         try:
             timings[name] = round(run(spec), 4)
-            warm[name] = round(run(spec), 4)
+            w1, w2 = run(spec), run(spec)
+            warm[name] = round(min(w1, w2), 4)
+            warm_spread[name] = round((max(w1, w2) - min(w1, w2)) / min(w1, w2), 3)
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} ERROR {errors[name]}", file=sys.stderr)
@@ -103,6 +109,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_warm": warm,
+                "warm_spread": warm_spread,
                 "total_warm": round(sum(warm.values()), 4),
                 "errors": errors,
                 "throughput_rec_s": throughput,

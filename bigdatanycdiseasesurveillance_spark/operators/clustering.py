@@ -98,7 +98,7 @@ def lloyd_kmeans_2d(
         F.col(id_col).alias("pid"),
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
-    )
+    ).localCheckpoint(eager=False)  # scanned once, not once per iteration
     init = pts.orderBy("pid").limit(k).collect()
     centroids = [(i, float(r["x"]), float(r["y"])) for i, r in enumerate(init)]
     assigned = None
@@ -120,13 +120,16 @@ def lloyd_kmeans_2d(
             cond = F.col(f"d{cid}") == m
             pick = F.when(cond, cid) if pick is None else pick.when(cond, cid)
         assigned = bound.select("pid", "x", "y", pick.alias("cluster_id"))
+        # k rows — sort driver-side; a DataFrame orderBy would add a
+        # range-partition sampling job to every iteration
         new_c = (
             assigned.groupBy("cluster_id")
             .agg(F.round(F.avg("x"), 6).alias("cx"), F.round(F.avg("y"), 6).alias("cy"))
-            .orderBy("cluster_id")
             .collect()
         )
-        centroids = [(int(r["cluster_id"]), float(r["cx"]), float(r["cy"])) for r in new_c]
+        centroids = sorted(
+            (int(r["cluster_id"]), float(r["cx"]), float(r["cy"])) for r in new_c
+        )
     return assigned.select(
         F.col("pid").alias(id_col), F.col("cluster_id").cast("long").alias("cluster_id")
     )

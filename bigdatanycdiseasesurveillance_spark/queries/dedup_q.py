@@ -259,6 +259,7 @@ def dedup_embedding_cosine(spark, sf_dir):
         FROM labels GROUP BY canonical_id HAVING COUNT(*) > 1
     """,
     tags=("dedup", "M2", "groups"),
+    bench=True,
 )
 def dedup_duplicate_groups(spark, sf_dir):
     """Near-dup GROUPS: blocked Jaccard pairs -> iterative min-label

@@ -253,6 +253,7 @@ _BFS_MAX_HOPS = 25
         FROM walk GROUP BY node
     """,
     tags=("graph", "bfs", "iterative"),
+    bench=True,
 )
 def graph_bfs_hops(spark, sf_dir):
     """BFS hop levels from nation 0 over the top-3-strongest-partner

@@ -110,6 +110,7 @@ def ann_knn_per_label(spark, sf_dir):
         LIMIT 10
     """,
     tags=("ann", "ivf"),
+    bench=True,
 )
 def ann_ivf_search(spark, sf_dir):
     """IVF search: rank cells by centroid similarity, scan only nprobe=2
