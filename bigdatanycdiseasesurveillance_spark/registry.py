@@ -126,6 +126,7 @@ def all_specs() -> dict[str, QuerySpec]:
 # have since gone green sort into tier 4 automatically, so stale
 # entries here are harmless.
 _ROUND_NEW = (
+    "mm_decode_real_headers",
     "txt_chunk_boilerplate",
     "win_global_rank_ranged",
     "samp_group_reservoir",

@@ -44,33 +44,49 @@ def norm_rows(cols, rows):
 
 
 def main():
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    # Defaults mirror the driver's t2 gate (local[8], default memory).
+    # sf1 scale-audit sweeps need more: SPARK_GRAFT_CPUS=32
+    # SPARK_GRAFT_DRIVER_MEM=16g python tools/gate_sim.py .data/sf1
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.driver.memory", mem)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     import __spark_entry__ as E
 
+    import time as _time
+
     qs, oracles = E.queries(), E.oracle_sql()
     fails = []
     for name, fn in qs.items():
         try:
+            _t0 = _time.perf_counter()
             df = fn(spark, SF)
             scols = df.columns
             srows = [tuple(r) for r in df.collect()]
+            t_spark = _time.perf_counter() - _t0
         except Exception as e:
             fails.append((name, f"SPARK ERROR: {e}"))
-            print(f"FAIL {name}: spark error {e}")
+            print(f"FAIL {name}: spark error {e}", flush=True)
             continue
         if name not in oracles:
-            print(f"ok(rows-only) {name}: {len(srows)} rows")
+            print(f"ok(rows-only) {name}: {len(srows)} rows [spark {t_spark:.1f}s]", flush=True)
             continue
         try:
+            _t0 = _time.perf_counter()
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            t_oracle = _time.perf_counter() - _t0
         except Exception as e:
             fails.append((name, f"ORACLE ERROR: {e}"))
-            print(f"FAIL {name}: oracle error {e}")
+            print(f"FAIL {name}: oracle error {e}", flush=True)
             continue
         if sorted(scols) != sorted(ocols):
             fails.append((name, f"schema {sorted(scols)} vs {sorted(ocols)}"))
@@ -83,9 +99,13 @@ def main():
             if diff is not None:
                 msg += f"; first diff @{diff}: {sn[diff]} vs {on[diff]}"
             fails.append((name, msg))
-            print(f"FAIL {name}: {msg}")
+            print(f"FAIL {name}: {msg}", flush=True)
         else:
-            print(f"OK {name}: {len(sn)} rows")
+            print(
+                f"OK {name}: {len(sn)} rows"
+                f" [spark {t_spark:.1f}s oracle {t_oracle:.1f}s]",
+                flush=True,
+            )
     print(f"\n{len(qs) - len(fails)}/{len(qs)} pass")
     sys.exit(1 if fails else 0)
 
