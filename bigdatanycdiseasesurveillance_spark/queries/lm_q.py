@@ -162,3 +162,87 @@ def mix_temperature_sampling(spark, sf_dir):
             "n_selected",
         )
     )
+
+
+def _bpe_oracle(steps: int = 3) -> str:
+    """Relational replay of the BPE loop: per step, adjacent-pair counts
+    via aligned parallel unnest + lead(), the (count DESC, a, b) argmax,
+    and the disjoint mark-and-drop merge (equal to the engine's greedy
+    fold because candidate pairs require a <> b — see
+    operators/tokenizer.py's determinism contract)."""
+    parts = [
+        """
+        WITH s0 AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS tok
+            FROM documents
+            WHERE len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) > 0
+        )"""
+    ]
+    for k in range(1, steps + 1):
+        p = k - 1
+        parts.append(
+            """
+        , p{k} AS (
+            SELECT doc_id, unnest(tok) AS t,
+                   unnest(range(1, len(tok) + 1)) AS pos
+            FROM s{p}
+        ), c{k} AS (
+            SELECT t AS a,
+                   lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+            FROM p{k}
+        ), b{k} AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM c{k} WHERE b IS NOT NULL AND a <> b
+            GROUP BY a, b
+            ORDER BY cnt DESC, a, b LIMIT 1
+        ), f{k} AS (
+            SELECT doc_id, pos, t,
+                   (t = (SELECT a FROM b{k})
+                    AND lead(t) OVER (PARTITION BY doc_id ORDER BY pos)
+                        = (SELECT b FROM b{k})) AS start
+            FROM p{k}
+        ), m{k} AS (
+            SELECT doc_id, pos,
+                   CASE WHEN start
+                        THEN t || '_' || (SELECT b FROM b{k}) ELSE t END AS t,
+                   lag(start, 1, false)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS consumed
+            FROM f{k}
+        ), s{k} AS (
+            SELECT doc_id, list(t ORDER BY pos) AS tok
+            FROM m{k} WHERE NOT consumed GROUP BY doc_id
+        )""".format(k=k, p=p)
+        )
+    selects = [
+        """
+        SELECT CAST({k} AS BIGINT) AS step,
+               (SELECT a FROM b{k}) AS merge_a,
+               (SELECT b FROM b{k}) AS merge_b,
+               (SELECT cnt FROM b{k}) AS pair_count,
+               (SELECT CAST(SUM(len(tok)) AS BIGINT) FROM s{k})
+                   AS corpus_tokens_after""".format(k=k)
+        for k in range(1, steps + 1)
+    ]
+    return "".join(parts) + " UNION ALL ".join(selects)
+
+
+@register(
+    "tok_bpe_merges",
+    oracle=_bpe_oracle(3),
+    tags=("tokenizer", "bpe", "lm", "training-data"),
+)
+def tok_bpe_merges(spark, sf_dir):
+    """BPE merge induction (tokenizer TRAINING, not application): 3
+    iterations of count-pairs -> argmax -> greedy merge over the corpus
+    token sequences, emitting the learned merge table and the shrinking
+    corpus token count. Per iteration: one map-side-combinable pair
+    count, a 1-row argmax broadcast, and a per-row array fold — the
+    corpus stays put; only the merge rides the control plane. The
+    oracle replays the identical loop relationally (aligned unnest +
+    lead/lag mark-and-drop), so a greedy-semantics bug on either side
+    desyncs the merge table."""
+    from ..operators.tokenizer import bpe_merge_steps
+
+    return bpe_merge_steps(table(spark, sf_dir, "documents"), steps=3)

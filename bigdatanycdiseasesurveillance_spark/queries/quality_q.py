@@ -981,3 +981,4 @@ def eval_calibration_bins(spark, sf_dir):
             ),
         )
     )
+

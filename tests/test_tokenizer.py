@@ -1,0 +1,44 @@
+"""BPE merge induction: hand-computed merge table + greedy semantics."""
+
+from bigdatanycdiseasesurveillance_spark.operators.tokenizer import bpe_merge_steps
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_merge_table_hand_computed(spark):
+    # pairs: (the,cat) x2, (cat,sat) x2, (cat,ran), (a,cat)
+    # step1 tie 2-2 breaks lexicographically -> (cat,sat); then all 1s
+    # break to (a,cat_sat), then (cat,ran)
+    df = _docs(spark, ["the cat sat", "the cat ran", "a cat sat"])
+    rows = {r["step"]: r for r in bpe_merge_steps(df, steps=3).collect()}
+    assert (rows[1]["merge_a"], rows[1]["merge_b"], rows[1]["pair_count"]) == (
+        "cat",
+        "sat",
+        2,
+    )
+    assert rows[1]["corpus_tokens_after"] == 7  # 9 tokens - 2 merges
+    assert (rows[2]["merge_a"], rows[2]["merge_b"]) == ("a", "cat_sat")
+    assert rows[2]["corpus_tokens_after"] == 6
+    assert (rows[3]["merge_a"], rows[3]["merge_b"]) == ("cat", "ran")
+    assert rows[3]["corpus_tokens_after"] == 5
+
+
+def test_bpe_greedy_fold_disjoint_chain(spark):
+    # "a b a b a": (a,b) occurrences at 0 and 2 are disjoint -> both
+    # merge in one pass; trailing 'a' survives. 5 tokens -> 3.
+    df = _docs(spark, ["a b a b a"])
+    r1 = bpe_merge_steps(df, steps=1).collect()[0]
+    assert (r1["merge_a"], r1["merge_b"], r1["pair_count"]) == ("a", "b", 2)
+    assert r1["corpus_tokens_after"] == 3
+
+
+def test_bpe_excludes_same_token_runs(spark):
+    # (x,x) pairs dominate by count but are excluded (a != b): the
+    # chosen merge must be (x,y), the best heterogeneous pair.
+    df = _docs(spark, ["x x x x x y", "x x x x x y"])
+    r1 = bpe_merge_steps(df, steps=1).collect()[0]
+    assert (r1["merge_a"], r1["merge_b"]) == ("x", "y")
