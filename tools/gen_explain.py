@@ -41,6 +41,19 @@ NOTES = {
     "search_rm3_expansion": "two ranked-retrieval passes over one postings explode; feedback docs and expansion terms are k-row broadcasts",
     "geo_geohash_rollup": "closed-form integer encode in one codegen stage; single cell-key exchange; TakeOrdered top-20",
     "attr_multi_touch": "user-keyed range join, per-purchase window ranks, credit explode; exact integer micro-cents",
+    # round-5 additions
+    "ann_ivf_search": "reads the prebuilt memoized centroid index (never re-derives); nprobe cell filter prunes the scan",
+    "cur_full_pipeline": "one composed DAG: filters/dedup/caps chained without intermediate materialization",
+    "dedup_duplicate_groups": "blocked pair edges built once (checkpointed); per-iteration join + map-side-combined min-label agg",
+    "dedup_semdedup_profile": "k-means assignment bounds candidates; cosine pairs only within clusters — never corpus x corpus",
+    "graph_bfs_hops": "cached edge build; node-sized frontier per hop with lineage truncation",
+    "search_bm25_topk": "postings explode; corpus stats ride as 1-row broadcast; TakeOrdered top-k",
+    "stream_surveillance_e2e": "stateless map-side stages + LocalRelation broadcast dims; one tiny complete-mode aggregate",
+    "ts_holt_winters": "per-series applyInPandas after a daily rollup — state is seasons-sized, not corpus-sized",
+    "dedup_prefix_jaccard": "distinct-set collapse to 64-bit masks; prefix-filter candidate equi-join; popcount verify; 1-row stats out",
+    "dedup_minhash_md5": "same mask collapse; md5 band signatures; band equi-join candidates; 1-row stats out",
+    "tok_bpe_merges": "per-iteration pair-count partial agg + 1-row argmax broadcast + array-fold merge; corpus never moves",
+    "mm_decode_real_headers": "mapInPandas build + mapInPandas stdlib parse — two Arrow stages, no shuffle",
 }
 
 
@@ -51,7 +64,7 @@ def main() -> None:
     spark = get_spark("gen-explain")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
-    names = sorted(n for n, s in specs.items() if s.bench) + [
+    extras = [
         "cluster_geo_pipeline",
         # round-4 flagships
         "txt_chunk_boilerplate",
@@ -60,7 +73,14 @@ def main() -> None:
         "search_rm3_expansion",
         "geo_geohash_rollup",
         "attr_multi_touch",
+        # round-5 flagships
+        "dedup_prefix_jaccard",
+        "dedup_minhash_md5",
+        "tok_bpe_merges",
+        "mm_decode_real_headers",
     ]
+    bench_names = sorted(n for n, s in specs.items() if s.bench)
+    names = bench_names + [n for n in extras if n not in bench_names]
 
     out = io.StringIO()
     out.write(
