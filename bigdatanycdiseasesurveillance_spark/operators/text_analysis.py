@@ -39,25 +39,43 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality score in [0,1] from length / stopword ratio /
-    token diversity (the classic pretraining-corpus filters)."""
+    token diversity (the classic pretraining-corpus filters).
+
+    Arithmetic is EXACT integer fixed-point: with n tokens, d distinct,
+    st stopwords, a = min(n, 60), s4 = min(4*st, n), the score is the
+    rational min(300n, 2an + 90d + 90s4) / 300n — identical to
+    0.4*min(1,n/60) + 0.3*(d/n) + 0.3*min(1,4*st/n) — and every rounded
+    output uses the integer round-half-up (20000*p + q) DIV (2q). Why:
+    the float form lands EXACTLY on 4-decimal halves (e.g. n=80,
+    d/n=0.3375, st/n=0.1875 -> 0.72625), where Spark's HALF_UP decimal
+    rounding and DuckDB's double rounding disagree — caught by the sf1
+    scale audit after three smaller SFs never hit a boundary."""
     toks = tokens(F.col(text_col))
-    n = F.size(toks).cast("double")
-    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
-    stop_ratio = stopword_count(F.col(text_col)).cast("double") / n
-    length_term = F.least(F.lit(1.0), n / F.lit(60.0))
-    score = F.round(
-        F.least(
-            F.lit(1.0),
-            0.4 * length_term + 0.3 * distinct_ratio + 0.3 * F.least(F.lit(1.0), 4.0 * stop_ratio),
-        ),
-        4,
-    )
+    n = F.size(toks).cast("long")
+    d = F.size(F.array_distinct(toks)).cast("long")
+    st = stopword_count(F.col(text_col)).cast("long")
+    a = F.least(n, F.lit(60))
+    s4 = F.least(st * 4, n)
+    num = F.least(300 * n, 2 * a * n + 90 * d + 90 * s4)
+    den = 300 * n
+
+    def half_up_e4(p, q):
+        # round-half-up(p/q, 4dp) as the exact integer (20000p+q) DIV 2q.
+        # floor of the double ratio is safe: the true quotient is at
+        # least 1/(2q) away from any other integer and q here is <= a
+        # few hundred, far inside double precision.
+        return F.when(q > 0, F.floor((20000 * p + q) / (2 * q)).cast("long"))
+
+    def fx4(p, q):
+        return half_up_e4(p, q) / F.lit(10000.0)
+
+    e4 = half_up_e4(num, den)
     return (
-        df.withColumn("n_tokens", F.size(toks).cast("long"))
-        .withColumn("distinct_ratio", F.round(distinct_ratio, 4))
-        .withColumn("stop_ratio", F.round(stop_ratio, 4))
-        .withColumn("quality_score", score)
-        .withColumn("is_high_quality", score >= 0.6)
+        df.withColumn("n_tokens", n)
+        .withColumn("distinct_ratio", fx4(d, n))
+        .withColumn("stop_ratio", fx4(st, n))
+        .withColumn("quality_score", e4 / F.lit(10000.0))
+        .withColumn("is_high_quality", e4 >= 6000)
     )
 
 

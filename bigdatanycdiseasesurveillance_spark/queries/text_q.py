@@ -51,33 +51,39 @@ def txt_token_stats(spark, sf_dir):
 
 @register(
     "txt_quality_score",
+    # exact integer fixed-point, mirroring operators/text_analysis.
+    # quality_score: the float form lands exactly on 4-decimal halves
+    # (0.72625 at n=80), where the engines' ROUND disagrees — sf1 find.
     oracle=_TOKS_CTE
     + f"""
         , s AS (
-            SELECT doc_id, len(tok) AS n,
-                   CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) AS dr,
-                   CAST(len(list_filter(tok, t -> list_contains({_SW}, t))) AS DOUBLE)
-                       / len(tok) AS sr
+            SELECT doc_id,
+                   CAST(len(tok) AS BIGINT) AS n,
+                   CAST(len(list_distinct(tok)) AS BIGINT) AS d,
+                   CAST(len(list_filter(tok, t -> list_contains({_SW}, t)))
+                        AS BIGINT) AS st
             FROM toks
+        ), fx AS (
+            SELECT doc_id, n, d, st,
+                   LEAST(300 * n, 2 * LEAST(n, 60) * n + 90 * d
+                         + 90 * LEAST(4 * st, n)) AS num,
+                   300 * n AS den
+            FROM s
         )
         SELECT doc_id,
-               CAST(n AS BIGINT) AS n_tokens,
-               ROUND(dr, 4) AS distinct_ratio,
-               ROUND(sr, 4) AS stop_ratio,
-               ROUND(LEAST(1.0, 0.4 * LEAST(1.0, n / 60.0)
-                                + 0.3 * dr
-                                + 0.3 * LEAST(1.0, 4.0 * sr)), 4) AS quality_score,
-               ROUND(LEAST(1.0, 0.4 * LEAST(1.0, n / 60.0)
-                                + 0.3 * dr
-                                + 0.3 * LEAST(1.0, 4.0 * sr)), 4) >= 0.6
-                   AS is_high_quality
-        FROM s
+               n AS n_tokens,
+               ((20000 * d + n) // (2 * n)) / 10000.0 AS distinct_ratio,
+               ((20000 * st + n) // (2 * n)) / 10000.0 AS stop_ratio,
+               ((20000 * num + den) // (2 * den)) / 10000.0 AS quality_score,
+               ((20000 * num + den) // (2 * den)) >= 6000 AS is_high_quality
+        FROM fx
     """,
     tags=("text", "quality"),
 )
 def txt_quality_score(spark, sf_dir):
     """Quality scoring: length/diversity/stopword heuristic in [0,1]
-    (pretraining-corpus filter)."""
+    (pretraining-corpus filter), exact-integer fixed point on both
+    sides so 4-decimal-half boundaries cannot desync the engines."""
     d = table(spark, sf_dir, "documents")
     return TA.quality_score(d).select(
         "doc_id", "n_tokens", "distinct_ratio", "stop_ratio", "quality_score", "is_high_quality"
