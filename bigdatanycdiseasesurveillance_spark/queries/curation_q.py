@@ -266,9 +266,11 @@ def _scale_sql(v: str) -> str:
             WHERE e.vec_id <> {_QVEC_ID}
         )
         SELECT vec_id, label,
-               ROUND(ce, 4) AS cos_exact,
-               ROUND(cq, 4) AS cos_quant,
-               ROUND(abs(ce - cq), 4) AS abs_err
+               -- + 0.0 collapses IEEE -0.0: a ~1e-18 cosine's sign can
+               -- differ between engines' summation groupings
+               ROUND(ce, 4) + 0.0 AS cos_exact,
+               ROUND(cq, 4) + 0.0 AS cos_quant,
+               ROUND(abs(ce - cq), 4) + 0.0 AS abs_err
         FROM x
     """,
     tags=("similarity", "quantization", "training-data"),
@@ -296,9 +298,11 @@ def emb_quantize_recall(spark, sf_dir):
         .select(
             "vec_id",
             "label",
-            F.round(ce, 4).alias("cos_exact"),
-            F.round(cq, 4).alias("cos_quant"),
-            F.round(F.abs(ce - cq), 4).alias("abs_err"),
+            # + 0.0 collapses IEEE -0.0 (sign of a ~1e-18 cosine is
+            # summation-grouping-dependent; comparators sort by repr)
+            (F.round(ce, 4) + F.lit(0.0)).alias("cos_exact"),
+            (F.round(cq, 4) + F.lit(0.0)).alias("cos_quant"),
+            (F.round(F.abs(ce - cq), 4) + F.lit(0.0)).alias("abs_err"),
         )
     )
 

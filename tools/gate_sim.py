@@ -28,7 +28,8 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return round(v, 6)
+        r = round(v, 6)
+        return 0.0 if r == 0 else r  # collapse IEEE -0.0 (repr-sort hazard)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, list):

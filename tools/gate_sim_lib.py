@@ -10,7 +10,12 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return round(v, 6)
+        r = round(v, 6)
+        # collapse IEEE negative zero: -0.0 == 0.0 but repr differs, and
+        # norm_rows sorts by repr — a cosine whose last-bit SIGN differs
+        # between engines (true value ~1e-18, rounded to +/-0.0) would
+        # scramble the sorted alignment into a false mismatch (sf1 find)
+        return 0.0 if r == 0 else r
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, list):
