@@ -268,9 +268,11 @@ def feat_quantile_normalize(spark, sf_dir):
         .alias("grank"),
     )
     big_n = ev.count()
+    # rank arithmetic in BIGINT: row_number() is INT, and
+    # (rn-1)*(N-1) overflows int32 once N reaches ~1M rows (sf1 find)
     mapped = src.filter(F.col("n") > 1).withColumn(
         "grank",
-        F.expr(f"(rn - 1) * ({big_n} - 1) DIV (n - 1) + 1"),
+        F.expr(f"(CAST(rn AS BIGINT) - 1) * ({big_n}L - 1) DIV (CAST(n AS BIGINT) - 1) + 1"),
     )
     probes = (
         mapped.filter(

@@ -70,6 +70,24 @@ def main():
     qs, oracles = E.queries(), E.oracle_sql()
     fails, rows_out = [], []
 
+    # resume support: skip names already logged by a previous run
+    # (SPARK_GRAFT_AUDIT_SKIP=<path to prior log>)
+    skip_log = os.environ.get("SPARK_GRAFT_AUDIT_SKIP")
+    if skip_log and os.path.exists(skip_log):
+        import re
+
+        done = set()
+        pat = re.compile(
+            r"^(?:OK|ok\(rows-only\)|BIG|MISMATCH|ERROR|TIMEOUT|ORACLE-\w+) (\S+?):? "
+        )
+        with open(skip_log) as fh:
+            for line in fh:
+                m = pat.match(line)
+                if m:
+                    done.add(m.group(1).rstrip(":"))
+        qs = {n: f for n, f in qs.items() if n not in done}
+        print(f"resume: skipping {len(done)} already-audited queries", flush=True)
+
     def run_oracle(sql):
         """(rows, cols, elapsed, status) — status in ok|big|timeout|error."""
         hit_timeout = threading.Event()
