@@ -244,3 +244,180 @@ def geo_geohash_rollup(spark, sf_dir):
         .orderBy(F.desc("n_events"), F.asc("geohash"))
         .limit(20)
     )
+
+
+_CG_EPS = 0.05
+_CG_KEY = 100000  # cell key = cx * _CG_KEY + cy (|cy| << _CG_KEY)
+# core cell <=> weighted 8-neighborhood density >= 1.2x the mean
+# (10*dens*C >= 12*9*N in exact integers). A relative threshold keeps
+# the contract meaningful at ANY corpus density — an absolute min_pts
+# saturates to one giant cluster as data grows on fixed geography.
+
+
+def _cellgrid_oracle() -> str:
+    jx, jy = jitter_sql("event_id", seed=7), jitter_sql("event_id", seed=8)
+    return f"""
+        WITH RECURSIVE rec AS (
+            SELECT event_id,
+                   40.60 + CAST(user_id % 37 AS DOUBLE) / 100.0 + ({jx}) AS x,
+                   -74.00 + CAST(user_id % 23 AS DOUBLE) / 100.0 + ({jy}) AS y
+            FROM events WHERE event_type = 'purchase'
+        ), cells AS (
+            SELECT CAST(FLOOR(x / {_CG_EPS}) AS BIGINT) AS cx,
+                   CAST(FLOOR(y / {_CG_EPS}) AS BIGINT) AS cy,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM rec GROUP BY 1, 2
+        ), dens AS (
+            SELECT a.cx, a.cy, SUM(b.w) AS dens, COUNT(*) AS cnt
+            FROM cells a JOIN cells b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT CAST(SUM(w) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS c
+            FROM cells
+        ), core AS (
+            SELECT c.cx, c.cy, c.w, c.cx * {_CG_KEY} + c.cy AS k
+            FROM cells c JOIN dens d ON d.cx = c.cx AND d.cy = c.cy
+            WHERE 10 * d.dens * (SELECT c FROM tot)
+                  >= 12 * d.cnt * (SELECT n FROM tot)
+        ), cedges AS (
+            SELECT a.k, b.k AS qk FROM core a JOIN core b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        ), walk(node, comp) AS (
+            SELECT k, k FROM core
+            UNION
+            SELECT ce.qk, w.comp FROM walk w JOIN cedges ce ON ce.k = w.node
+            WHERE w.comp < ce.qk
+        ), clabel AS (
+            SELECT node AS k, MIN(comp) AS cid FROM walk GROUP BY node
+        ), border AS (
+            SELECT c.cx, c.cy, c.w, MIN(cl.cid) AS cid
+            FROM cells c
+            JOIN core co ON abs(c.cx - co.cx) <= 1 AND abs(c.cy - co.cy) <= 1
+            JOIN clabel cl ON cl.k = co.k
+            WHERE c.cx * {_CG_KEY} + c.cy NOT IN (SELECT k FROM core)
+            GROUP BY 1, 2, 3
+        ), assigned AS (
+            SELECT co.cx, co.cy, co.w, cl.cid
+            FROM core co JOIN clabel cl ON cl.k = co.k
+            UNION ALL SELECT cx, cy, w, cid FROM border
+            UNION ALL
+            SELECT c.cx, c.cy, c.w, -1 AS cid
+            FROM cells c
+            WHERE c.cx * {_CG_KEY} + c.cy NOT IN (
+                SELECT co.cx * {_CG_KEY} + co.cy FROM core co
+                UNION ALL SELECT b.cx * {_CG_KEY} + b.cy FROM border b)
+        )
+        SELECT cid AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(w) AS BIGINT) AS n_points,
+               CAST(MIN(cx) AS BIGINT) AS min_cx,
+               CAST(MAX(cx) AS BIGINT) AS max_cx,
+               CAST(MIN(cy) AS BIGINT) AS min_cy,
+               CAST(MAX(cy) AS BIGINT) AS max_cy
+        FROM assigned GROUP BY cid
+    """
+
+
+@register(
+    "cluster_geo_cellgrid",
+    oracle=_cellgrid_oracle(),
+    tags=("cluster", "geo", "M7", "scale-path", "composed"),
+)
+def cluster_geo_cellgrid(spark, sf_dir):
+    """The PRODUCTION scale path for geographic density clustering —
+    the mitigation SCALE.md names for cluster_geo_pipeline's sf1 slow
+    tail (651.8s: the exact eps-graph densifies quadratically at fixed
+    geography). Points pre-aggregate into eps-grid micro-cells (count
+    per cell), density = weighted 8-neighborhood sum, core cells
+    cluster by grid adjacency, border cells attach to the min-labeled
+    core neighbor. Every join and CC iteration is keyed by CELL, and
+    the cell count is bounded by geography/eps^2 — corpus-size
+    INDEPENDENT, so the plan is identical at 100x the points while the
+    exact variant's edge list grows with density squared. The exact
+    DBSCAN stays as the verification surface; this is what a recurring
+    100 TB job runs. Contract is integer-pure (cell keys, counts,
+    bounding boxes) — no float summation order anywhere."""
+    from ..operators.dedup import connected_components
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    pts = ev.select(
+        (
+            F.lit(40.60)
+            + (F.col("user_id") % 37).cast("double") / 100.0
+            + C.seeded_jitter(F.col("event_id"), seed=7)
+        ).alias("x"),
+        (
+            F.lit(-74.00)
+            + (F.col("user_id") % 23).cast("double") / 100.0
+            + C.seeded_jitter(F.col("event_id"), seed=8)
+        ).alias("y"),
+    )
+    cells = (
+        pts.select(
+            F.floor(F.col("x") / _CG_EPS).cast("long").alias("cx"),
+            F.floor(F.col("y") / _CG_EPS).cast("long").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=False)  # cell-sized; consumed by 4 joins below
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cheb = (
+        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+    )
+    dens = (
+        a.join(F.broadcast(b), cheb)
+        .groupBy(F.col("a.cx").alias("cx"), F.col("a.cy").alias("cy"))
+        .agg(F.sum("b.w").alias("dens"), F.count("*").alias("cnt"))
+    )
+    tot = cells.agg(
+        F.sum("w").cast("long").alias("n"), F.count("*").cast("long").alias("c")
+    )
+    key = (F.col("cx") * _CG_KEY + F.col("cy")).alias("k")
+    core = (
+        cells.join(
+            dens.crossJoin(F.broadcast(tot)).filter(
+                10 * F.col("dens") * F.col("c") >= 12 * F.col("cnt") * F.col("n")
+            ),
+            ["cx", "cy"],
+        )
+        .select("cx", "cy", "w", key)
+        .localCheckpoint(eager=False)
+    )
+    ca, cb = core.alias("ca"), core.alias("cb")
+    cedges = ca.join(
+        F.broadcast(cb),
+        (F.abs(F.col("ca.cx") - F.col("cb.cx")) <= 1)
+        & (F.abs(F.col("ca.cy") - F.col("cb.cy")) <= 1),
+    ).select(F.col("ca.k").alias("id_a"), F.col("cb.k").alias("id_b"))
+    clabel = connected_components(cedges).withColumnRenamed(
+        "doc_id", "k"
+    ).withColumnRenamed("canonical_id", "cid")
+    core_lab = core.join(clabel, "k").select("cx", "cy", "w", "cid")
+    border = (
+        cells.join(F.broadcast(core_lab.select(
+            F.col("cx").alias("ox"), F.col("cy").alias("oy"), "cid"
+        )),
+            (F.abs(F.col("cx") - F.col("ox")) <= 1)
+            & (F.abs(F.col("cy") - F.col("oy")) <= 1),
+        )
+        .join(core.select("cx", "cy", F.lit(True).alias("is_core")), ["cx", "cy"], "left_anti")
+        .groupBy("cx", "cy", "w")
+        .agg(F.min("cid").alias("cid"))
+    )
+    assigned = core_lab.unionByName(border.select("cx", "cy", "w", "cid"))
+    noise = (
+        cells.join(assigned.select("cx", "cy"), ["cx", "cy"], "left_anti")
+        .select("cx", "cy", "w", F.lit(-1).cast("long").alias("cid"))
+    )
+    assigned = assigned.unionByName(noise)
+    return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("w").cast("long").alias("n_points"),
+        F.min("cx").cast("long").alias("min_cx"),
+        F.max("cx").cast("long").alias("max_cx"),
+        F.min("cy").cast("long").alias("min_cy"),
+        F.max("cy").cast("long").alias("max_cy"),
+    )

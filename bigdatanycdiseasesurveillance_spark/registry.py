@@ -127,6 +127,7 @@ def all_specs() -> dict[str, QuerySpec]:
 # entries here are harmless.
 _ROUND_NEW = (
     "mm_decode_real_headers",
+    "cluster_geo_cellgrid",
     "tok_bpe_merges",
     "txt_chunk_boilerplate",
     "win_global_rank_ranged",

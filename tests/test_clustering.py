@@ -51,3 +51,24 @@ def test_kmeans_partitions_everything(spark, sf_dir):
     assert assigned.count() == emb.count()
     assert assigned.select("cluster_id").distinct().count() <= 5
     assert assigned.filter(F.col("cluster_id").isNull()).count() == 0
+
+
+def test_cellgrid_conserves_points_and_partitions_cells(spark, sf_dir):
+    """The cell-grid scale path must account for every point exactly
+    once: cluster n_points + noise n_points == total purchase events,
+    and the cell bounding boxes stay inside the jittered lattice."""
+    from pyspark.sql import functions as F
+
+    from bigdatanycdiseasesurveillance_spark.registry import all_specs
+
+    out = all_specs()["cluster_geo_cellgrid"].fn(spark, sf_dir).collect()
+    total = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["n_points"] for r in out) == total
+    assert any(r["cluster_id"] >= 0 for r in out)  # at least one cluster
+    for r in out:
+        assert r["n_cells"] >= 1
+        assert r["min_cx"] <= r["max_cx"] and r["min_cy"] <= r["max_cy"]
