@@ -101,6 +101,23 @@ def main() -> None:
         if qname in timings and timings[qname] > 0
     }
 
+    # Per-query detail goes to a side file: BENCH_r05.json came back
+    # `parsed: null` because the 23-query inline maps outgrew the
+    # driver's tail-capture buffer (r5 verdict finding #4). The final
+    # stdout line stays compact: totals, throughputs, and the cold
+    # per-query map only (the driver contract requires `queries`).
+    detail = {
+        "queries_cold": timings,
+        "queries_warm": warm,
+        "warm_spread": warm_spread,
+        "errors": errors,
+        "throughput_rec_s": throughput,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
     print(
         json.dumps(
             {
@@ -108,10 +125,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_warm": warm,
-                "warm_spread": warm_spread,
                 "total_warm": round(sum(warm.values()), 4),
-                "errors": errors,
+                "n_errors": len(errors),
                 "throughput_rec_s": throughput,
                 "sf": sf,
             }

@@ -276,15 +276,31 @@ def decode_real_headers(media: DataFrame) -> DataFrame:
                 "header_ok": bool(ok),
             }
 
+        bad = {
+            "width": 0,
+            "height": 0,
+            "bit_depth": 0,
+            "channels": 0,
+            "sample_rate": 0,
+            "n_frames": 0,
+            "header_ok": False,
+        }
+
         for pdf in batch_iter:
             rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
-                meta = (
-                    parse_png(payload)
-                    if r["media_type"] == "png"
-                    else parse_wav(payload)
-                )
+                # a truncated/malformed blob must yield header_ok=False,
+                # never fail the job: wave.Error / struct.error / short
+                # slices are data conditions, not code bugs
+                try:
+                    meta = (
+                        parse_png(payload)
+                        if r["media_type"] == "png"
+                        else parse_wav(payload)
+                    )
+                except Exception:
+                    meta = dict(bad)
                 meta.update(
                     doc_id=int(r["doc_id"]),
                     media_type=r["media_type"],

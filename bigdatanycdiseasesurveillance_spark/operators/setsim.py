@@ -36,6 +36,19 @@ from pyspark.sql import functions as F
 from ..functions.text_funcs import distinct_tokens, word_jaccard
 
 
+def _ceil_mul_div(sz, threshold: float):
+    """ceil(threshold * sz) in exact integer arithmetic: the threshold
+    becomes a num/den Fraction (the same integers the verify stage
+    uses), and ceil(num*sz/den) = (num*sz + den - 1) DIV den — so
+    boundary-landing products never ride float rounding. sz is a set
+    size (< 2^20), so the integer arithmetic is exact in any width."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+    return F.floor((sz * F.lit(num) + F.lit(den - 1)) / F.lit(den)).cast("int")
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -65,9 +78,12 @@ def prefix_filter_jaccard_pairs(
         )
     )
 
-    # prefix length |A| - ceil(t*|A|) + 1  (>= 1 always)
+    # prefix length |A| - ceil(t*|A|) + 1 (>= 1 always), computed with
+    # the SAME num/den integers as the verify stage: float ceil can
+    # overshoot by 1 when t*|A| lands on an integer with adverse
+    # rounding, silently shortening the prefix (a recall hole)
     sz = F.size("stok")
-    plen = sz - F.ceil(F.lit(threshold) * sz).cast("int") + F.lit(1)
+    plen = sz - _ceil_mul_div(sz, threshold) + F.lit(1)
     prefixes = ordered.select(
         "id", F.explode(F.slice("stok", 1, plen)).alias("pt")
     )
@@ -256,7 +272,7 @@ def jaccard_pair_stats(
         )
     )
     sz = F.size("stok")
-    plen = sz - F.ceil(F.lit(threshold) * sz).cast("int") + F.lit(1)
+    plen = sz - _ceil_mul_div(sz, threshold) + F.lit(1)
     # prefix rows self-join below — checkpoint the (distinct-set-sized)
     # prefix relation so both join sides share one materialization.
     prefixes = ordered.select(

@@ -42,7 +42,8 @@ def _token_seqs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _adjacent_pairs(seqs: DataFrame) -> DataFrame:
-    """(a, b) rows for every adjacent position, a != b."""
+    """(a, b, w) rows for every adjacent position, a != b; w is the
+    owning sequence's multiplicity (1 when seqs carries no `mult`)."""
     n = F.size("tok")
     zipped = F.when(
         n >= 2,
@@ -52,9 +53,10 @@ def _adjacent_pairs(seqs: DataFrame) -> DataFrame:
             lambda x, y: F.struct(x.alias("a"), y.alias("b")),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    w = F.col("mult") if "mult" in seqs.columns else F.lit(1).cast("long")
     return (
-        seqs.select(F.explode(zipped).alias("p"))
-        .select("p.a", "p.b")
+        seqs.select(F.explode(zipped).alias("p"), w.alias("w"))
+        .select("p.a", "p.b", "w")
         .filter(F.col("a") != F.col("b"))
     )
 
@@ -86,44 +88,56 @@ def bpe_merge_steps(
     steps: int = 3,
 ) -> DataFrame:
     """Run `steps` BPE merge iterations; returns one row per step:
-    (step, merge_a, merge_b, pair_count, corpus_tokens_after)."""
-    seqs = _token_seqs(df, text_col, id_col)
-    out = None
+    (step, merge_a, merge_b, pair_count, corpus_tokens_after).
+
+    The loop runs over DISTINCT token sequences with multiplicity, not
+    raw documents: pair counts weight by `mult`, the merge fold touches
+    each distinct sequence once, and sequences re-collapse after every
+    merge (two sequences can become equal once a pair fuses). Identical
+    results — a document's pairs and its post-merge sequence depend
+    only on its token sequence — but per-step cost scales with distinct
+    CONTENT, which on template-heavy corpora (the normal web-crawl
+    case) is orders of magnitude below document count.
+
+    The per-step argmax is a collected 1-row control-plane scalar: the
+    merge pair rides into the fold as literals (no per-step crossJoin),
+    and an EMPTY argmax (no a != b adjacent pair left anywhere) breaks
+    the loop — BPE training is exhausted — instead of silently
+    annihilating the corpus through a join against zero rows."""
+    spark = df.sparkSession
+    seqs = (
+        _token_seqs(df, text_col, id_col)
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("mult"))
+        .localCheckpoint(eager=False)
+    )
+    rows: list[tuple] = []
     for k in range(1, steps + 1):
         best = (
             _adjacent_pairs(seqs)
             .groupBy("a", "b")
-            .agg(F.count("*").cast("long").alias("pair_count"))
+            .agg(F.sum("w").cast("long").alias("pair_count"))
             .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
             .limit(1)
+            .collect()
         )
-        # the 1-row argmax rides as a broadcast; the merge fold reads its
-        # columns directly, so the loop never collects corpus data
+        if not best:
+            break  # merge table exhausted: no qualifying pair remains
+        a, b, pair_count = best[0]["a"], best[0]["b"], best[0]["pair_count"]
         seqs = (
-            seqs.crossJoin(F.broadcast(best))
-            .select(
-                "doc_id",
-                _merge_fold(F.col("a"), F.col("b"))(F.col("tok")).alias("tok"),
+            seqs.select(
+                _merge_fold(F.lit(a), F.lit(b))(F.col("tok")).alias("tok"), "mult"
             )
+            .groupBy("tok")
+            .agg(F.sum("mult").alias("mult"))
             .localCheckpoint(eager=False)  # truncate the per-step plan chain
         )
-        stats = (
-            best.withColumnRenamed("a", "merge_a")
-            .withColumnRenamed("b", "merge_b")
-            .crossJoin(
-                F.broadcast(
-                    seqs.agg(
-                        F.sum(F.size("tok")).cast("long").alias("corpus_tokens_after")
-                    )
-                )
-            )
-            .select(
-                F.lit(k).cast("long").alias("step"),
-                "merge_a",
-                "merge_b",
-                "pair_count",
-                "corpus_tokens_after",
-            )
-        )
-        out = stats if out is None else out.unionByName(stats)
-    return out
+        total = seqs.agg(
+            F.sum(F.size("tok") * F.col("mult")).cast("long")
+        ).collect()[0][0]
+        rows.append((k, a, b, pair_count, total))
+    return spark.createDataFrame(
+        rows,
+        "step long, merge_a string, merge_b string, "
+        "pair_count long, corpus_tokens_after long",
+    )

@@ -237,12 +237,14 @@ def tok_bpe_merges(spark, sf_dir):
     """BPE merge induction (tokenizer TRAINING, not application): 3
     iterations of count-pairs -> argmax -> greedy merge over the corpus
     token sequences, emitting the learned merge table and the shrinking
-    corpus token count. Per iteration: one map-side-combinable pair
-    count, a 1-row argmax broadcast, and a per-row array fold — the
-    corpus stays put; only the merge rides the control plane. The
-    oracle replays the identical loop relationally (aligned unnest +
-    lead/lag mark-and-drop), so a greedy-semantics bug on either side
-    desyncs the merge table."""
+    corpus token count. Per iteration: one map-side-combinable weighted
+    pair count over DISTINCT sequences (multiplicity-collapsed, so step
+    cost follows distinct content, not document count), a 1-row argmax
+    control-plane scalar, and a per-row array fold — the corpus stays
+    put; only the merge pair rides the control plane. The oracle
+    replays the identical loop relationally (aligned unnest + lead/lag
+    mark-and-drop), so a greedy-semantics bug on either side desyncs
+    the merge table."""
     from ..operators.tokenizer import bpe_merge_steps
 
     return bpe_merge_steps(table(spark, sf_dir, "documents"), steps=3)

@@ -77,12 +77,12 @@ def _driver_coverage() -> tuple[set[str], set[str]]:
             with open(path) as fh:
                 for name, row in json.load(fh).items():
                     sampled.add(name)
-                    # only GREEN rows count as covered: a query that was
-                    # sampled but failed (then fixed) still needs a green
-                    # driver row, so it must stay in the priority tier
-                    if row.get("hash_match") or (
-                        row.get("err") == "no_oracle" and row.get("spark_rows")
-                    ):
+                    # only exact-value GREEN rows count as covered: a
+                    # rows-only (`no_oracle`) row that predates a spec's
+                    # oracle must NOT demote it out of the priority tier
+                    # (r5 verdict finding #3) — a query stays prioritized
+                    # until the driver records a hash_match for it.
+                    if row.get("hash_match"):
                         green.add(name)
         except Exception as exc:  # malformed round artifact — ordering hint only
             logging.getLogger(__name__).warning(

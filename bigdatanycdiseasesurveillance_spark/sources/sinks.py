@@ -232,6 +232,12 @@ def vacuum_gold_versions(
       older than ``partial_grace_sec`` — an in-flight concurrent writer
       is indistinguishable from a crashed one by marker alone, so age is
       the tiebreaker (same rule Delta/Iceberg vacuums use for orphans).
+      ``partial_grace_sec`` must exceed the longest expected write
+      duration: a writer legitimately slower than the grace window looks
+      crashed and is vacuumed mid-write. As a last line against the
+      scan-to-delete race, _SUCCESS is re-checked immediately before
+      each stale partial's removal — a commit that landed after the
+      scan rescues its version.
     """
     if not os.path.isdir(base_dir):
         return (0, 0)
@@ -260,6 +266,16 @@ def vacuum_gold_versions(
                 stale_partial.append(int(tail))
     committed.sort()
     doomed = committed[:-keep]
-    for v in doomed + stale_partial:
+    n_deleted = 0
+    for v in doomed:
         _remove_dir(os.path.join(base_dir, f"version={v}"))
-    return (len(doomed) + len(stale_partial), len(committed) - len(doomed))
+        n_deleted += 1
+    for v in stale_partial:
+        path = os.path.join(base_dir, f"version={v}")
+        # TOCTOU re-check: a slow writer may have committed between the
+        # scan and this delete — a fresh _SUCCESS rescues the version
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            continue
+        _remove_dir(path)
+        n_deleted += 1
+    return (n_deleted, len(committed) - len(doomed))

@@ -76,3 +76,25 @@ def test_real_codec_detects_corruption(spark):
     )
     rows = MM.decode_real_headers(corrupted).collect()
     assert rows and all(r["header_ok"] is False for r in rows)
+
+
+def test_real_codec_malformed_payload_is_data_not_crash(spark):
+    # truncated / structurally bogus blobs must come back header_ok=False
+    # (zeroed metadata), never fail the job
+    from bigdatanycdiseasesurveillance_spark.operators.multimodal import (
+        decode_real_headers,
+    )
+
+    rows = [
+        (1, "png", b"\x89PNG\r\n\x1a"),          # truncated signature
+        (2, "wav", b"RIFFxxxx"),                  # not a parseable wave
+        (3, "png", b""),                          # empty
+        (4, "wav", b"\x00" * 16),                 # garbage
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    out = {r["doc_id"]: r for r in decode_real_headers(media).collect()}
+    assert len(out) == 4
+    assert not any(r["header_ok"] for r in out.values())
+    assert all(r["width"] == 0 and r["sample_rate"] == 0 for r in out.values())

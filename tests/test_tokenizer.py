@@ -42,3 +42,25 @@ def test_bpe_excludes_same_token_runs(spark):
     df = _docs(spark, ["x x x x x y", "x x x x x y"])
     r1 = bpe_merge_steps(df, steps=1).collect()[0]
     assert (r1["merge_a"], r1["merge_b"]) == ("x", "y")
+
+
+def test_bpe_exhaustion_stops_cleanly(spark):
+    # a corpus with NO qualifying (a != b) adjacent pair after step 1:
+    # the loop must emit only the completed steps, never annihilate the
+    # corpus through a join against an empty argmax
+    df = _docs(spark, ["x y", "x y"])
+    rows = bpe_merge_steps(df, steps=3).collect()
+    assert len(rows) == 1
+    assert (rows[0]["merge_a"], rows[0]["merge_b"]) == ("x", "y")
+    assert rows[0]["corpus_tokens_after"] == 2  # two docs of one merged token
+
+
+def test_bpe_multiplicity_collapse_matches_duplicates(spark):
+    # duplicated docs must behave exactly like multiplicity weights
+    base = ["the cat sat", "the cat ran", "a cat sat"]
+    a = bpe_merge_steps(_docs(spark, base), steps=2).collect()
+    b = bpe_merge_steps(_docs(spark, base * 3), steps=2).collect()
+    for ra, rb in zip(sorted(a), sorted(b)):
+        assert (ra["merge_a"], ra["merge_b"]) == (rb["merge_a"], rb["merge_b"])
+        assert rb["pair_count"] == 3 * ra["pair_count"]
+        assert rb["corpus_tokens_after"] == 3 * ra["corpus_tokens_after"]
