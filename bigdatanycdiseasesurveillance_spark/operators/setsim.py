@@ -138,15 +138,32 @@ def prefix_filter_jaccard_pairs(
 DIGEST_MOD = 1_000_003
 
 
-def _mask_groups(df: DataFrame, text_col: str, id_col: str):
-    """(toks, g): toks = (id, tok array); g = one row per distinct
-    non-empty token set: (mask, c, rep). Raises when the vocabulary
-    exceeds 63 tokens (mask kernel domain)."""
+def mask_relation(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple = (),
+    keep_empty: bool = False,
+):
+    """(toks, masks): toks = (id, tok array, *extra); masks = (id, mask,
+    *extra) — one row per document, mask = the token-set bitmask under
+    the alphabetical token dictionary. Raises when the vocabulary
+    exceeds 63 tokens (mask kernel domain — see the module rationale:
+    tiny-vocab corpora are exactly where pair emitters explode).
+    ``extra_cols`` are Column expressions (or names) carried through —
+    block keys like source / length bucket. ``keep_empty`` keeps docs
+    with an empty token set as mask 0 (for contracts that must count
+    every document)."""
     from pyspark.sql import Window
 
+    extras = [F.col(c) if isinstance(c, str) else c for c in extra_cols]
     toks = df.select(
-        F.col(id_col).alias("id"), distinct_tokens(F.col(text_col)).alias("tok")
-    ).filter(F.size("tok") > 0)
+        F.col(id_col).alias("id"),
+        *extras,
+        distinct_tokens(F.col(text_col)).alias("tok"),
+    )
+    if not keep_empty:
+        toks = toks.filter(F.size("tok") > 0)
     tok_rows = toks.select("id", F.explode("tok").alias("t"))
     vocab = tok_rows.select("t").distinct()
     n_vocab = vocab.count()  # control-plane scalar: vocabulary cardinality
@@ -160,11 +177,22 @@ def _mask_groups(df: DataFrame, text_col: str, id_col: str):
     dict_df = vocab.select(
         "t", (F.row_number().over(Window.orderBy("t")) - 1).alias("tid")
     )
-    masks = (
+    per_doc = (
         tok_rows.join(F.broadcast(dict_df), "t")
         .groupBy("id")
         .agg(F.sum(F.expr("shiftleft(1L, tid)")).alias("mask"))
     )
+    masks = toks.drop("tok").join(per_doc, "id", "left").withColumn(
+        "mask", F.coalesce(F.col("mask"), F.lit(0).cast("long"))
+    )
+    return toks, masks
+
+
+def _mask_groups(df: DataFrame, text_col: str, id_col: str):
+    """(toks, g): toks = (id, tok array); g = one row per distinct
+    non-empty token set: (mask, c, rep). Raises when the vocabulary
+    exceeds 63 tokens (mask kernel domain)."""
+    toks, masks = mask_relation(df, text_col, id_col)
     g = masks.groupBy("mask").agg(
         F.count("*").cast("long").alias("c"), F.min("id").alias("rep")
     )
@@ -352,3 +380,104 @@ def minhash_md5_pair_stats(
         .distinct()
     )
     return _pair_stats_row(g, cand)
+
+
+# ---------------------------------------------------------------------------
+# Set-level (distinct-mask) LSH machinery for the bounded dedup contracts.
+#
+# Every signature family here (md5 MinHash, xxhash MinHash, SimHash) is a
+# pure function of the token SET, so running the banding over one
+# representative per distinct set yields the exact doc-level candidate
+# relation: doc pair (a, b) is a candidate iff set pair (set(a), set(b))
+# is. Combined with multiplicity weights this collapses every pair-verify
+# contract from O(qualifying doc pairs) — quadratic on template-heavy
+# corpora, the normal 100 TB crawl case — to O(distinct-set pairs).
+# ---------------------------------------------------------------------------
+
+
+def je4_expr(mask_a: str = "mask_a", mask_b: str = "mask_b"):
+    """Round-half-up 1e-4 fixed-point Jaccard of two set bitmasks:
+    (20000*i + u) DIV (2*u) — the repo's exact rounding device, so a
+    DuckDB oracle replays it bit-for-bit (je4 >= 7000 is equivalent to
+    round(jaccard, 4) >= 0.7)."""
+    return F.expr(
+        f"(20000 * bit_count({mask_a} & {mask_b}) + bit_count({mask_a} | {mask_b}))"
+        f" DIV (2 * bit_count({mask_a} | {mask_b}))"
+    )
+
+
+def mask_token_rows(g: DataFrame, toks: DataFrame) -> DataFrame:
+    """(mask, t) token rows, one per (distinct set, member token), via
+    each set's representative document. Input g must carry (mask, rep);
+    toks is the (id, tok) relation from mask_relation."""
+    return g.join(toks, g["rep"] == toks["id"]).select(
+        "mask", F.explode("tok").alias("t")
+    )
+
+
+def minhash_md5_set_bands(
+    mask_toks: DataFrame, n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """md5-MinHash band rows (mask, band, bsig) over distinct token sets
+    — bit-identical to operators.dedup._md5_bands run on any document
+    carrying that set (same seeds, same concat format), so doc-level
+    oracles and set-level contracts agree exactly."""
+    rows_per_band = n_hashes // bands
+    hashed = mask_toks.select(
+        "mask",
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{s}:"), F.col("t"))), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias(f"h{s}")
+            for s in range(n_hashes)
+        ],
+    )
+    sig = hashed.groupBy("mask").agg(
+        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(n_hashes)]
+    )
+    banded = sig.select(
+        "mask",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("mask", "bb.band", "bb.bsig")
+    # both sides of the band self-join (and any new-vs-old probe) read
+    # this relation — one materialization, distinct-set-sized
+    return banded.localCheckpoint(eager=False)
+
+
+def minhash_md5_set_dup_pairs(
+    mask_toks: DataFrame, thresh_e4: int = 7000
+) -> DataFrame:
+    """Verified near-dup DISTINCT-SET pairs (mask_a < mask_b, je4) from
+    the md5-MinHash band join: the set-level image of
+    operators.dedup.minhash_md5_pairs (round(jaccard,4) >= t). Identical
+    sets (jaccard 1.0) are NOT emitted here — they are the within-group
+    terms callers weight by C(c, 2)."""
+    banded = minhash_md5_set_bands(mask_toks)
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bsig"])
+        .filter(F.col("a.mask") < F.col("b.mask"))
+        .select(F.col("a.mask").alias("mask_a"), F.col("b.mask").alias("mask_b"))
+        .distinct()
+    )
+    return cand.withColumn("je4", je4_expr()).filter(F.col("je4") >= thresh_e4)

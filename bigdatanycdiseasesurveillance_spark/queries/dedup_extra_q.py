@@ -65,63 +65,198 @@ def dedup_simhash_md5(spark, sf_dir):
 
 @register(
     "dedup_containment_pairs",
+    # Per-source weighted stats contract over DISTINCT token sets (the
+    # pair-list output is quadratic on template-heavy corpora — the r5
+    # sf1 audit's finding): a qualifying set pair (A,B) in a source
+    # stands for c_A*c_B doc pairs; a set with c >= 2 for C(c,2) pairs
+    # at containment exactly 1.0 both ways. Containment is emitted as
+    # the direction-SYMMETRIC (max, min) pair — i/min(|A|,|B|) and
+    # i/max(|A|,|B|) — because the a-in-b direction of a doc pair
+    # depends on id interleaving, which multiplicity weights cannot
+    # see. All values integer-exact fixed point; the digest is the
+    # repo's order-insensitive md5 modular sum.
     oracle="""
         WITH toks AS (
-            SELECT doc_id, source, n_chars,
+            SELECT doc_id, source,
                    list_distinct(list_filter(string_split(lower(text), ' '),
                                              t -> t <> '')) AS tok
             FROM documents
+            WHERE len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) > 0
+        ), tokr AS (
+            SELECT doc_id, unnest(tok) AS t FROM toks
+        ), dict AS (
+            SELECT t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS tid
+            FROM (SELECT DISTINCT t FROM tokr)
+        ), m AS (
+            SELECT r.doc_id, CAST(SUM(1::BIGINT << d.tid) AS BIGINT) AS mask
+            FROM tokr r JOIN dict d ON r.t = d.t GROUP BY r.doc_id
+        ), g AS (
+            SELECT t.source, m.mask, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks t JOIN m ON m.doc_id = t.doc_id
+            GROUP BY 1, 2
+        ), cp AS (
+            SELECT a.source, a.mask AS ma, b.mask AS mb, a.c * b.c AS w,
+                   CAST(bit_count(a.mask & b.mask) AS BIGINT) AS i,
+                   LEAST(CAST(bit_count(a.mask) AS BIGINT),
+                         CAST(bit_count(b.mask) AS BIGINT)) AS smin,
+                   GREATEST(CAST(bit_count(a.mask) AS BIGINT),
+                            CAST(bit_count(b.mask) AS BIGINT)) AS smax
+            FROM g a JOIN g b ON a.source = b.source AND a.mask < b.mask
+        ), terms AS (
+            SELECT source, w,
+                   (20000 * i + smin) // (2 * smin) AS cmax_e4,
+                   (20000 * i + smax) // (2 * smax) AS cmin_e4,
+                   ma, mb
+            FROM cp WHERE 10 * i >= 9 * smin
+            UNION ALL
+            SELECT source, c * (c - 1) // 2, 10000, 10000, mask, mask
+            FROM g WHERE c >= 2
+        ), ht AS (
+            SELECT source, w, cmax_e4, cmin_e4,
+                   CAST(('0x' || substr(md5(source || ':'
+                        || CAST(ma AS VARCHAR) || ':'
+                        || CAST(mb AS VARCHAR) || ':'
+                        || CAST(cmax_e4 AS VARCHAR) || ':'
+                        || CAST(cmin_e4 AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 1000003 AS hv
+            FROM terms
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
-                     len(a.tok), 4) AS contain_a_in_b,
-               ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
-                     len(b.tok), 4) AS contain_b_in_a
-        FROM toks a JOIN toks b
-          ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE len(a.tok) > 0 AND len(b.tok) > 0
-          AND GREATEST(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
-                           len(a.tok),
-                       CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
-                           len(b.tok)) >= 0.9
+        SELECT g.source,
+               CAST(SUM(g.c) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_sets,
+               CAST(COALESCE(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(h.cmaxs, 0) AS BIGINT) AS contain_max_sum_e4,
+               CAST(COALESCE(h.cmins, 0) AS BIGINT) AS contain_min_sum_e4,
+               CAST(COALESCE(h.dg, 0) AS BIGINT) AS pair_digest
+        FROM g
+        LEFT JOIN (
+            SELECT source, SUM(w) AS n_pairs,
+                   SUM(w * cmax_e4) AS cmaxs,
+                   SUM(w * cmin_e4) AS cmins,
+                   SUM((w * hv) % 1000003) % 1000003 AS dg
+            FROM ht GROUP BY source
+        ) h ON h.source = g.source
+        GROUP BY g.source, h.n_pairs, h.cmaxs, h.cmins, h.dg
     """,
     tags=("dedup", "M2", "containment", "llm-prep"),
 )
 def dedup_containment_pairs(spark, sf_dir):
-    """Asymmetric near-dup (containment) pairs: |A∩B| / |A| — the
+    """Asymmetric near-dup (containment) audit: |A∩B| / |A| — the
     detector for quotes, excerpts, and boilerplate-wrapped copies that
     symmetric Jaccard misses (a short doc inside a long one has low
     Jaccard but containment ~1). Blocked by source only — unlike
-    Jaccard, containment pairs CROSS length buckets by nature, so the
+    Jaccard, containment pairs CROSS length buckets by nature, so a
     length-bucket block would hide exactly the pairs this op exists to
     find; at corpus scale the unbounded-block path is the PPJoin-style
     prefix filter over the SHORTER side's rare tokens.
 
-    Emits both directions' containment for each (id_a < id_b) pair
-    passing max(containment) >= 0.9."""
-    t = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", distinct_tokens(F.col("text")).alias("tok")
-    ).filter(F.size("tok") > 0)
-    a = t.select(
-        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"),
-        F.col("tok").alias("tok_a"),
+    Folds the max(containment) >= 0.9 pair multiset to one
+    multiplicity-weighted stats row per source: (n_docs, n_sets,
+    n_pairs, symmetric max/min containment fixed-point sums, pair
+    digest) — corpus-linear output, distinct-set-pair cost."""
+    from ..operators import setsim as SS
+
+    docs = table(spark, sf_dir, "documents")
+    _, masks = SS.mask_relation(docs, extra_cols=("source",))
+    g = (
+        masks.groupBy("source", "mask")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    b = t.select(
-        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"),
-        F.col("tok").alias("tok_b"),
+    a = g.select(
+        "source", F.col("mask").alias("mask_a"), F.col("c").alias("c_a")
     )
-    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b"))).cast("double")
-    c_ab = inter / F.size("tok_a")
-    c_ba = inter / F.size("tok_b")
-    return (
-        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("id_a") < F.col("id_b")))
-        .filter(F.greatest(c_ab, c_ba) >= 0.9)
+    b = g.select(
+        "source", F.col("mask").alias("mask_b"), F.col("c").alias("c_b")
+    )
+    i = F.expr("bit_count(mask_a & mask_b)").cast("long")
+    smin = F.least(
+        F.expr("bit_count(mask_a)").cast("long"),
+        F.expr("bit_count(mask_b)").cast("long"),
+    )
+    smax = F.greatest(
+        F.expr("bit_count(mask_a)").cast("long"),
+        F.expr("bit_count(mask_b)").cast("long"),
+    )
+    cross = (
+        a.join(b, "source")
+        .filter(F.col("mask_a") < F.col("mask_b"))
         .select(
-            "id_a",
-            "id_b",
-            F.round(c_ab, 4).alias("contain_a_in_b"),
-            F.round(c_ba, 4).alias("contain_b_in_a"),
+            "source",
+            (F.col("c_a") * F.col("c_b")).alias("w"),
+            i.alias("i"),
+            smin.alias("smin"),
+            smax.alias("smax"),
+            "mask_a",
+            "mask_b",
         )
+        .filter(F.expr("10 * i >= 9 * smin"))
+        .select(
+            "source",
+            "w",
+            F.expr("(20000 * i + smin) DIV (2 * smin)").alias("cmax_e4"),
+            F.expr("(20000 * i + smax) DIV (2 * smax)").alias("cmin_e4"),
+            "mask_a",
+            "mask_b",
+        )
+    )
+    within = g.filter("c >= 2").select(
+        "source",
+        F.expr("c * (c - 1) DIV 2").alias("w"),
+        F.lit(10000).cast("long").alias("cmax_e4"),
+        F.lit(10000).cast("long").alias("cmin_e4"),
+        F.col("mask").alias("mask_a"),
+        F.col("mask").alias("mask_b"),
+    )
+    terms = cross.unionByName(within).withColumn(
+        "hv",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("source"),
+                        F.col("mask_a").cast("string"),
+                        F.col("mask_b").cast("string"),
+                        F.col("cmax_e4").cast("string"),
+                        F.col("cmin_e4").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SS.DIGEST_MOD,
+    )
+    stats = terms.groupBy("source").agg(
+        F.sum("w").cast("long").alias("n_pairs"),
+        F.sum(F.col("w") * F.col("cmax_e4")).cast("long").alias("contain_max_sum_e4"),
+        F.sum(F.col("w") * F.col("cmin_e4")).cast("long").alias("contain_min_sum_e4"),
+        (
+            F.sum(F.expr(f"(w * hv) % {SS.DIGEST_MOD}")) % SS.DIGEST_MOD
+        )
+        .cast("long")
+        .alias("pair_digest"),
+    )
+    totals = g.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_sets"),
+    )
+    return totals.join(stats, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_sets",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("contain_max_sum_e4", F.lit(0))
+        .cast("long")
+        .alias("contain_max_sum_e4"),
+        F.coalesce("contain_min_sum_e4", F.lit(0))
+        .cast("long")
+        .alias("contain_min_sum_e4"),
+        F.coalesce("pair_digest", F.lit(0)).cast("long").alias("pair_digest"),
     )
 
 
@@ -218,129 +353,334 @@ def dedup_blocking_quality(spark, sf_dir):
 
 @register(
     "dedup_incremental_new_vs_old",
+    # Weighted stats contract over DISTINCT token sets: the md5-MinHash
+    # banding is a pure function of the set, so the new-vs-old band
+    # probe runs once per distinct mask and every qualifying
+    # (new-set, old-set) pair stands for c_new*c_old doc pairs. The
+    # whole pipeline — per-seed md5 hashes, groupBy-min signatures,
+    # band equi-join, exact verify — replays bit-for-bit in DuckDB.
     oracle="""
         WITH toks AS (
-            SELECT doc_id,
+            SELECT doc_id, doc_id % 5 = 0 AS is_new,
                    list_distinct(list_filter(string_split(lower(text), ' '),
-                                             t -> t <> '')) AS tok,
-                   doc_id % 5 = 0 AS is_new
+                                             t -> t <> '')) AS tok
             FROM documents
+            WHERE len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) > 0
         ), tokr AS (
-            SELECT doc_id, is_new, unnest(tok) AS t FROM toks
+            SELECT doc_id, unnest(tok) AS t FROM toks
+        ), dict AS (
+            SELECT t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS tid
+            FROM (SELECT DISTINCT t FROM tokr)
+        ), m AS (
+            SELECT r.doc_id, CAST(SUM(1::BIGINT << d.tid) AS BIGINT) AS mask
+            FROM tokr r JOIN dict d ON r.t = d.t GROUP BY r.doc_id
+        ), gm AS (
+            SELECT mask, MIN(doc_id) AS rep FROM m GROUP BY mask
+        ), gn AS (
+            SELECT m.mask, CAST(COUNT(*) AS BIGINT) AS c
+            FROM m JOIN toks t ON t.doc_id = m.doc_id
+            WHERE t.is_new GROUP BY m.mask
+        ), go AS (
+            SELECT m.mask, CAST(COUNT(*) AS BIGINT) AS c
+            FROM m JOIN toks t ON t.doc_id = m.doc_id
+            WHERE NOT t.is_new GROUP BY m.mask
+        ), mt AS (
+            SELECT gm.mask, r.t FROM gm JOIN tokr r ON r.doc_id = gm.rep
         ), hashed AS (
-            SELECT doc_id, is_new, s.seed,
+            SELECT mask, s.seed,
                    CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || t),
                                         1, 15)) AS BIGINT) AS h
-            FROM tokr CROSS JOIN (SELECT unnest(range(16)) AS seed) s
+            FROM mt CROSS JOIN (SELECT unnest(range(16)) AS seed) s
         ), sig AS (
-            SELECT doc_id, is_new, seed, MIN(h) AS mh
-            FROM hashed GROUP BY doc_id, is_new, seed
+            SELECT mask, seed, MIN(h) AS mh FROM hashed GROUP BY mask, seed
         ), bands AS (
-            SELECT doc_id, is_new, seed // 4 AS band,
+            SELECT mask, seed // 4 AS band,
                    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bsig
-            FROM sig GROUP BY doc_id, is_new, seed // 4
+            FROM sig GROUP BY mask, seed // 4
         ), cand AS (
-            SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
-            FROM bands n
-            JOIN bands o ON n.band = o.band AND n.bsig = o.bsig
-            WHERE n.is_new AND NOT o.is_new
+            SELECT DISTINCT bn.mask AS mn, bo.mask AS mo
+            FROM bands bn
+            JOIN bands bo ON bn.band = bo.band AND bn.bsig = bo.bsig
+            JOIN gn ON gn.mask = bn.mask
+            JOIN go ON go.mask = bo.mask
+        ), q AS (
+            SELECT c.mn, c.mo,
+                   (20000 * bit_count(c.mn & c.mo) + bit_count(c.mn | c.mo))
+                   // (2 * bit_count(c.mn | c.mo)) AS je4,
+                   gn.c * go.c AS w
+            FROM cand c JOIN gn ON gn.mask = c.mn JOIN go ON go.mask = c.mo
+            WHERE (20000 * bit_count(c.mn & c.mo) + bit_count(c.mn | c.mo))
+                  // (2 * bit_count(c.mn | c.mo)) >= 7000
+        ), ht AS (
+            SELECT w, je4,
+                   CAST(('0x' || substr(md5(CAST(mn AS VARCHAR) || ':'
+                        || CAST(mo AS VARCHAR) || ':'
+                        || CAST(je4 AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 1000003 AS hv
+            FROM q
         )
-        SELECT c.id_a, c.id_b,
-               ROUND(CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
-                     (len(ta.tok) + len(tb.tok)
-                      - len(list_intersect(ta.tok, tb.tok))), 4) AS jaccard
-        FROM cand c
-        JOIN toks ta ON ta.doc_id = c.id_a
-        JOIN toks tb ON tb.doc_id = c.id_b
-        WHERE ROUND(CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
-                    (len(ta.tok) + len(tb.tok)
-                     - len(list_intersect(ta.tok, tb.tok))), 4) >= 0.7
+        SELECT (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM gn) AS n_new_docs,
+               (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM go) AS n_old_docs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM gn) AS n_new_sets,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM go) AS n_old_sets,
+               CAST(COALESCE(SUM(w), 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(w * je4), 0) AS BIGINT) AS jaccard_sum_e4,
+               CAST(COALESCE(SUM((w * hv) % 1000003) % 1000003, 0) AS BIGINT)
+                   AS pair_digest
+        FROM ht
     """,
     tags=("dedup", "incremental", "lsh", "llm-prep"),
 )
 def dedup_incremental_new_vs_old(spark, sf_dir):
-    """Incremental-ingest dedup: MinHash-LSH near-dup pairs between the
+    """Incremental-ingest dedup: MinHash-LSH near-dup mass between the
     NEW batch (doc_id % 5 == 0 stands in for the arriving delta) and
     the EXISTING corpus only — the band join probes new signatures
     against existing ones, so neither old x old (already deduped) nor
     new x new (a separate tiny self-call) is recomputed. At 100 TB the
     existing side's band table is a maintained ingest artifact, making
     each batch cost hash(batch) + one equi-join — the only dedup shape
-    that stays flat as the corpus grows."""
+    that stays flat as the corpus grows. Folded to the multiplicity-
+    weighted stats row (n_new/old docs and sets, weighted pair count,
+    exact fixed-point jaccard sum, order-insensitive digest): the pair
+    LIST is quadratic on template-heavy corpora (the r5 sf1 finding);
+    the per-doc pair stream stays available as
+    D.minhash_md5_incremental_pairs."""
+    from ..operators import setsim as SS
+
     docs = table(spark, sf_dir, "documents")
-    new = docs.filter(F.col("doc_id") % 5 == 0)
-    old = docs.filter(F.col("doc_id") % 5 != 0)
-    return D.minhash_md5_incremental_pairs(new, old)
+    toks, masks = SS.mask_relation(
+        docs, extra_cols=((F.col("doc_id") % 5 == 0).alias("is_new"),)
+    )
+    gm = (
+        masks.groupBy("mask")
+        .agg(F.min("id").alias("rep"))
+        .localCheckpoint(eager=False)
+    )
+    gn = (
+        masks.filter("is_new")
+        .groupBy("mask")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    go = (
+        masks.filter("NOT is_new")
+        .groupBy("mask")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    banded = SS.minhash_md5_set_bands(SS.mask_token_rows(gm, toks))
+    cand = (
+        banded.alias("bn")
+        .join(F.broadcast(gn.select("mask")), "mask", "left_semi")
+        .select(F.col("mask").alias("mn"), "band", "bsig")
+        .join(
+            banded.alias("bo")
+            .join(F.broadcast(go.select("mask")), "mask", "left_semi")
+            .select(F.col("mask").alias("mo"), "band", "bsig"),
+            ["band", "bsig"],
+        )
+        .select("mn", "mo")
+        .distinct()
+    )
+    q = (
+        cand.withColumn("je4", SS.je4_expr("mn", "mo"))
+        .filter(F.col("je4") >= 7000)
+        .join(F.broadcast(gn.select(F.col("mask").alias("mn"), F.col("c").alias("cn"))), "mn")
+        .join(F.broadcast(go.select(F.col("mask").alias("mo"), F.col("c").alias("co"))), "mo")
+        .select("mn", "mo", "je4", (F.col("cn") * F.col("co")).alias("w"))
+    )
+    ht = q.withColumn(
+        "hv",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("mn").cast("string"),
+                        F.col("mo").cast("string"),
+                        F.col("je4").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SS.DIGEST_MOD,
+    )
+    stats = ht.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(F.sum(F.col("w") * F.col("je4")), F.lit(0))
+        .cast("long")
+        .alias("jaccard_sum_e4"),
+        F.coalesce(
+            F.sum(F.expr(f"(w * hv) % {SS.DIGEST_MOD}")) % SS.DIGEST_MOD, F.lit(0)
+        )
+        .cast("long")
+        .alias("pair_digest"),
+    )
+    tn = gn.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_new_docs"),
+        F.count("*").cast("long").alias("n_new_sets"),
+    )
+    to = go.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_old_docs"),
+        F.count("*").cast("long").alias("n_old_sets"),
+    )
+    return (
+        tn.crossJoin(F.broadcast(to))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_new_docs",
+            "n_old_docs",
+            "n_new_sets",
+            "n_old_sets",
+            "n_pairs",
+            "jaccard_sum_e4",
+            "pair_digest",
+        )
+    )
 
 
 @register(
     "dedup_source_overlap_matrix",
+    # Same output contract as before (the matrix is already corpus-
+    # linear); the COMPUTATION collapses to distinct token sets: the
+    # md5-MinHash banding depends only on the set, so the verified dup
+    # relation lives on distinct-mask pairs and the matrix is a
+    # weighted rollup of (source, mask) group counts — identical-set
+    # doc pairs (jaccard 1.0, always emitted by the band join) come
+    # from the mask-level self-join plus per-group C(c,2) terms.
     oracle="""
         WITH toks AS (
             SELECT doc_id, source,
                    list_distinct(list_filter(string_split(lower(text), ' '),
                                              t -> t <> '')) AS tok
             FROM documents
+            WHERE len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) > 0
         ), tokr AS (
             SELECT doc_id, unnest(tok) AS t FROM toks
+        ), dict AS (
+            SELECT t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS tid
+            FROM (SELECT DISTINCT t FROM tokr)
+        ), m AS (
+            SELECT r.doc_id, CAST(SUM(1::BIGINT << d.tid) AS BIGINT) AS mask
+            FROM tokr r JOIN dict d ON r.t = d.t GROUP BY r.doc_id
+        ), gm AS (
+            SELECT mask, MIN(doc_id) AS rep FROM m GROUP BY mask
+        ), gs AS (
+            SELECT t.source, m.mask, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks t JOIN m ON m.doc_id = t.doc_id
+            GROUP BY 1, 2
+        ), mt AS (
+            SELECT gm.mask, r.t FROM gm JOIN tokr r ON r.doc_id = gm.rep
         ), hashed AS (
-            SELECT doc_id, s.seed,
+            SELECT mask, s.seed,
                    CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || t),
                                         1, 15)) AS BIGINT) AS h
-            FROM tokr CROSS JOIN (SELECT unnest(range(16)) AS seed) s
+            FROM mt CROSS JOIN (SELECT unnest(range(16)) AS seed) s
         ), sig AS (
-            SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY doc_id, seed
+            SELECT mask, seed, MIN(h) AS mh FROM hashed GROUP BY mask, seed
         ), bands AS (
-            SELECT doc_id, seed // 4 AS band,
+            SELECT mask, seed // 4 AS band,
                    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bsig
-            FROM sig GROUP BY doc_id, seed // 4
-        ), cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig GROUP BY mask, seed // 4
+        ), dup AS (
+            SELECT DISTINCT a.mask AS ma, b.mask AS mb
             FROM bands a
             JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
-                        AND a.doc_id < b.doc_id
-        ), dup AS (
-            SELECT c.id_a, c.id_b
-            FROM cand c
-            JOIN toks ta ON ta.doc_id = c.id_a
-            JOIN toks tb ON tb.doc_id = c.id_b
-            WHERE CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
-                  (len(ta.tok) + len(tb.tok)
-                   - len(list_intersect(ta.tok, tb.tok))) >= 0.7
+                        AND a.mask < b.mask
+            WHERE (20000 * bit_count(a.mask & b.mask)
+                   + bit_count(a.mask | b.mask))
+                  // (2 * bit_count(a.mask | b.mask)) >= 7000
+        ), contrib AS (
+            SELECT LEAST(sa.source, sb.source) AS source_x,
+                   GREATEST(sa.source, sb.source) AS source_y,
+                   sa.c * sb.c AS w
+            FROM dup d
+            JOIN gs sa ON sa.mask = d.ma
+            JOIN gs sb ON sb.mask = d.mb
+            UNION ALL
+            SELECT a.source, b.source, a.c * b.c
+            FROM gs a JOIN gs b ON a.mask = b.mask AND a.source < b.source
+            UNION ALL
+            SELECT source, source, c * (c - 1) // 2 FROM gs WHERE c >= 2
         )
-        SELECT LEAST(sa.source, sb.source) AS source_x,
-               GREATEST(sa.source, sb.source) AS source_y,
-               CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
-        FROM dup d
-        JOIN toks sa ON sa.doc_id = d.id_a
-        JOIN toks sb ON sb.doc_id = d.id_b
+        SELECT source_x, source_y,
+               CAST(SUM(w) AS BIGINT) AS n_dup_pairs
+        FROM contrib
         GROUP BY 1, 2
-        HAVING COUNT(*) >= 10
+        HAVING SUM(w) >= 10
     """,
     tags=("dedup", "forensics", "llm-prep"),
 )
 def dedup_source_overlap_matrix(spark, sf_dir):
     """Corpus forensics: the (source, source) near-dup pair matrix —
     which sources mirror/scrape which. Unordered source pairs (LEAST/
-    GREATEST canonicalization) over the unblocked MinHash-LSH pair set
-    so CROSS-source duplication is visible (the blocked Jaccard tier
-    deliberately cannot see it), thresholded at >= 10 pairs. At 100 TB
-    this is a rollup of the maintained dup-pair table — the report
-    that tells a crawl operator which feeds to drop."""
-    from ..operators import dedup as D
+    GREATEST canonicalization) over the unblocked MinHash-LSH dup
+    relation so CROSS-source duplication is visible (the blocked
+    Jaccard tier deliberately cannot see it), thresholded at >= 10
+    pairs. Computed as a multiplicity-weighted rollup over distinct
+    token sets — band/verify cost follows distinct content, never the
+    qualifying doc-pair count (the r5 sf1 wall). At 100 TB this is a
+    rollup of the maintained dup-pair table — the report that tells a
+    crawl operator which feeds to drop."""
+    from ..operators import setsim as SS
 
     docs = table(spark, sf_dir, "documents")
-    pairs = D.minhash_md5_pairs(docs)
-    src = docs.select("doc_id", "source")
-    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
-    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .groupBy(
+    toks, masks = SS.mask_relation(docs, extra_cols=("source",))
+    gm = (
+        masks.groupBy("mask")
+        .agg(F.min("id").alias("rep"))
+        .localCheckpoint(eager=False)
+    )
+    gs = (
+        masks.groupBy("source", "mask")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    dup = SS.minhash_md5_set_dup_pairs(SS.mask_token_rows(gm, toks)).select(
+        "mask_a", "mask_b"
+    )
+    sa = gs.select(
+        F.col("mask").alias("mask_a"), F.col("source").alias("src_a"),
+        F.col("c").alias("c_a"),
+    )
+    sb = gs.select(
+        F.col("mask").alias("mask_b"), F.col("source").alias("src_b"),
+        F.col("c").alias("c_b"),
+    )
+    cross_diff = (
+        dup.join(sa, "mask_a")
+        .join(sb, "mask_b")
+        .select(
             F.least(F.col("src_a"), F.col("src_b")).alias("source_x"),
             F.greatest(F.col("src_a"), F.col("src_b")).alias("source_y"),
+            (F.col("c_a") * F.col("c_b")).alias("w"),
         )
-        .agg(F.count("*").cast("long").alias("n_dup_pairs"))
+    )
+    ident_cross = (
+        gs.alias("a")
+        .join(gs.alias("b"), F.col("a.mask") == F.col("b.mask"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_x"),
+            F.col("b.source").alias("source_y"),
+            (F.col("a.c") * F.col("b.c")).alias("w"),
+        )
+    )
+    ident_within = gs.filter("c >= 2").select(
+        F.col("source").alias("source_x"),
+        F.col("source").alias("source_y"),
+        F.expr("c * (c - 1) DIV 2").alias("w"),
+    )
+    return (
+        cross_diff.unionByName(ident_cross)
+        .unionByName(ident_within)
+        .groupBy("source_x", "source_y")
+        .agg(F.sum("w").cast("long").alias("n_dup_pairs"))
         .filter(F.col("n_dup_pairs") >= 10)
     )

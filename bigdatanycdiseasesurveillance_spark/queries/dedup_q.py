@@ -70,72 +70,192 @@ def dedup_jaccard_pairs(spark, sf_dir):
     # Self-verifying contract: xxhash64 minhash has no SQL twin (the
     # md5-replayable twin dedup_minhash_md5 IS hash-checked), so this
     # query certifies the fast path with values the oracle CAN pin:
-    # the blocked-exact pair count (recomputed exactly by DuckDB), a
-    # zero false-positive count (every emitted pair re-verified from
-    # raw text, independently of the operator's own filter), and a
-    # recall floor vs the exact pairs (measured 0.976-0.984; banding
-    # theory predicts ~0.97 at s=0.7). A banding/verify regression
-    # flips a value and the row goes red.
+    # the blocked-exact pair count (recomputed exactly by DuckDB over
+    # the distinct-set relation), a zero false-positive count (every
+    # emitted set pair re-verified from the raw token arrays,
+    # independently of the operator's popcount filter), and a recall
+    # floor vs the exact pairs (banding theory predicts ~0.97 at
+    # s=0.7). A banding/verify regression flips a value -> red.
+    # Everything runs multiplicity-weighted over DISTINCT token sets,
+    # so cost follows distinct content — the contract executes at sf1
+    # where the doc-pair formulation (~500M qualifying pairs) cannot.
     oracle="""
         WITH toks AS (
-            SELECT doc_id, source, n_chars,
+            SELECT doc_id, source,
+                   CAST(floor(n_chars / 50) AS BIGINT) AS bkt,
                    list_distinct(list_filter(string_split(lower(text), ' '),
                                              t -> t <> '')) AS tok
             FROM documents
-        ), pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM toks a JOIN toks b
-              ON a.source = b.source
-             AND floor(a.n_chars / 50) = floor(b.n_chars / 50)
-             AND a.doc_id < b.doc_id
-            WHERE ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
-                        (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))),
-                        4) >= 0.7
+            WHERE len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) > 0
+        ), tokr AS (
+            SELECT doc_id, unnest(tok) AS t FROM toks
+        ), dict AS (
+            SELECT t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS tid
+            FROM (SELECT DISTINCT t FROM tokr)
+        ), m AS (
+            SELECT r.doc_id, CAST(SUM(1::BIGINT << d.tid) AS BIGINT) AS mask
+            FROM tokr r JOIN dict d ON r.t = d.t GROUP BY r.doc_id
+        ), gb AS (
+            SELECT t.source, t.bkt, m.mask, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks t JOIN m ON m.doc_id = t.doc_id
+            GROUP BY 1, 2, 3
+        ), cp AS (
+            SELECT a.c * b.c AS w
+            FROM gb a JOIN gb b
+              ON a.source = b.source AND a.bkt = b.bkt AND a.mask < b.mask
+            WHERE (20000 * bit_count(a.mask & b.mask)
+                   + bit_count(a.mask | b.mask))
+                  // (2 * bit_count(a.mask | b.mask)) >= 7000
+        ), wi AS (
+            SELECT c * (c - 1) // 2 AS w FROM gb WHERE c >= 2
         )
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+        SELECT CAST((SELECT COALESCE(SUM(w), 0) FROM cp)
+                    + (SELECT COALESCE(SUM(w), 0) FROM wi) AS BIGINT)
+                   AS n_exact_pairs,
                CAST(0 AS BIGINT) AS n_false_positives,
                TRUE AS recall_ge_90
-        FROM pairs
     """,
     tags=("dedup", "M2", "lsh"),
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH certification: shingle -> 32-perm minhash -> 8-band
-    bucketing -> equi-join candidates -> exact-Jaccard verify, then a
-    contract row the oracle value-checks: exact blocked-pair count,
-    independent false-positive recount (pinned 0), recall-vs-exact
-    floor (pinned >= 0.9). The pair stream itself is the operator
-    (D.minhash_lsh_pairs); tests/test_lsh_recall_oracle.py pins the
-    banding-theory floor and the measured 0.9668 recall."""
+    """MinHash-LSH certification, distinct-set-weighted: 32-perm
+    xxhash64 minhash -> 8-band bucketing over one representative per
+    DISTINCT token set (the signature is a pure function of the set,
+    so the set-level candidate relation is exactly the doc-level one),
+    then a contract row the oracle value-checks: blocked-exact pair
+    count (multiplicity-weighted: a qualifying set pair (A,B) stands
+    for c_A*c_B doc pairs, a set with c >= 2 for C(c,2) jaccard-1.0
+    pairs), independent false-positive recount (pinned 0), recall-vs-
+    exact floor (pinned >= 0.9; within-set pairs are always caught —
+    identical sets share every band). The pair stream itself is the
+    operator (D.minhash_lsh_pairs); tests/test_lsh_recall_oracle.py
+    pins the banding-theory floor on the doc-level operator."""
+    from ..operators import setsim as SS
+
     docs = table(spark, sf_dir, "documents")
-    lsh = D.minhash_lsh_pairs(docs, threshold=0.7).select("id_a", "id_b")
-    exact = D.jaccard_pairs_gemm(docs, threshold=0.7).select("id_a", "id_b")
-    # independent re-verification from raw text (not the operator's
-    # internal jaccard): a broken verify stage shows up as n_fp > 0.
-    toks = docs.select(
-        F.col("doc_id").alias("id"), D.distinct_tokens(F.col("text")).alias("tok")
+    toks, masks = SS.mask_relation(
+        docs, extra_cols=("source", F.floor(F.col("n_chars") / 50).alias("bkt"))
     )
-    rechecked = (
-        lsh.join(toks.select(F.col("id").alias("id_a"), F.col("tok").alias("ta")), "id_a")
-        .join(toks.select(F.col("id").alias("id_b"), F.col("tok").alias("tb")), "id_b")
-        .select(D.word_jaccard(F.col("ta"), F.col("tb")).alias("j"))
+    gb = (
+        masks.groupBy("source", "bkt", "mask")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    n_fp = rechecked.agg(
-        F.sum(F.when(F.round(F.col("j"), 4) < 0.7, 1).otherwise(0))
+    gm = (
+        masks.groupBy("mask")
+        .agg(F.count("*").cast("long").alias("c"), F.min("id").alias("rep"))
+        .localCheckpoint(eager=False)
+    )
+    rep_toks = gm.join(toks.select(F.col("id").alias("rep"), "tok"), "rep").select(
+        "mask", "tok"
+    )
+    # the fast-path banding, verbatim, over distinct sets
+    n_perm, bands = 32, 8
+    rows_per_band = n_perm // bands
+    sigs = rep_toks.select(
+        "mask", "tok", D.minhash_signature(F.col("tok"), n_perm).alias("sig")
+    )
+    banded = (
+        sigs.select(
+            "mask",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.col("sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("mask", "bb.band", "bb.bucket")
+        .localCheckpoint(eager=False)
+    )
+    lsh = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.mask") < F.col("b.mask"))
+        .select(F.col("a.mask").alias("mask_a"), F.col("b.mask").alias("mask_b"))
+        .distinct()
+        .withColumn("je4", SS.je4_expr())
+        .filter(F.col("je4") >= 7000)  # the operator's exact verify
+        .localCheckpoint(eager=False)
+    )
+    # independent re-verification from the raw token ARRAYS (word_jaccard,
+    # not the mask popcounts): a broken verify stage shows up as n_fp > 0
+    ca = gm.select(F.col("mask").alias("mask_a"), F.col("c").alias("c_a"))
+    cb = gm.select(F.col("mask").alias("mask_b"), F.col("c").alias("c_b"))
+    ta = rep_toks.select(F.col("mask").alias("mask_a"), F.col("tok").alias("tok_a"))
+    tb = rep_toks.select(F.col("mask").alias("mask_b"), F.col("tok").alias("tok_b"))
+    j = D.word_jaccard(F.col("tok_a"), F.col("tok_b"))
+    n_fp = (
+        lsh.join(ta, "mask_a")
+        .join(tb, "mask_b")
+        .join(ca, "mask_a")
+        .join(cb, "mask_b")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.round(j, 4) < 0.7, F.col("c_a") * F.col("c_b")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_false_positives")
+        )
+    )
+    # blocked exact pairs (the ground truth), weighted, with LSH hit flag
+    a = gb.select(
+        F.col("source"), F.col("bkt"), F.col("mask").alias("mask_a"),
+        F.col("c").alias("c_a"),
+    )
+    b = gb.select(
+        F.col("source"), F.col("bkt"), F.col("mask").alias("mask_b"),
+        F.col("c").alias("c_b"),
+    )
+    eb = (
+        a.join(b, ["source", "bkt"])
+        .filter(F.col("mask_a") < F.col("mask_b"))
+        .withColumn("je4", SS.je4_expr())
+        .filter(F.col("je4") >= 7000)
+        .select("mask_a", "mask_b", (F.col("c_a") * F.col("c_b")).alias("w"))
+    )
+    hits = eb.join(
+        lsh.select("mask_a", "mask_b").withColumn("hit", F.lit(True)),
+        ["mask_a", "mask_b"],
+        "left",
+    )
+    cross_stats = hits.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("n_cross"),
+        F.coalesce(F.sum(F.when(F.col("hit"), F.col("w")).otherwise(0)), F.lit(0))
         .cast("long")
-        .alias("n_false_positives")
+        .alias("n_cross_hit"),
     )
-    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))
-    n_hit = exact.join(lsh, ["id_a", "id_b"], "left_semi").agg(
-        F.count("*").cast("double").alias("n_hit")
+    within = gb.filter("c >= 2").agg(
+        F.coalesce(F.sum(F.expr("c * (c - 1) DIV 2")), F.lit(0))
+        .cast("long")
+        .alias("n_within")
     )
     return (
-        n_exact.crossJoin(F.broadcast(n_fp))
-        .crossJoin(F.broadcast(n_hit))
+        cross_stats.crossJoin(F.broadcast(within))
+        .crossJoin(F.broadcast(n_fp))
         .select(
-            "n_exact_pairs",
+            (F.col("n_cross") + F.col("n_within")).alias("n_exact_pairs"),
             "n_false_positives",
-            (F.col("n_hit") >= 0.9 * F.col("n_exact_pairs")).alias("recall_ge_90"),
+            (
+                (F.col("n_cross_hit") + F.col("n_within")).cast("double")
+                >= 0.9 * (F.col("n_cross") + F.col("n_within")).cast("double")
+            ).alias("recall_ge_90"),
         )
     )
 
@@ -149,8 +269,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     # <= 3 must agree on one chunk, so zero such pairs may be missed),
     # and the documented mid-band (Hamming 4-8) recall floor (measured
     # 0.46-0.475; pinned >= 0.40). The ground truth is an all-pairs
-    # Hamming sweep over the 8-byte signatures — quadratic on purpose,
-    # certification-only (the production path IS the banded operator).
+    # Hamming sweep over DISTINCT-SET signatures, multiplicity-weighted
+    # — exactly the doc-level counts, but quadratic in distinct
+    # content, not corpus size (the production path IS the banded
+    # operator).
     oracle="""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_signed,
                CAST(0 AS BIGINT) AS n_hamming_le3_missed,
@@ -160,37 +282,90 @@ def dedup_minhash_lsh(spark, sf_dir):
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark, sf_dir):
-    """SimHash certification: 64-bit bit-vote signatures, 16-bit-chunk
-    blocking, Hamming verify — plus the contract row the oracle
-    value-checks (signature coverage, pigeonhole completeness, mid-band
-    recall floor). The pair stream itself is D.simhash_pairs."""
+    """SimHash certification, distinct-set-weighted: the 64-bit
+    bit-vote signature is a pure function of the token set, so the
+    ground-truth all-pairs Hamming sweep, the chunk-blocked candidate
+    join, and every recall count run over one representative per
+    DISTINCT set and weight by multiplicity (c_A*c_B doc pairs per set
+    pair; within-set pairs have Hamming 0 and always share every
+    chunk, so they can never be missed). Values are exactly the
+    doc-level ones, but the certification sweep is quadratic in
+    distinct CONTENT, not corpus size — it executes at sf1 where the
+    doc-level crossJoin cannot. Empty-token docs ride as mask 0
+    (sig 0) so signature coverage still counts every document. The
+    pair stream itself is D.simhash_pairs."""
+    from ..operators import setsim as SS
+
     docs = table(spark, sf_dir, "documents")
-    hashed = docs.select(
-        F.col("doc_id").alias("id"),
-        F.transform(D.distinct_tokens(F.col("text")), lambda t: F.xxhash64(t)).alias("th"),
+    toks, masks = SS.mask_relation(docs, keep_empty=True)
+    gm = (
+        masks.groupBy("mask")
+        .agg(F.count("*").cast("long").alias("c"), F.min("id").alias("rep"))
+        .localCheckpoint(eager=False)
     )
-    sigs = hashed.select("id", D.simhash_signature(F.col("th")).alias("sig"))
-    emitted = D.simhash_pairs(docs, max_hamming=8).select("id_a", "id_b")
-    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sa"))
-    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sb"))
+    rep_toks = gm.join(toks.select(F.col("id").alias("rep"), "tok"), "rep").select(
+        "mask", "tok"
+    )
+    sigs = rep_toks.select(
+        "mask",
+        D.simhash_signature(
+            F.transform(F.col("tok"), lambda t: F.xxhash64(t))
+        ).alias("sig"),
+    ).localCheckpoint(eager=False)
+    # the operator's chunk blocking, verbatim, over distinct sets
+    chunks, chunk_bits = 4, 16
+    cmask = (1 << chunk_bits) - 1
+    chunked = sigs.select(
+        "mask",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sig"), c * chunk_bits)
+                        .bitwiseAND(F.lit(cmask))
+                        .alias("ckey"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("mask", "cc.chunk", "cc.ckey")
+    emitted = (
+        chunked.alias("a")
+        .join(chunked.alias("b"), ["chunk", "ckey"])
+        .filter(F.col("a.mask") < F.col("b.mask"))
+        .select(F.col("a.mask").alias("mask_a"), F.col("b.mask").alias("mask_b"))
+        .distinct()
+    )
+    # ground truth: all DISTINCT-SET pairs with their Hamming distance
+    a = sigs.select(F.col("mask").alias("mask_a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("mask").alias("mask_b"), F.col("sig").alias("sb"))
+    ca = gm.select(F.col("mask").alias("mask_a"), F.col("c").alias("c_a"))
+    cb = gm.select(F.col("mask").alias("mask_b"), F.col("c").alias("c_b"))
     allp = (
         a.crossJoin(F.broadcast(b))
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("mask_a") < F.col("mask_b"))
         .select(
-            "id_a",
-            "id_b",
+            "mask_a",
+            "mask_b",
             F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("h"),
         )
+        .join(F.broadcast(ca), "mask_a")
+        .join(F.broadcast(cb), "mask_b")
+        .withColumn("w", F.col("c_a") * F.col("c_b"))
     )
-    le3 = allp.filter(F.col("h") <= 3).select("id_a", "id_b")
-    mid = allp.filter((F.col("h") >= 4) & (F.col("h") <= 8)).select("id_a", "id_b")
-    n_docs = sigs.agg(F.count("*").cast("long").alias("n_docs_signed"))
-    n_missed = le3.join(emitted, ["id_a", "id_b"], "left_anti").agg(
-        F.count("*").cast("long").alias("n_hamming_le3_missed")
+    le3 = allp.filter(F.col("h") <= 3).select("mask_a", "mask_b", "w")
+    mid = allp.filter((F.col("h") >= 4) & (F.col("h") <= 8)).select(
+        "mask_a", "mask_b", "w"
     )
-    n_mid = mid.agg(F.count("*").cast("double").alias("n_mid"))
-    n_mid_hit = mid.join(emitted, ["id_a", "id_b"], "left_semi").agg(
-        F.count("*").cast("double").alias("n_mid_hit")
+    n_docs = gm.agg(F.sum("c").cast("long").alias("n_docs_signed"))
+    n_missed = le3.join(emitted, ["mask_a", "mask_b"], "left_anti").agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("n_hamming_le3_missed")
+    )
+    n_mid = mid.agg(F.coalesce(F.sum("w"), F.lit(0)).cast("double").alias("n_mid"))
+    n_mid_hit = mid.join(emitted, ["mask_a", "mask_b"], "left_semi").agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("double").alias("n_mid_hit")
     )
     return (
         n_docs.crossJoin(F.broadcast(n_missed))
