@@ -289,3 +289,83 @@ def cluster_profiles(assigned: DataFrame, points: DataFrame, id_col: str = "vec_
         F.round(F.avg("x"), 4).alias("centroid_x"),
         F.round(F.avg("y"), 4).alias("centroid_y"),
     )
+
+
+def cellgrid_assign(
+    cells: DataFrame, key_mult: int = 100000, num: int = 12, den: int = 10
+) -> DataFrame:
+    """Corpus-size-independent geographic density clustering over
+    eps-grid micro-cells (the production scale path SCALE.md names for
+    the exact eps-graph DBSCAN's quadratic densification).
+
+    Input: one row per occupied cell (cx, cy, w = point count).
+    Output: (cx, cy, w, cid) — cid is the min core-cell key of the
+    cluster, -1 for noise. Core rule: weighted 8-neighborhood density
+    at least (num/den)x the corpus mean, in exact integers
+    (den*dens*C >= num*cnt*N), so the contract is replayable and stays
+    meaningful at any corpus density — an absolute min_pts saturates to
+    one giant cluster as data grows on fixed geography. Every join and
+    CC iteration is keyed by CELL; the cell count is bounded by
+    geography/eps^2, so the plan is identical at 100x the points."""
+    from .dedup import connected_components
+
+    cells = cells.localCheckpoint(eager=False)  # cell-sized; 4 consumers
+    a, b = cells.alias("a"), cells.alias("b")
+    cheb = (
+        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+    )
+    dens = (
+        a.join(F.broadcast(b), cheb)
+        .groupBy(F.col("a.cx").alias("cx"), F.col("a.cy").alias("cy"))
+        .agg(F.sum("b.w").alias("dens"), F.count("*").alias("cnt"))
+    )
+    tot = cells.agg(
+        F.sum("w").cast("long").alias("n"), F.count("*").cast("long").alias("c")
+    )
+    key = (F.col("cx") * key_mult + F.col("cy")).alias("k")
+    core = (
+        cells.join(
+            dens.crossJoin(F.broadcast(tot)).filter(
+                den * F.col("dens") * F.col("c") >= num * F.col("cnt") * F.col("n")
+            ),
+            ["cx", "cy"],
+        )
+        .select("cx", "cy", "w", key)
+        .localCheckpoint(eager=False)
+    )
+    ca, cb = core.alias("ca"), core.alias("cb")
+    cedges = ca.join(
+        F.broadcast(cb),
+        (F.abs(F.col("ca.cx") - F.col("cb.cx")) <= 1)
+        & (F.abs(F.col("ca.cy") - F.col("cb.cy")) <= 1),
+    ).select(F.col("ca.k").alias("id_a"), F.col("cb.k").alias("id_b"))
+    clabel = (
+        connected_components(cedges)
+        .withColumnRenamed("doc_id", "k")
+        .withColumnRenamed("canonical_id", "cid")
+    )
+    core_lab = core.join(clabel, "k").select("cx", "cy", "w", "cid")
+    border = (
+        cells.join(
+            F.broadcast(
+                core_lab.select(
+                    F.col("cx").alias("ox"), F.col("cy").alias("oy"), "cid"
+                )
+            ),
+            (F.abs(F.col("cx") - F.col("ox")) <= 1)
+            & (F.abs(F.col("cy") - F.col("oy")) <= 1),
+        )
+        .join(
+            core.select("cx", "cy", F.lit(True).alias("is_core")),
+            ["cx", "cy"],
+            "left_anti",
+        )
+        .groupBy("cx", "cy", "w")
+        .agg(F.min("cid").alias("cid"))
+    )
+    assigned = core_lab.unionByName(border.select("cx", "cy", "w", "cid"))
+    noise = cells.join(assigned.select("cx", "cy"), ["cx", "cy"], "left_anti").select(
+        "cx", "cy", "w", F.lit(-1).cast("long").alias("cid")
+    )
+    return assigned.unionByName(noise)

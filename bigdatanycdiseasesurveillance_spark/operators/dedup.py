@@ -271,7 +271,7 @@ def connected_components(
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
         .localCheckpoint(eager=True)
     )
-    # localCheckpoint per iteration truncates lineage — without it the
+    # localCheckpoint per block truncates lineage — without it the
     # plan doubles every round (each labels embeds the previous one) and
     # the driver OOMs on graphs needing more than a few hops
     labels = (
@@ -280,19 +280,31 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    converged = False
-    for _ in range(max_iter):
-        msgs = edges.join(labels, edges["s"] == labels["node"]).select(
+
+    def step(lbl):
+        msgs = edges.join(lbl, edges["s"] == lbl["node"]).select(
             F.col("d").alias("node"), "comp"
         )
-        labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+        return (
+            lbl.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
         )
-        # labels only decrease; an unchanged sum means a fixpoint
+
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    converged = False
+    steps_done = 0
+    while steps_done < max_iter:
+        # TWO propagation steps per materialization + convergence probe:
+        # near-dup graphs are dense cliques (diameter 2-3), so probing
+        # every step doubles the driver round-trips — the measured
+        # source of the bench run-to-run swing (r5 verdict #2) — for no
+        # information. Labels only decrease, so an unchanged sum across
+        # a 2-step block implies both steps were no-ops (fixpoint).
+        block = min(2, max_iter - steps_done)
+        lbl = labels
+        for _ in range(block):
+            lbl = step(lbl)
+        labels = lbl.localCheckpoint(eager=True)
+        steps_done += block
         new_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if new_sum == prev_sum:
             converged = True

@@ -262,36 +262,74 @@ def dedup_containment_pairs(spark, sf_dir):
 
 @register(
     "dedup_blocking_quality",
+    # Collapsed counting, identical audit values: n_all_pairs = C(n,2)
+    # needs only the corpus count; n_candidates sums C(block,2) per
+    # (source, bucket); the true-pair counts are multiplicity-weighted
+    # over distinct token sets (globally, and per block). The audit
+    # SEMANTICS — completeness/reduction of the blocking scheme against
+    # the full all-pairs space — are unchanged; the all-pairs space is
+    # counted, never materialized.
     oracle="""
         WITH toks AS (
-            SELECT doc_id, source, n_chars,
+            SELECT doc_id, source,
+                   CAST(floor(n_chars / 50) AS BIGINT) AS bkt,
                    list_distinct(list_filter(string_split(lower(text), ' '),
                                              t -> t <> '')) AS tok
             FROM documents
-        ), pairs AS (
-            SELECT (a.source = b.source
-                    AND floor(a.n_chars / 50) = floor(b.n_chars / 50))
-                       AS in_block,
-                   (CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
-                    (len(a.tok) + len(b.tok)
-                     - len(list_intersect(a.tok, b.tok))) >= 0.7) AS is_true
-            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
-            WHERE len(a.tok) > 0 AND len(b.tok) > 0
+            WHERE len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) > 0
+        ), tokr AS (
+            SELECT doc_id, unnest(tok) AS t FROM toks
+        ), dict AS (
+            SELECT t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS tid
+            FROM (SELECT DISTINCT t FROM tokr)
+        ), m AS (
+            SELECT r.doc_id, CAST(SUM(1::BIGINT << d.tid) AS BIGINT) AS mask
+            FROM tokr r JOIN dict d ON r.t = d.t GROUP BY r.doc_id
+        ), mb AS (
+            SELECT t.doc_id, t.source, t.bkt, m.mask
+            FROM toks t JOIN m ON m.doc_id = t.doc_id
+        ), nn AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM mb
+        ), blocks AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS bc
+            FROM mb GROUP BY source, bkt
+        ), ga AS (
+            SELECT mask, CAST(COUNT(*) AS BIGINT) AS c FROM mb GROUP BY mask
+        ), gb AS (
+            SELECT source, bkt, mask, CAST(COUNT(*) AS BIGINT) AS c
+            FROM mb GROUP BY 1, 2, 3
+        ), tg AS (
+            SELECT SUM(w) AS v FROM (
+                SELECT a.c * b.c AS w FROM ga a JOIN ga b ON a.mask < b.mask
+                WHERE 10 * CAST(bit_count(a.mask & b.mask) AS INTEGER)
+                      >= 7 * CAST(bit_count(a.mask | b.mask) AS INTEGER)
+                UNION ALL
+                SELECT c * (c - 1) // 2 FROM ga WHERE c >= 2)
+        ), tb AS (
+            SELECT SUM(w) AS v FROM (
+                SELECT a.c * b.c AS w FROM gb a JOIN gb b
+                  ON a.source = b.source AND a.bkt = b.bkt AND a.mask < b.mask
+                WHERE 10 * CAST(bit_count(a.mask & b.mask) AS INTEGER)
+                      >= 7 * CAST(bit_count(a.mask | b.mask) AS INTEGER)
+                UNION ALL
+                SELECT c * (c - 1) // 2 FROM gb WHERE c >= 2)
         )
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_all_pairs,
-               CAST(SUM(CASE WHEN in_block THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_candidates,
-               CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_true_pairs,
-               CAST(SUM(CASE WHEN is_true AND in_block THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_true_in_block,
-               ROUND(CAST(SUM(CASE WHEN is_true AND in_block THEN 1 ELSE 0 END)
-                          AS DOUBLE) /
-                     GREATEST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END), 1), 6)
+        SELECT CAST(n * (n - 1) // 2 AS BIGINT) AS n_all_pairs,
+               CAST(cand AS BIGINT) AS n_candidates,
+               CAST(tv AS BIGINT) AS n_true_pairs,
+               CAST(bv AS BIGINT) AS n_true_in_block,
+               ROUND(CAST(bv AS DOUBLE) / GREATEST(tv, 1), 6)
                    AS pair_completeness,
-               ROUND(1.0 - CAST(SUM(CASE WHEN in_block THEN 1 ELSE 0 END)
-                                AS DOUBLE) / COUNT(*), 6) AS reduction_ratio
-        FROM pairs
+               ROUND(1.0 - CAST(cand AS DOUBLE) / (n * (n - 1) // 2), 6)
+                   AS reduction_ratio
+        FROM (
+            SELECT (SELECT n FROM nn) AS n,
+                   (SELECT COALESCE(SUM(bc * (bc - 1) // 2), 0) FROM blocks)
+                       AS cand,
+                   (SELECT COALESCE(v, 0) FROM tg) AS tv,
+                   (SELECT COALESCE(v, 0) FROM tb) AS bv
+        )
     """,
     tags=("dedup", "blocking", "audit"),
 )
@@ -299,11 +337,11 @@ def dedup_blocking_quality(spark, sf_dir):
     """Blocking-scheme audit (entity-resolution style): pair
     completeness (recall of true Jaccard>=0.7 pairs inside the
     (source, length-bucket) blocks) and reduction ratio (fraction of
-    the all-pairs space the blocks prune). Run it at bench scale
-    whenever the blocking scheme changes; the brute-force all-pairs
-    denominator is deliberate and makes this an AUDIT query, not a
-    production plan (the production paths are the blocked/LSH/PPJoin
-    operators it audits).
+    the all-pairs space the blocks prune). Run it whenever the
+    blocking scheme changes. The all-pairs denominator is COUNTED in
+    closed form (C(n,2), C(block,2) per block, and multiplicity-
+    weighted distinct-set pairs for the true relation) — the audit
+    keeps its full-space semantics without ever materializing a pair.
 
     On the synthetic corpus the verdict it returns is itself the
     lesson: ~44% of ALL pairs are near-dups (template-generated text),
@@ -313,41 +351,79 @@ def dedup_blocking_quality(spark, sf_dir):
     the unblocked paths (MinHash-LSH, PPJoin) are the ones to run.
     The audit makes that trade-off a measured number instead of an
     assumption."""
-    t = (
-        table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            "source",
-            F.floor(F.col("n_chars") / 50).alias("bkt"),
-            distinct_tokens(F.col("text")).alias("tok"),
+    from ..operators import setsim as SS
+
+    docs = table(spark, sf_dir, "documents")
+    _, masks = SS.mask_relation(
+        docs, extra_cols=("source", F.floor(F.col("n_chars") / 50).alias("bkt"))
+    )
+    masks = masks.localCheckpoint(eager=False)
+    nn = masks.agg(F.count("*").cast("long").alias("n"))
+    cand = (
+        masks.groupBy("source", "bkt")
+        .agg(F.count("*").cast("long").alias("bc"))
+        .agg(
+            F.coalesce(F.sum(F.expr("bc * (bc - 1) DIV 2")), F.lit(0))
+            .cast("long")
+            .alias("cand")
         )
-        .filter(F.size("tok") > 0)
     )
-    a = t.select(
-        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"),
-        F.col("bkt").alias("bkt_a"), F.col("tok").alias("tok_a"),
+
+    # weighted true-pair mass, globally and per block
+    ga = masks.groupBy("mask").agg(F.count("*").cast("long").alias("c"))
+    gbk = masks.groupBy("source", "bkt", "mask").agg(
+        F.count("*").cast("long").alias("c")
     )
-    b = t.select(
-        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"),
-        F.col("bkt").alias("bkt_b"), F.col("tok").alias("tok_b"),
+    qual = F.expr("10 * bit_count(mask_a & mask_b) >= 7 * bit_count(mask_a | mask_b)")
+    tg_cross = (
+        ga.select(F.col("mask").alias("mask_a"), F.col("c").alias("c_a"))
+        .join(
+            ga.select(F.col("mask").alias("mask_b"), F.col("c").alias("c_b")),
+            F.col("mask_a") < F.col("mask_b"),
+        )
+        .filter(qual)
+        .agg(F.coalesce(F.sum(F.col("c_a") * F.col("c_b")), F.lit(0)).alias("v"))
     )
-    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b"))).cast("double")
-    jac = inter / (F.size("tok_a") + F.size("tok_b") - inter)
-    in_block = (F.col("src_a") == F.col("src_b")) & (F.col("bkt_a") == F.col("bkt_b"))
-    is_true = jac >= 0.7
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
-        in_block.alias("in_block"), is_true.alias("is_true")
+    tg_within = ga.filter("c >= 2").agg(
+        F.coalesce(F.sum(F.expr("c * (c - 1) DIV 2")), F.lit(0)).alias("v")
     )
-    n_true = F.sum(F.when(F.col("is_true"), 1).otherwise(0))
-    n_cand = F.sum(F.when(F.col("in_block"), 1).otherwise(0))
-    n_both = F.sum(F.when(F.col("is_true") & F.col("in_block"), 1).otherwise(0))
-    return pairs.agg(
-        F.count("*").cast("long").alias("n_all_pairs"),
-        n_cand.cast("long").alias("n_candidates"),
-        n_true.cast("long").alias("n_true_pairs"),
-        n_both.cast("long").alias("n_true_in_block"),
-        F.round(n_both / F.greatest(n_true, F.lit(1)), 6).alias("pair_completeness"),
-        F.round(F.lit(1.0) - n_cand / F.count("*"), 6).alias("reduction_ratio"),
+    tb_cross = (
+        gbk.select(
+            "source", "bkt", F.col("mask").alias("mask_a"), F.col("c").alias("c_a")
+        )
+        .join(
+            gbk.select(
+                "source", "bkt", F.col("mask").alias("mask_b"), F.col("c").alias("c_b")
+            ),
+            ["source", "bkt"],
+        )
+        .filter(F.col("mask_a") < F.col("mask_b"))
+        .filter(qual)
+        .agg(F.coalesce(F.sum(F.col("c_a") * F.col("c_b")), F.lit(0)).alias("v"))
+    )
+    tb_within = gbk.filter("c >= 2").agg(
+        F.coalesce(F.sum(F.expr("c * (c - 1) DIV 2")), F.lit(0)).alias("v")
+    )
+    tv = (F.col("tgc") + F.col("tgw")).alias("tv")
+    bv = (F.col("tbc") + F.col("tbw")).alias("bv")
+    return (
+        nn.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(tg_cross.select(F.col("v").alias("tgc"))))
+        .crossJoin(F.broadcast(tg_within.select(F.col("v").alias("tgw"))))
+        .crossJoin(F.broadcast(tb_cross.select(F.col("v").alias("tbc"))))
+        .crossJoin(F.broadcast(tb_within.select(F.col("v").alias("tbw"))))
+        .select(
+            F.expr("n * (n - 1) DIV 2").cast("long").alias("n_all_pairs"),
+            F.col("cand").cast("long").alias("n_candidates"),
+            tv.cast("long").alias("n_true_pairs"),
+            bv.cast("long").alias("n_true_in_block"),
+            F.round(
+                bv.cast("double") / F.greatest(tv, F.lit(1)), 6
+            ).alias("pair_completeness"),
+            F.round(
+                F.lit(1.0) - F.col("cand") / F.expr("n * (n - 1) DIV 2"), 6
+            ).alias("reduction_ratio"),
+        )
     )
 
 

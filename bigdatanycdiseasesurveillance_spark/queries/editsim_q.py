@@ -54,62 +54,108 @@ _SCALE = float(1 << 60)
 def dedup_hamming_pairs(spark, sf_dir):
     """Same-length name pairs within Hamming distance 2, counted per
     distance. The oracle runs the ground-truth O(n^2) theta join; the
-    engine generates candidates by masked-neighborhood blocking: each
-    name is emitted C(L,2) times with every pair of positions
-    wildcarded, and a qualifying pair collides on the key masked
-    exactly at its mismatch positions (mask sets are supersets of the
-    <=2 mismatch positions), so the scheme is lossless. Crucially it
-    is also SKEW-PROOF on templated keys: naive segment-pigeonhole
-    blocking (block on one of 3 disjoint substrings) degenerates to a
-    full cross product when keys share a constant region — these names
-    all share 'Customer#...', so two of three segment blocks would be
-    O(n^2); the masked string keeps every high-entropy character in
-    the join key, so bucket sizes follow the data's true ambiguity,
-    not its template. Cost is a fixed L^2/2 emission factor per row —
-    linear in the corpus, uniform in the shuffle. Two more candidate-
-    side savings: a pair joined on mask (i, j) can mismatch ONLY at i
-    or j, so d is two char-compares (not an L-step scan); and instead
-    of de-duplicating the candidate pair multiset (a d=1 pair collides
-    in exactly L-1 masks, a d=2 pair in exactly 1), occurrences are
-    counted and divided by that known multiplicity — no pair-keyed
-    shuffle at all."""
+    engine generates candidates by masked-neighborhood blocking over
+    VARYING positions only: a (length, position) is varying when the
+    corpus shows more than one character there — a 1-row-per-(len,pos)
+    control-plane profile — and two same-length names can mismatch
+    only at varying positions, so masks over varying-position pairs
+    remain lossless while skipping every wildcard wasted on the
+    template's constant region ('Customer#' + leading zeros: ~6
+    varying digits of 18 chars, a ~10x emission cut that grows with
+    corpus templating). Masks wildcard each pair of varying positions
+    (the single varying position, when only one varies), and a
+    qualifying pair collides on the key masked exactly at its mismatch
+    positions (mask sets are supersets of the <=2 mismatch positions).
+    The masked string keeps every other high-entropy character in the
+    join key, so bucket sizes follow the data's true ambiguity, not
+    its template (segment-pigeonhole blocking degenerates to a cross
+    product on templated keys). Two more candidate-side savings: a
+    pair joined on mask (i, j) can mismatch ONLY at i or j, so d is
+    two char-compares (not an L-step scan); and instead of
+    de-duplicating the candidate pair multiset (a d=1 pair collides in
+    exactly V-1 varying-pair masks, a d=2 pair in exactly 1),
+    occurrences are counted and divided by that known multiplicity —
+    no pair-keyed shuffle at all."""
     c = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
-    masked = c.select(
-        "id",
-        "name",
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, length(name) - 1),"
-                " i -> transform(sequence(i + 1, length(name)),"
-                " j -> struct(i AS i, j AS j,"
-                " concat(substring(name, 1, i - 1), '*',"
-                " substring(name, i + 1, j - i - 1), '*',"
-                " substring(name, j + 1, length(name) - j)) AS mkey))))"
+    # control-plane profile: varying positions per length class
+    # (bounded by #length-classes x max length — tens of rows)
+    stats = (
+        c.select(
+            F.length("name").alias("len"),
+            F.explode(F.expr("sequence(1, length(name))")).alias("p"),
+            "name",
+        )
+        .select("len", "p", F.expr("substring(name, p, 1)").alias("ch"))
+        .groupBy("len", "p")
+        .agg(F.countDistinct("ch").alias("nc"))
+        .collect()
+    )
+    vpos: dict[int, list[int]] = {}
+    for r in stats:
+        if r["nc"] > 1:
+            vpos.setdefault(r["len"], []).append(r["p"])
+    spec = []
+    for length, ps in sorted(vpos.items()):
+        ps.sort()
+        if len(ps) == 1:
+            spec.append((length, ps[0], ps[0]))
+        else:
+            spec.extend(
+                (length, ps[x], ps[y])
+                for x in range(len(ps))
+                for y in range(x + 1, len(ps))
             )
-        ).alias("m"),
-    ).select("id", "name", "m.i", "m.j", "m.mkey")
+    if not spec:  # every same-length pair is identical: no d in [1,2]
+        return spark.createDataFrame([], "hamming_d long, n_pairs long")
+    spec_df = spark.createDataFrame(spec, "len int, i int, j int")
+    div_df = spark.createDataFrame(
+        [(length, max(len(ps) - 1, 1)) for length, ps in sorted(vpos.items())],
+        "len int, div1 long",
+    )
+    mkey = F.when(
+        F.col("i") == F.col("j"),
+        F.expr(
+            "concat(substring(name, 1, i - 1), '*',"
+            " substring(name, i + 1, len - i))"
+        ),
+    ).otherwise(
+        F.expr(
+            "concat(substring(name, 1, i - 1), '*',"
+            " substring(name, i + 1, j - i - 1), '*',"
+            " substring(name, j + 1, len - j))"
+        )
+    )
+    masked = (
+        c.withColumn("len", F.length("name"))
+        .join(F.broadcast(spec_df), "len")
+        .select("id", "name", "len", "i", "j", mkey.alias("mkey"))
+    )
     a = masked.select(
-        F.col("id").alias("ai"), F.col("name").alias("an"), "i", "j", "mkey"
+        F.col("id").alias("ai"), F.col("name").alias("an"), "len", "i", "j", "mkey"
     )
     bb = masked.select(F.col("id").alias("bi"), F.col("name").alias("bn"), "mkey")
-    d = (
-        F.expr("CASE WHEN substring(an, i, 1) <> substring(bn, i, 1) THEN 1 ELSE 0 END")
-        + F.expr("CASE WHEN substring(an, j, 1) <> substring(bn, j, 1) THEN 1 ELSE 0 END")
+    di = F.expr(
+        "CASE WHEN substring(an, i, 1) <> substring(bn, i, 1) THEN 1 ELSE 0 END"
     )
+    dj = F.expr(
+        "CASE WHEN substring(an, j, 1) <> substring(bn, j, 1) THEN 1 ELSE 0 END"
+    )
+    d = F.when(F.col("i") == F.col("j"), di).otherwise(di + dj)
     occ = (
         a.join(bb, "mkey")
         .filter(F.col("ai") < F.col("bi"))
-        .select(d.alias("d"), F.length("an").alias("len"))
+        .select(d.alias("d"), "len")
         .filter(F.col("d").between(1, _MAX_HAMMING))
         .groupBy("d", "len")
         .agg(F.count("*").alias("occ"))
     )
     return (
-        occ.select(
+        occ.join(F.broadcast(div_df), "len")
+        .select(
             F.col("d").cast("long").alias("hamming_d"),
-            F.when(F.col("d") == 1, F.col("occ") / (F.col("len") - 1))
+            F.when(F.col("d") == 1, F.expr("occ DIV div1"))
             .otherwise(F.col("occ"))
             .cast("long")
             .alias("n_pairs"),

@@ -338,8 +338,6 @@ def cluster_geo_cellgrid(spark, sf_dir):
     DBSCAN stays as the verification surface; this is what a recurring
     100 TB job runs. Contract is integer-pure (cell keys, counts,
     bounding boxes) — no float summation order anywhere."""
-    from ..operators.dedup import connected_components
-
     ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     pts = ev.select(
         (
@@ -360,59 +358,8 @@ def cluster_geo_cellgrid(spark, sf_dir):
         )
         .groupBy("cx", "cy")
         .agg(F.count("*").cast("long").alias("w"))
-        .localCheckpoint(eager=False)  # cell-sized; consumed by 4 joins below
     )
-    a, b = cells.alias("a"), cells.alias("b")
-    cheb = (
-        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
-        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
-    )
-    dens = (
-        a.join(F.broadcast(b), cheb)
-        .groupBy(F.col("a.cx").alias("cx"), F.col("a.cy").alias("cy"))
-        .agg(F.sum("b.w").alias("dens"), F.count("*").alias("cnt"))
-    )
-    tot = cells.agg(
-        F.sum("w").cast("long").alias("n"), F.count("*").cast("long").alias("c")
-    )
-    key = (F.col("cx") * _CG_KEY + F.col("cy")).alias("k")
-    core = (
-        cells.join(
-            dens.crossJoin(F.broadcast(tot)).filter(
-                10 * F.col("dens") * F.col("c") >= 12 * F.col("cnt") * F.col("n")
-            ),
-            ["cx", "cy"],
-        )
-        .select("cx", "cy", "w", key)
-        .localCheckpoint(eager=False)
-    )
-    ca, cb = core.alias("ca"), core.alias("cb")
-    cedges = ca.join(
-        F.broadcast(cb),
-        (F.abs(F.col("ca.cx") - F.col("cb.cx")) <= 1)
-        & (F.abs(F.col("ca.cy") - F.col("cb.cy")) <= 1),
-    ).select(F.col("ca.k").alias("id_a"), F.col("cb.k").alias("id_b"))
-    clabel = connected_components(cedges).withColumnRenamed(
-        "doc_id", "k"
-    ).withColumnRenamed("canonical_id", "cid")
-    core_lab = core.join(clabel, "k").select("cx", "cy", "w", "cid")
-    border = (
-        cells.join(F.broadcast(core_lab.select(
-            F.col("cx").alias("ox"), F.col("cy").alias("oy"), "cid"
-        )),
-            (F.abs(F.col("cx") - F.col("ox")) <= 1)
-            & (F.abs(F.col("cy") - F.col("oy")) <= 1),
-        )
-        .join(core.select("cx", "cy", F.lit(True).alias("is_core")), ["cx", "cy"], "left_anti")
-        .groupBy("cx", "cy", "w")
-        .agg(F.min("cid").alias("cid"))
-    )
-    assigned = core_lab.unionByName(border.select("cx", "cy", "w", "cid"))
-    noise = (
-        cells.join(assigned.select("cx", "cy"), ["cx", "cy"], "left_anti")
-        .select("cx", "cy", "w", F.lit(-1).cast("long").alias("cid"))
-    )
-    assigned = assigned.unionByName(noise)
+    assigned = C.cellgrid_assign(cells, key_mult=_CG_KEY)
     return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count("*").cast("long").alias("n_cells"),
         F.sum("w").cast("long").alias("n_points"),
@@ -420,4 +367,198 @@ def cluster_geo_cellgrid(spark, sf_dir):
         F.max("cx").cast("long").alias("max_cx"),
         F.min("cy").cast("long").alias("min_cy"),
         F.max("cy").cast("long").alias("max_cy"),
+    )
+
+
+def _cellgrid_pipeline_oracle() -> str:
+    jx, jy = jitter_sql("event_id", seed=7), jitter_sql("event_id", seed=8)
+    nbhd_values = """
+            SELECT * FROM (VALUES
+                ('Astoria',40.756,40.786,-73.945,-73.905),
+                ('Williamsburg',40.697,40.725,-73.972,-73.935),
+                ('Bushwick',40.683,40.709,-73.945,-73.895),
+                ('Harlem',40.797,40.835,-73.965,-73.920),
+                ('East Village',40.721,40.734,-73.995,-73.972),
+                ('Riverdale',40.880,40.915,-73.930,-73.890),
+                ('Flushing',40.745,40.775,-73.845,-73.800),
+                ('St. George',40.635,40.650,-74.090,-74.065))
+                t(neighborhood, lat_min, lat_max, lon_min, lon_max)
+    """
+    return f"""
+        WITH RECURSIVE rec AS (
+            SELECT event_id,
+                   40.60 + CAST(user_id % 37 AS DOUBLE) / 100.0 + ({jx}) AS x,
+                   -74.00 + CAST(user_id % 23 AS DOUBLE) / 100.0 + ({jy}) AS y
+            FROM events WHERE event_type = 'purchase'
+        ), nbhd AS ({nbhd_values}
+        ), pts AS (
+            SELECT r.event_id, r.x, r.y, MIN(n.neighborhood) AS neighborhood
+            FROM rec r JOIN nbhd n
+              ON r.x >= n.lat_min AND r.x <= n.lat_max
+             AND r.y >= n.lon_min AND r.y <= n.lon_max
+            GROUP BY 1, 2, 3
+        ), pc AS (
+            SELECT CAST(FLOOR(x / {_CG_EPS}) AS BIGINT) AS cx,
+                   CAST(FLOOR(y / {_CG_EPS}) AS BIGINT) AS cy,
+                   neighborhood
+            FROM pts
+        ), cells AS (
+            SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS w FROM pc GROUP BY 1, 2
+        ), cnb AS (
+            SELECT cx, cy, neighborhood, CAST(COUNT(*) AS BIGINT) AS nw
+            FROM pc GROUP BY 1, 2, 3
+        ), dens AS (
+            SELECT a.cx, a.cy, SUM(b.w) AS dens, COUNT(*) AS cnt
+            FROM cells a JOIN cells b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT CAST(SUM(w) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS c
+            FROM cells
+        ), core AS (
+            SELECT c.cx, c.cy, c.w, c.cx * {_CG_KEY} + c.cy AS k
+            FROM cells c JOIN dens d ON d.cx = c.cx AND d.cy = c.cy
+            WHERE 10 * d.dens * (SELECT c FROM tot)
+                  >= 12 * d.cnt * (SELECT n FROM tot)
+        ), cedges AS (
+            SELECT a.k, b.k AS qk FROM core a JOIN core b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        ), walk(node, comp) AS (
+            SELECT k, k FROM core
+            UNION
+            SELECT ce.qk, w.comp FROM walk w JOIN cedges ce ON ce.k = w.node
+            WHERE w.comp < ce.qk
+        ), clabel AS (
+            SELECT node AS k, MIN(comp) AS cid FROM walk GROUP BY node
+        ), border AS (
+            SELECT c.cx, c.cy, c.w, MIN(cl.cid) AS cid
+            FROM cells c
+            JOIN core co ON abs(c.cx - co.cx) <= 1 AND abs(c.cy - co.cy) <= 1
+            JOIN clabel cl ON cl.k = co.k
+            WHERE c.cx * {_CG_KEY} + c.cy NOT IN (SELECT k FROM core)
+            GROUP BY 1, 2, 3
+        ), assigned AS (
+            SELECT co.cx, co.cy, co.w, cl.cid
+            FROM core co JOIN clabel cl ON cl.k = co.k
+            UNION ALL SELECT cx, cy, w, cid FROM border
+            UNION ALL
+            SELECT c.cx, c.cy, c.w, -1 AS cid
+            FROM cells c
+            WHERE c.cx * {_CG_KEY} + c.cy NOT IN (
+                SELECT co.cx * {_CG_KEY} + co.cy FROM core co
+                UNION ALL SELECT b.cx * {_CG_KEY} + b.cy FROM border b)
+        ), prof AS (
+            SELECT a.cid, nb.neighborhood, SUM(nb.nw) AS cnt
+            FROM assigned a JOIN cnb nb ON nb.cx = a.cx AND nb.cy = a.cy
+            GROUP BY 1, 2
+        ), topn AS (
+            SELECT cid, neighborhood,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cid ORDER BY cnt DESC, neighborhood
+                   ) AS rn
+            FROM prof
+        )
+        SELECT a.cid AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(a.w) AS BIGINT) AS n_points,
+               MIN(t.neighborhood) AS top_neighborhood,
+               CAST(MIN(a.cx) AS BIGINT) AS min_cx,
+               CAST(MAX(a.cx) AS BIGINT) AS max_cx,
+               CAST(MIN(a.cy) AS BIGINT) AS min_cy,
+               CAST(MAX(a.cy) AS BIGINT) AS max_cy
+        FROM assigned a
+        JOIN topn t ON t.cid = a.cid AND t.rn = 1
+        GROUP BY a.cid
+    """
+
+
+@register(
+    "cluster_geo_pipeline_cellgrid",
+    oracle=_cellgrid_pipeline_oracle(),
+    tags=("cluster", "geo", "M7", "M9", "J3", "scale-path", "composed"),
+    bench=True,
+)
+def cluster_geo_pipeline_cellgrid(spark, sf_dir):
+    """The composed flagship on the PRODUCTION scale path: seeded
+    jitter -> bbox neighborhood join -> cell-grid density clustering ->
+    per-cluster profile with the dominant neighborhood. Same
+    composition users run via cluster_geo_pipeline, but the clustering
+    stage is cellgrid_assign (eps-grid micro-cells, relative-density
+    core rule, cell-keyed CC) — corpus-size-independent where the exact
+    eps-graph's edge list grows with density squared (651.8s vs 11.3s
+    at sf1, r5 audit). Profile stays integer-pure (cell counts, point
+    counts, integer bounding box) plus the deterministic dominant
+    neighborhood (max per-cluster point count, ties alphabetical)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    jittered = ev.select(
+        "event_id",
+        (
+            F.lit(40.60)
+            + (F.col("user_id") % 37).cast("double") / 100.0
+            + C.seeded_jitter(F.col("event_id"), seed=7)
+        ).alias("x"),
+        (
+            F.lit(-74.00)
+            + (F.col("user_id") % 23).cast("double") / 100.0
+            + C.seeded_jitter(F.col("event_id"), seed=8)
+        ).alias("y"),
+    )
+    nb = neighborhood_dim(spark).select(
+        "neighborhood", "lat_min", "lat_max", "lon_min", "lon_max"
+    )
+    located = (
+        jittered.join(
+            F.broadcast(nb),
+            (jittered.x >= nb.lat_min)
+            & (jittered.x <= nb.lat_max)
+            & (jittered.y >= nb.lon_min)
+            & (jittered.y <= nb.lon_max),
+        )
+        .groupBy("event_id", "x", "y")
+        .agg(F.min("neighborhood").alias("neighborhood"))
+    )
+    pc = located.select(
+        F.floor(F.col("x") / _CG_EPS).cast("long").alias("cx"),
+        F.floor(F.col("y") / _CG_EPS).cast("long").alias("cy"),
+        "neighborhood",
+    ).localCheckpoint(eager=False)  # feeds both the cell table and cnb
+    cells = pc.groupBy("cx", "cy").agg(F.count("*").cast("long").alias("w"))
+    cnb = pc.groupBy("cx", "cy", "neighborhood").agg(
+        F.count("*").cast("long").alias("nw")
+    )
+    assigned = C.cellgrid_assign(cells, key_mult=_CG_KEY).localCheckpoint(
+        eager=False
+    )  # consumed by the profile join AND the stats rollup
+    prof = (
+        assigned.join(cnb, ["cx", "cy"])
+        .groupBy("cid", "neighborhood")
+        .agg(F.sum("nw").alias("cnt"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("cnt"), F.asc("neighborhood"))
+    top = (
+        prof.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("neighborhood").alias("top_neighborhood"))
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("w").cast("long").alias("n_points"),
+            F.min("cx").cast("long").alias("min_cx"),
+            F.max("cx").cast("long").alias("max_cx"),
+            F.min("cy").cast("long").alias("min_cy"),
+            F.max("cy").cast("long").alias("max_cy"),
+        )
+        .join(F.broadcast(top), "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_cells",
+            "n_points",
+            "top_neighborhood",
+            "min_cx",
+            "max_cx",
+            "min_cy",
+            "max_cy",
+        )
     )

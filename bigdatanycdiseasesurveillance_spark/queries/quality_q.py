@@ -247,54 +247,75 @@ def feat_quantile_binning(spark, sf_dir):
 
 @register(
     "dq_split_leakage",
+    # Collapsed to distinct token sets: the dup relation lives on
+    # distinct-mask pairs (md5-MinHash banding is a pure function of
+    # the set), and each mask group carries its per-split member
+    # counts (t = test docs, r = train docs). A dup set pair (A,B)
+    # contributes (tA+rA)*(tB+rB) total and tA*rB + rA*tB cross-split
+    # doc pairs; a group with c >= 2 contributes C(c,2) total and
+    # tA*rA cross — exactly the doc-level counts, at distinct-set cost.
     oracle="""
         WITH toks AS (
             SELECT doc_id,
                    list_distinct(list_filter(string_split(lower(text), ' '),
                                              t -> t <> '')) AS tok
             FROM documents
+            WHERE len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) > 0
         ), tokr AS (
             SELECT doc_id, unnest(tok) AS t FROM toks
-        ), hashed AS (
-            SELECT doc_id, s.seed,
-                   CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || t),
-                                        1, 15)) AS BIGINT) AS h
-            FROM tokr CROSS JOIN (SELECT unnest(range(16)) AS seed) s
-        ), sig AS (
-            SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY doc_id, seed
-        ), bands AS (
-            SELECT doc_id, seed // 4 AS band,
-                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bsig
-            FROM sig GROUP BY doc_id, seed // 4
-        ), cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a
-            JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
-                        AND a.doc_id < b.doc_id
-        ), dup AS (
-            SELECT c.id_a, c.id_b
-            FROM cand c
-            JOIN toks ta ON ta.doc_id = c.id_a
-            JOIN toks tb ON tb.doc_id = c.id_b
-            WHERE CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
-                  (len(ta.tok) + len(tb.tok)
-                   - len(list_intersect(ta.tok, tb.tok))) >= 0.7
+        ), dict AS (
+            SELECT t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS tid
+            FROM (SELECT DISTINCT t FROM tokr)
+        ), m AS (
+            SELECT r.doc_id, CAST(SUM(1::BIGINT << d.tid) AS BIGINT) AS mask
+            FROM tokr r JOIN dict d ON r.t = d.t GROUP BY r.doc_id
         ), split AS (
             SELECT doc_id,
-                   CASE WHEN CAST(('0x' || substr(md5('split:' ||
-                             CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                          < 230584300921369408
-                        THEN 'test' ELSE 'train' END AS split
+                   CAST(('0x' || substr(md5('split:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       < 230584300921369408 AS is_test
             FROM documents
+        ), g AS (
+            SELECT m.mask,
+                   CAST(SUM(CASE WHEN s.is_test THEN 1 ELSE 0 END) AS BIGINT) AS t,
+                   CAST(SUM(CASE WHEN s.is_test THEN 0 ELSE 1 END) AS BIGINT) AS r,
+                   MIN(m.doc_id) AS rep
+            FROM m JOIN split s ON s.doc_id = m.doc_id
+            GROUP BY m.mask
+        ), mt AS (
+            SELECT g.mask, r.t FROM g JOIN tokr r ON r.doc_id = g.rep
+        ), hashed AS (
+            SELECT mask, s.seed,
+                   CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || t),
+                                        1, 15)) AS BIGINT) AS h
+            FROM mt CROSS JOIN (SELECT unnest(range(16)) AS seed) s
+        ), sig AS (
+            SELECT mask, seed, MIN(h) AS mh FROM hashed GROUP BY mask, seed
+        ), bands AS (
+            SELECT mask, seed // 4 AS band,
+                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bsig
+            FROM sig GROUP BY mask, seed // 4
+        ), dup AS (
+            SELECT DISTINCT a.mask AS ma, b.mask AS mb
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+                        AND a.mask < b.mask
+            WHERE (20000 * bit_count(a.mask & b.mask)
+                   + bit_count(a.mask | b.mask))
+                  // (2 * bit_count(a.mask | b.mask)) >= 7000
+        ), contrib AS (
+            SELECT (ga.t + ga.r) * (gb.t + gb.r) AS tot,
+                   ga.t * gb.r + ga.r * gb.t AS x
+            FROM dup d JOIN g ga ON ga.mask = d.ma JOIN g gb ON gb.mask = d.mb
+            UNION ALL
+            SELECT (t + r) * (t + r - 1) // 2, t * r FROM g WHERE t + r >= 2
         )
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
-               CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_cross_split,
-               ROUND(CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
-                          AS DOUBLE) / GREATEST(COUNT(*), 1), 6) AS leak_fraction
-        FROM dup d
-        JOIN split sa ON sa.doc_id = d.id_a
-        JOIN split sb ON sb.doc_id = d.id_b
+        SELECT CAST(COALESCE(SUM(tot), 0) AS BIGINT) AS n_dup_pairs,
+               CAST(COALESCE(SUM(x), 0) AS BIGINT) AS n_cross_split,
+               ROUND(CAST(COALESCE(SUM(x), 0) AS DOUBLE)
+                     / GREATEST(COALESCE(SUM(tot), 0), 1), 6) AS leak_fraction
+        FROM contrib
     """,
     tags=("dq", "leakage", "llm-prep", "dedup"),
 )
@@ -302,29 +323,62 @@ def dq_split_leakage(spark, sf_dir):
     """Split-leakage audit: how many near-duplicate pairs (md5-MinHash
     LSH, exact-Jaccard verified at 0.7) STRADDLE the deterministic
     train/test split — the contamination a random document-level split
-    always has on a deduplicated-but-not-grouped corpus. Composes two
-    proven oracles (minhash_md5_pairs x train_test_split); the fix in a
+    always has on a deduplicated-but-not-grouped corpus. The fix in a
     real pipeline is splitting by duplicate GROUP (dedup_duplicate_
     groups) instead of by document, which drives this count to zero.
 
-    Scale: the pair list is the LSH band join (bounded buckets); the
-    split tags join on doc_id — two broadcastable id->tag maps at bench
-    scale, hash joins at corpus scale."""
-    from ..operators.dedup import minhash_md5_pairs
+    Scale: the dup relation and all counts are multiplicity-weighted
+    over DISTINCT token sets (per-split member counts per set), so
+    cost follows distinct content — the doc-pair formulation could not
+    execute at sf1 (~500M qualifying pairs)."""
+    from ..operators import setsim as SS
     from ..operators.sampling import train_test_split
 
     docs = table(spark, sf_dir, "documents")
-    pairs = minhash_md5_pairs(docs)
+    toks, masks = SS.mask_relation(docs)
     split = train_test_split(docs, "doc_id", test_rate=0.2).select("doc_id", "split")
-    sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
-    sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
-    j = pairs.join(sa, "id_a").join(sb, "id_b")
-    cross = F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
-    return j.agg(
-        F.count("*").cast("long").alias("n_dup_pairs"),
-        F.sum(cross).cast("long").alias("n_cross_split"),
+    g = (
+        masks.join(split, masks["id"] == split["doc_id"])
+        .groupBy("mask")
+        .agg(
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .cast("long")
+            .alias("t"),
+            F.sum(F.when(F.col("split") == "test", 0).otherwise(1))
+            .cast("long")
+            .alias("r"),
+            F.min("id").alias("rep"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dup = SS.minhash_md5_set_dup_pairs(SS.mask_token_rows(g, toks)).select(
+        "mask_a", "mask_b"
+    )
+    ga = g.select(
+        F.col("mask").alias("mask_a"), F.col("t").alias("ta"), F.col("r").alias("ra")
+    )
+    gb = g.select(
+        F.col("mask").alias("mask_b"), F.col("t").alias("tb"), F.col("r").alias("rb")
+    )
+    cross_diff = (
+        dup.join(ga, "mask_a")
+        .join(gb, "mask_b")
+        .select(
+            ((F.col("ta") + F.col("ra")) * (F.col("tb") + F.col("rb"))).alias("tot"),
+            (F.col("ta") * F.col("rb") + F.col("ra") * F.col("tb")).alias("x"),
+        )
+    )
+    within = g.filter("t + r >= 2").select(
+        F.expr("(t + r) * (t + r - 1) DIV 2").alias("tot"),
+        (F.col("t") * F.col("r")).alias("x"),
+    )
+    return cross_diff.unionByName(within).agg(
+        F.coalesce(F.sum("tot"), F.lit(0)).cast("long").alias("n_dup_pairs"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("n_cross_split"),
         F.round(
-            F.sum(cross) / F.greatest(F.count("*"), F.lit(1)), 6
+            F.coalesce(F.sum("x"), F.lit(0))
+            / F.greatest(F.coalesce(F.sum("tot"), F.lit(0)), F.lit(1)),
+            6,
         ).alias("leak_fraction"),
     )
 

@@ -110,47 +110,37 @@ def all_specs() -> dict[str, QuerySpec]:
     recent = {n: i for i, n in enumerate(_ROUND_NEW)}
 
     def key(n: str):
+        # _ROUND_NEW outranks past green rows: a contract-reworked query
+        # keeps its old (now-stale) green row, but the NEW oracle has
+        # never been driver-certified. The list is replaced at the start
+        # of every build round, so nothing stays promoted longer than
+        # the round that changed it.
+        if n in recent:
+            return (1, recent[n])
         if n in green:
             return (3, idx[n])
         if n in sampled:
             return (0, idx[n])
-        if n in recent:
-            return (1, recent[n])
         return (2, idx[n])
 
     ordered = sorted(_REGISTRY, key=key)
     return {n: _REGISTRY[n] for n in ordered}
 
 
-# Queries added in the current build round (tier 2 above). Names that
-# have since gone green sort into tier 4 automatically, so stale
-# entries here are harmless.
+# Queries added or contract-reworked in the current build round
+# (tier 2 above). Names that have since gone green sort into tier 4
+# automatically, so stale entries here are harmless.
 _ROUND_NEW = (
-    "mm_decode_real_headers",
-    "cluster_geo_cellgrid",
+    # round 6: new composed scale-path flagship
+    "cluster_geo_pipeline_cellgrid",
+    # round 6: distinct-set-weighted contract rewrites (new oracles —
+    # their old green rows certify the OLD contract, so they need
+    # fresh driver rows)
+    "dedup_containment_pairs",
+    "dedup_incremental_new_vs_old",
+    "dedup_source_overlap_matrix",
+    "dq_split_leakage",
+    "dedup_blocking_quality",
+    "dedup_hamming_pairs",
     "tok_bpe_merges",
-    "txt_chunk_boilerplate",
-    "win_global_rank_ranged",
-    "samp_group_reservoir",
-    "export_shard_manifest",
-    "skyline_user_activity",
-    "stream_foreachbatch_upsert",
-    "stream_surveillance_e2e",
-    "ts_holt_winters",
-    "attr_multi_touch",
-    "dq_l_diversity",
-    "inc_join_delta_maintenance",
-    "dq_observe_metrics",
-    "scalar_variant_props",
-    "cur_decontaminate_spans",
-    "search_rm3_expansion",
-    "geo_geohash_rollup",
-    "win_rolling_corr",
-    "graph_bfs_hops",
-    "txt_bpe_pretoken_stats",
-    "tree_subtree_rollup",
-    "dedup_semdedup_profile",
-    "feat_quantile_normalize",
-    "eval_calibration_bins",
-    "maint_vacuum_gold",
 )
