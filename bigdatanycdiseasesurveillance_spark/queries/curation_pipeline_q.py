@@ -177,52 +177,33 @@ def cur_full_pipeline(spark, sf_dir):
     )
 
 
-@register(
-    "llm_prep_pipeline",
-    oracle="""
-        WITH RECURSIVE quality AS (
-            SELECT doc_id, source, n_chars, text,
-                   list_distinct(list_filter(string_split(lower(text), ' '),
-                                             t -> t <> '')) AS tok,
-                   list_filter(string_split(lower(text), ' '),
-                               t -> t <> '') AS otok
-            FROM documents
-            WHERE len(list_filter(string_split(lower(text), ' '),
-                                  t -> t <> '')) >= 30
-        ), pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM quality a JOIN quality b
-              ON a.source = b.source
-             AND floor(a.n_chars / 50) = floor(b.n_chars / 50)
-             AND a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
-                  (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
-                  >= 0.7
-        ), edges AS (
-            SELECT id_a AS s, id_b AS d FROM pairs
-            UNION ALL SELECT id_b, id_a FROM pairs
-        ), walk(node, comp) AS (
-            SELECT doc_id, doc_id FROM quality
-            UNION
-            SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
-            WHERE w.comp < e.d
-        ), labels AS (
-            SELECT node AS doc_id, MIN(comp) AS canon FROM walk GROUP BY node
-        ), split AS (
-            SELECT q.doc_id, q.otok,
+def _llm_prep_oracle() -> str:
+    from ._oracle_cc import group_cc_prefix
+
+    # group-level CC for the split stage (sf1-feasible; see
+    # _oracle_cc.py): the quality gate becomes the prefix's min_tokens
+    # filter, the md5 split hashes each component's canonical id via
+    # the dlabel map, and the chunk arithmetic needs only each train
+    # doc's raw token count (toks.n_raw) — linear in chunks, never in
+    # pairs.
+    return (
+        group_cc_prefix(min_tokens=30, singletons_below=False)
+        + """
+        , split AS (
+            SELECT d.doc_id, t.n_raw,
                    CASE WHEN CAST(('0x' || substr(md5('gsplit:' ||
-                             CAST(l.canon AS VARCHAR)), 1, 15)) AS BIGINT)
+                             CAST(d.canonical AS VARCHAR)), 1, 15)) AS BIGINT)
                           < 230584300921369408
                         THEN 'test' ELSE 'train' END AS split
-            FROM quality q JOIN labels l USING (doc_id)
+            FROM dlabel d JOIN toks t ON t.doc_id = d.doc_id
         ), chunks AS (
             SELECT doc_id,
-                   unnest(range(((len(otok) - 1) // 20) + 1)) AS chunk_idx,
-                   len(otok) AS n
+                   unnest(range(((n_raw - 1) // 20) + 1)) AS chunk_idx,
+                   n_raw AS n
             FROM split WHERE split = 'train'
         )
         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs_in,
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM quality)
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM toks)
                    AS n_after_quality,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM split
                 WHERE split = 'train') AS n_train_docs,
@@ -232,7 +213,13 @@ def cur_full_pipeline(spark, sf_dir):
                CAST(SUM(LEAST(32, n - chunk_idx * 20)) AS BIGINT)
                    AS n_train_chunk_tokens
         FROM chunks
-    """,
+    """
+    )
+
+
+@register(
+    "llm_prep_pipeline",
+    oracle=_llm_prep_oracle(),
     tags=("llm-prep", "pipeline", "composed"),
 )
 def llm_prep_pipeline(spark, sf_dir):

@@ -600,47 +600,42 @@ def mix_token_budget(spark, sf_dir):
     )
 
 
+def _dividend_oracle() -> str:
+    from ._oracle_cc import group_cc_prefix
+
+    # group-level CC (sf1-feasible; see _oracle_cc.py): a component's
+    # canonical doc is the min id over its groups, and that doc's raw
+    # token count is arg_min(rep_raw, min_id) of the winning group;
+    # empty-token docs are isolated singletons contributing 0 tokens.
+    return (
+        group_cc_prefix(min_tokens=1, singletons_below=True)
+        + """
+        , ctok AS (
+            SELECT gl.comp,
+                   CAST(arg_min(gb.rep_raw, gb.min_id) AS BIGINT) AS can_tok
+            FROM glabel gl JOIN gb ON gb.gid = gl.gid
+            GROUP BY gl.comp
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ccanon)
+               + (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                  WHERE len(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) < 1) AS n_canonical,
+               (SELECT CAST(COALESCE(SUM(n_raw_sum), 0) AS BIGINT) FROM gb)
+                   AS tokens_raw,
+               (SELECT CAST(COALESCE(SUM(can_tok), 0) AS BIGINT) FROM ctok)
+                   AS tokens_canonical,
+               ROUND(1.0 - (SELECT CAST(COALESCE(SUM(can_tok), 0) AS DOUBLE)
+                            FROM ctok)
+                           / (SELECT SUM(n_raw_sum) FROM gb), 6)
+                   AS token_savings
+    """
+    )
+
+
 @register(
     "cur_dedup_dividend",
-    oracle="""
-        WITH RECURSIVE toks AS (
-            SELECT doc_id, source, n_chars,
-                   list_distinct(list_filter(string_split(lower(text), ' '),
-                                             t -> t <> '')) AS tok,
-                   len(list_filter(string_split(lower(text), ' '),
-                                   t -> t <> '')) AS n_tokens
-            FROM documents
-        ), pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM toks a JOIN toks b
-              ON a.source = b.source
-             AND floor(a.n_chars / 50) = floor(b.n_chars / 50)
-             AND a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
-                  (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
-                  >= 0.7
-        ), edges AS (
-            SELECT id_a AS s, id_b AS d FROM pairs
-            UNION ALL SELECT id_b, id_a FROM pairs
-        ), walk(node, comp) AS (
-            SELECT doc_id, doc_id FROM toks
-            UNION
-            SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
-            WHERE w.comp < e.d
-        ), labels AS (
-            SELECT node AS doc_id, MIN(comp) AS canon FROM walk GROUP BY node
-        )
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(COUNT(DISTINCT l.canon) AS BIGINT) AS n_canonical,
-               CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_raw,
-               CAST(SUM(CASE WHEN t.doc_id = l.canon
-                             THEN t.n_tokens ELSE 0 END) AS BIGINT)
-                   AS tokens_canonical,
-               ROUND(1.0 - CAST(SUM(CASE WHEN t.doc_id = l.canon
-                                         THEN t.n_tokens ELSE 0 END) AS DOUBLE)
-                           / SUM(t.n_tokens), 6) AS token_savings
-        FROM toks t JOIN labels l USING (doc_id)
-    """,
+    oracle=_dividend_oracle(),
     tags=("curation", "dedup", "llm-prep", "accounting"),
 )
 def cur_dedup_dividend(spark, sf_dir):

@@ -403,35 +403,59 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 @register(
     "dedup_duplicate_groups",
+    # Oracle runs the SAME connectivity at the DISTINCT-SET-GROUP level:
+    # docs sharing (source, length-bucket, token set) are mutually
+    # connected at jaccard 1.0, so they always land in one component —
+    # collapsing them to a node with (c, min_id) changes nothing about
+    # the component partition, while the recursive walk shrinks from
+    # the doc-pair graph (quadratic on templated corpora; sf1-
+    # infeasible) to the group graph. canonical_id = min doc id over
+    # the component's groups; group_size = sum of member counts.
     oracle="""
         WITH RECURSIVE toks AS (
-            SELECT doc_id, source, n_chars,
+            SELECT doc_id, source,
+                   CAST(floor(n_chars / 50) AS BIGINT) AS bkt,
                    list_distinct(list_filter(string_split(lower(text), ' '),
                                              t -> t <> '')) AS tok
             FROM documents
-        ), pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM toks a JOIN toks b
-              ON a.source = b.source
-             AND floor(a.n_chars / 50) = floor(b.n_chars / 50)
-             AND a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
-                  (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
-                  >= 0.7
+            WHERE len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) > 0
+        ), tokr AS (
+            SELECT doc_id, unnest(tok) AS t FROM toks
+        ), dict AS (
+            SELECT t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS tid
+            FROM (SELECT DISTINCT t FROM tokr)
+        ), m AS (
+            SELECT r.doc_id, CAST(SUM(1::BIGINT << d.tid) AS BIGINT) AS mask
+            FROM tokr r JOIN dict d ON r.t = d.t GROUP BY r.doc_id
+        ), gb AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY t.source, t.bkt, m.mask) AS gid,
+                   t.source, t.bkt, m.mask,
+                   CAST(COUNT(*) AS BIGINT) AS c,
+                   MIN(t.doc_id) AS min_id
+            FROM toks t JOIN m ON m.doc_id = t.doc_id
+            GROUP BY t.source, t.bkt, m.mask
+        ), gedges AS (
+            SELECT a.gid AS s, b.gid AS d
+            FROM gb a JOIN gb b
+              ON a.source = b.source AND a.bkt = b.bkt AND a.mask < b.mask
+            WHERE (20000 * bit_count(a.mask & b.mask)
+                   + bit_count(a.mask | b.mask))
+                  // (2 * bit_count(a.mask | b.mask)) >= 7000
         ), edges AS (
-            SELECT id_a AS s, id_b AS d FROM pairs
-            UNION ALL SELECT id_b, id_a FROM pairs
+            SELECT s, d FROM gedges UNION ALL SELECT d, s FROM gedges
         ), walk(node, comp) AS (
-            SELECT doc_id, doc_id FROM documents
+            SELECT gid, gid FROM gb
             UNION
             SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
             WHERE w.comp < e.d
-        ), labels AS (
-            SELECT node AS doc_id, MIN(comp) AS canonical_id
-            FROM walk GROUP BY node
+        ), glabel AS (
+            SELECT node AS gid, MIN(comp) AS comp FROM walk GROUP BY node
         )
-        SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS group_size
-        FROM labels GROUP BY canonical_id HAVING COUNT(*) > 1
+        SELECT MIN(gb.min_id) AS canonical_id,
+               CAST(SUM(gb.c) AS BIGINT) AS group_size
+        FROM glabel gl JOIN gb ON gb.gid = gl.gid
+        GROUP BY gl.comp HAVING SUM(gb.c) > 1
     """,
     tags=("dedup", "M2", "groups"),
     bench=True,

@@ -383,47 +383,40 @@ def dq_split_leakage(spark, sf_dir):
     )
 
 
-@register(
-    "dq_group_split_leakfree",
-    oracle="""
-        WITH RECURSIVE toks AS (
-            SELECT doc_id, source, n_chars,
-                   list_distinct(list_filter(string_split(lower(text), ' '),
-                                             t -> t <> '')) AS tok
-            FROM documents
-        ), pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM toks a JOIN toks b
-              ON a.source = b.source
-             AND floor(a.n_chars / 50) = floor(b.n_chars / 50)
-             AND a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
-                  (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
-                  >= 0.7
-        ), edges AS (
-            SELECT id_a AS s, id_b AS d FROM pairs
-            UNION ALL SELECT id_b, id_a FROM pairs
-        ), walk(node, comp) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
-            WHERE w.comp < e.d
-        ), labels AS (
-            SELECT node AS doc_id, MIN(comp) AS canon FROM walk GROUP BY node
-        ), split AS (
+def _leakfree_oracle() -> str:
+    from ._oracle_cc import group_cc_prefix
+
+    # group-level CC (sf1-feasible; see _oracle_cc.py): the split tag
+    # hashes the component CANONICAL id, so per-doc tags come from the
+    # dlabel map and the cross-split audit joins the weighted pair
+    # terms to their endpoint groups' component splits (structurally 0
+    # — every qualifying pair is an edge inside one component — but
+    # computed, not pinned).
+    return (
+        group_cc_prefix(min_tokens=1, singletons_below=True)
+        + """
+        , split AS (
             SELECT doc_id,
                    CASE WHEN CAST(('0x' || substr(md5('gsplit:' ||
-                             CAST(canon AS VARCHAR)), 1, 15)) AS BIGINT)
+                             CAST(canonical AS VARCHAR)), 1, 15)) AS BIGINT)
                           < 230584300921369408
                         THEN 'test' ELSE 'train' END AS split
-            FROM labels
+            FROM dlabel
+        ), gsplit AS (
+            SELECT gl.gid,
+                   CASE WHEN CAST(('0x' || substr(md5('gsplit:' ||
+                             CAST(cc.canonical AS VARCHAR)), 1, 15)) AS BIGINT)
+                          < 230584300921369408
+                        THEN 'test' ELSE 'train' END AS split
+            FROM glabel gl JOIN ccanon cc ON cc.comp = gl.comp
         ), cross_cnt AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
-                   CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_cross_split
-            FROM pairs p
-            JOIN split sa ON sa.doc_id = p.id_a
-            JOIN split sb ON sb.doc_id = p.id_b
+            SELECT CAST(COALESCE(SUM(p.w), 0) AS BIGINT) AS n_dup_pairs,
+                   CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split
+                                          THEN p.w ELSE 0 END), 0) AS BIGINT)
+                       AS n_cross_split
+            FROM wpairs p
+            JOIN gsplit sa ON sa.gid = p.ga
+            JOIN gsplit sb ON sb.gid = p.gbid
         )
         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM split
@@ -431,7 +424,13 @@ def dq_split_leakage(spark, sf_dir):
                n_dup_pairs, n_cross_split,
                n_cross_split = 0 AS group_split_is_leakfree
         FROM cross_cnt
-    """,
+    """
+    )
+
+
+@register(
+    "dq_group_split_leakfree",
+    oracle=_leakfree_oracle(),
     tags=("dq", "leakage", "llm-prep", "dedup", "groups"),
 )
 def dq_group_split_leakfree(spark, sf_dir):

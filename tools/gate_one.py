@@ -34,7 +34,14 @@ from gate_sim_lib import norm_rows  # noqa: E402  (shared normalization)
 
 
 def main():
-    spark = SparkSession.builder.master(f"local[{CPUS}]").getOrCreate()
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        # large-SF targeted runs need headroom; the default 1g JVM OOMs
+        # at sf1 (the driver's own gate runs at sf0.01 where 1g is fine)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
