@@ -301,17 +301,41 @@ def jaccard_pair_stats(
     )
     sz = F.size("stok")
     plen = sz - _ceil_mul_div(sz, threshold) + F.lit(1)
-    # prefix rows self-join below — checkpoint the (distinct-set-sized)
-    # prefix relation so both join sides share one materialization.
-    prefixes = ordered.select(
-        "mask", F.explode(F.slice("stok", 1, plen)).alias("pt")
-    ).localCheckpoint(eager=False)
-    cand = (
-        prefixes.alias("a")
-        .join(prefixes.alias("b"), F.col("a.pt") == F.col("b.pt"))
-        .filter(F.col("a.mask") < F.col("b.mask"))
-        .select(F.col("a.mask").alias("mask_a"), F.col("b.mask").alias("mask_b"))
+    # The candidate rule is still the prefix-filter theorem — a pair is
+    # a candidate iff the two rarest-token PREFIXES intersect — but on a
+    # <=63-token vocabulary it evaluates as one popcount over prefix
+    # BITMASKS instead of a prefix-token equi-join: with a tiny vocab
+    # the join has <=63 buckets of ~0.3n sets each, emitting ~3n^2
+    # pre-distinct candidate rows (6x worse than brute force — the
+    # measured sf1 tail), while the bitmask form is n^2/2 popcounts on
+    # the distinct-set relation with no shuffle amplification. A recall
+    # bug in the prefix rule still flips n_pairs/digest red against the
+    # brute-force oracle; the equi-join IMPLEMENTATION (the open-vocab
+    # scale path, where buckets are rare-token-small) remains exercised
+    # by prefix_filter_jaccard_pairs.
+    # prefix token -> bit id via the same alphabetical dictionary the
+    # set masks use (rebuilt here from the distinct-token relation)
+    from pyspark.sql import Window as _W
+
+    dict_df = (
+        gt.select("t")
         .distinct()
+        .select("t", (F.row_number().over(_W.orderBy("t")) - 1).alias("tid"))
+    )
+    pmasks = (
+        ordered.select("mask", F.explode(F.slice("stok", 1, plen)).alias("t"))
+        .join(F.broadcast(dict_df), "t")
+        .groupBy("mask")
+        .agg(F.sum(F.expr("shiftleft(1L, tid)")).alias("pmask"))
+        .localCheckpoint(eager=False)
+    )
+    a = pmasks.select(F.col("mask").alias("mask_a"), F.col("pmask").alias("pa"))
+    b = pmasks.select(F.col("mask").alias("mask_b"), F.col("pmask").alias("pb"))
+    cand = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("mask_a") < F.col("mask_b"))
+        .filter(F.expr("bit_count(pa & pb) > 0"))
+        .select("mask_a", "mask_b")
     )
     return _pair_stats_row(g, cand, threshold)
 

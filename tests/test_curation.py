@@ -178,16 +178,21 @@ def test_prefix_filter_join_plan_has_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan, plan
 
 
-def test_pair_stats_candidates_stay_equi_join(spark, sf_dir):
-    """The bounded stats contract keeps the prefix-filter candidate
-    scheme: the only nested-loop join allowed in its plan is the 1-row
-    totals scalar attach (crossJoin(broadcast(<1-row aggregate>)))."""
+def test_pair_stats_candidates_stay_bounded(spark, sf_dir):
+    """The bounded stats contract evaluates the prefix-filter rule as a
+    prefix-BITMASK popcount over the distinct-set relation (see
+    jaccard_pair_stats: the tiny-vocab equi-join emits ~3n^2
+    pre-distinct rows, 6x worse than the n^2/2 popcount cross). Allowed
+    nested-loop joins: the distinct-set candidate cross (broadcast,
+    set-count-bounded) and the 1-row totals scalar attach — and the
+    corpus-sized relations must never appear under a nested-loop
+    (the only joins touching per-DOC rows stay hash equi-joins)."""
     from bigdatanycdiseasesurveillance_spark.registry import all_specs
 
     df = all_specs()["dedup_prefix_jaccard"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastNestedLoop") <= 1, plan
+    assert plan.count("BroadcastNestedLoop") <= 2, plan
 
 
 def test_pair_stats_matches_pair_list(spark):
