@@ -32,21 +32,73 @@ _SCALE = float(1 << 60)
 
 @register(
     "dedup_hamming_pairs",
+    # Oracle replays the masked-neighborhood scheme (varying-position
+    # profile -> wildcard-pair keys -> hash join -> multiplicity
+    # division) rather than the O(n^2) theta join, which is
+    # sf1-infeasible on the DuckDB side (22G list_sum comparisons).
+    # The independent brute-force ground truth lives in pytest
+    # (tests/test_quality_maintenance.py::test_hamming_blocking_is_
+    # lossless runs the exact theta join against this query) and in
+    # the hypothesis coverage proof (tests/test_properties.py) — the
+    # same replayed-pipeline trade the md5-MinHash/SimHash oracle tier
+    # makes.
     oracle=f"""
-        WITH p AS (
-            SELECT a.c_custkey AS ai, b.c_custkey AS bi,
-                   list_sum(list_transform(
-                       generate_series(1, length(a.c_name)),
-                       i -> CASE WHEN a.c_name[i] = b.c_name[i]
-                                 THEN 0 ELSE 1 END)) AS d
-            FROM customer a JOIN customer b
-              ON length(a.c_name) = length(b.c_name)
-             AND a.c_custkey < b.c_custkey
+        WITH c AS (
+            SELECT c_custkey AS id, c_name AS name,
+                   CAST(length(c_name) AS BIGINT) AS len
+            FROM customer
+        ), pr AS (
+            SELECT len, unnest(range(1, len + 1)) AS p, name FROM c
+        ), ps AS (
+            SELECT len, p,
+                   COUNT(DISTINCT substr(name, CAST(p AS INTEGER), 1)) AS nc
+            FROM pr GROUP BY len, p
+        ), vp AS (
+            SELECT len, p FROM ps WHERE nc > 1
+        ), vcnt AS (
+            SELECT len, CAST(COUNT(*) AS BIGINT) AS v FROM vp GROUP BY len
+        ), spec AS (
+            SELECT a.len, a.p AS i, b.p AS j
+            FROM vp a JOIN vp b ON a.len = b.len AND a.p < b.p
+            UNION ALL
+            SELECT len, p, p FROM vp
+            WHERE len IN (SELECT len FROM vcnt WHERE v = 1)
+        ), masked AS (
+            SELECT c.id, c.name, s.len, s.i, s.j,
+                   CASE WHEN s.i = s.j
+                        THEN substr(c.name, 1, CAST(s.i - 1 AS INTEGER)) || '*'
+                             || substr(c.name, CAST(s.i + 1 AS INTEGER),
+                                       CAST(s.len - s.i AS INTEGER))
+                        ELSE substr(c.name, 1, CAST(s.i - 1 AS INTEGER)) || '*'
+                             || substr(c.name, CAST(s.i + 1 AS INTEGER),
+                                       CAST(s.j - s.i - 1 AS INTEGER)) || '*'
+                             || substr(c.name, CAST(s.j + 1 AS INTEGER),
+                                       CAST(s.len - s.j AS INTEGER))
+                   END AS mkey
+            FROM c JOIN spec s ON s.len = c.len
+        ), occ AS (
+            SELECT a.len,
+                   CASE WHEN a.i = a.j
+                        THEN CASE WHEN substr(a.name, CAST(a.i AS INTEGER), 1)
+                                       <> substr(b.name, CAST(a.i AS INTEGER), 1)
+                                  THEN 1 ELSE 0 END
+                        ELSE CASE WHEN substr(a.name, CAST(a.i AS INTEGER), 1)
+                                       <> substr(b.name, CAST(a.i AS INTEGER), 1)
+                                  THEN 1 ELSE 0 END
+                           + CASE WHEN substr(a.name, CAST(a.j AS INTEGER), 1)
+                                       <> substr(b.name, CAST(a.j AS INTEGER), 1)
+                                  THEN 1 ELSE 0 END
+                   END AS d
+            FROM masked a JOIN masked b ON a.mkey = b.mkey AND a.id < b.id
+        ), grp AS (
+            SELECT d, len, CAST(COUNT(*) AS BIGINT) AS occ
+            FROM occ WHERE d BETWEEN 1 AND {_MAX_HAMMING}
+            GROUP BY d, len
         )
         SELECT CAST(d AS BIGINT) AS hamming_d,
-               CAST(COUNT(*) AS BIGINT) AS n_pairs
-        FROM p
-        WHERE d BETWEEN 1 AND {_MAX_HAMMING}
+               CAST(SUM(CASE WHEN d = 1 THEN occ // GREATEST(v - 1, 1)
+                             ELSE occ END) AS BIGINT) AS n_pairs
+        FROM grp JOIN vcnt USING (len)
         GROUP BY d
     """,
     tags=("dedup", "similarity", "blocking"),

@@ -68,7 +68,17 @@ def graph_triangle_count(spark, sf_dir):
     lp = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
     b = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    e = a.join(b, "k").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    # e feeds the degree table, the orientation join, and the edge
+    # count; o feeds both wedge sides and the closing semi-join —
+    # without checkpoints each consumer re-runs the fact self-join
+    # (the dominant cost), tripling the plan
+    e = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     deg = (
         e.select(F.col("u").alias("x"))
@@ -85,7 +95,7 @@ def graph_triangle_count(spark, sf_dir):
     o = ranked.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
+    ).localCheckpoint(eager=False)
 
     e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
