@@ -57,11 +57,21 @@ def _geo_oracle() -> str:
               ON r.x >= n.lat_min AND r.x <= n.lat_max
              AND r.y >= n.lon_min AND r.y <= n.lon_max
             GROUP BY 1, 2, 3
+        ), pc AS (
+            SELECT pid, x, y,
+                   CAST(FLOOR(x / {_EPS}) AS BIGINT) AS cx,
+                   CAST(FLOOR(y / {_EPS}) AS BIGINT) AS cy
+            FROM pts
+        ), pn AS (
+            SELECT pid, x, y, cx + dx.d AS jx, cy + dy.d AS jy
+            FROM pc,
+                 (SELECT unnest([-1, 0, 1]) AS d) dx,
+                 (SELECT unnest([-1, 0, 1]) AS d) dy
         ), edges AS (
             SELECT a.pid, b.pid AS qid
-            FROM pts a JOIN pts b
-              ON POWER(a.x - b.x, 2) + POWER(a.y - b.y, 2)
-                 <= {_EPS} * {_EPS}
+            FROM pn a JOIN pc b ON b.cx = a.jx AND b.cy = a.jy
+            WHERE POWER(a.x - b.x, 2) + POWER(a.y - b.y, 2)
+                  <= {_EPS} * {_EPS}
         ), core AS (
             SELECT pid FROM edges GROUP BY pid
             HAVING COUNT(*) >= {_MIN_SAMPLES}

@@ -99,17 +99,31 @@ _DBSCAN_PTS_PLAIN = """
 
 
 def _dbscan_oracle(pts_sql: str) -> str:
-    """Brute-force DBSCAN over an arbitrary points CTE: the engine's
-    grid cells are candidate pruning only (exact distance filter after),
-    so the edge set is identical. POWER() mirrors the Spark **2
+    """DBSCAN over an arbitrary points CTE. Candidates come from the
+    same eps-grid pruning the engine uses (9-neighbor-cell equi-join —
+    a pair within eps always lands in adjacent cells, so pruning is
+    lossless) with the exact distance filter after, so the edge set is
+    IDENTICAL to the brute-force theta join but the oracle stays
+    sf1-feasible (the brute n^2 join was the audit's oracle-timeout
+    wall at ~400M distance evaluations). POWER() mirrors the Spark **2
     expression."""
     return """
         WITH RECURSIVE pts AS (
 {pts}
+        ), pc AS (
+            SELECT pid, x, y,
+                   CAST(FLOOR(x / 0.05) AS BIGINT) AS cx,
+                   CAST(FLOOR(y / 0.05) AS BIGINT) AS cy
+            FROM pts
+        ), pn AS (
+            SELECT pid, x, y, cx + dx.d AS jx, cy + dy.d AS jy
+            FROM pc,
+                 (SELECT unnest([-1, 0, 1]) AS d) dx,
+                 (SELECT unnest([-1, 0, 1]) AS d) dy
         ), edges AS (
             SELECT a.pid, b.pid AS qid
-            FROM pts a JOIN pts b
-              ON POWER(a.x - b.x, 2) + POWER(a.y - b.y, 2) <= 0.05 * 0.05
+            FROM pn a JOIN pc b ON b.cx = a.jx AND b.cy = a.jy
+            WHERE POWER(a.x - b.x, 2) + POWER(a.y - b.y, 2) <= 0.05 * 0.05
         ), core AS (
             SELECT pid FROM edges GROUP BY pid HAVING COUNT(*) >= 4
         ), core_edges AS (
