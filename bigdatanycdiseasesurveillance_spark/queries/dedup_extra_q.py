@@ -760,3 +760,129 @@ def dedup_source_overlap_matrix(spark, sf_dir):
         .agg(F.sum("w").cast("long").alias("n_dup_pairs"))
         .filter(F.col("n_dup_pairs") >= 10)
     )
+
+
+def _incremental_groups_oracle() -> str:
+    from ._oracle_cc import group_cc_prefix
+
+    # The oracle is the FULL-corpus group-level CC (the same collapsed
+    # form as dedup_duplicate_groups): the row goes red unless the
+    # engine's incremental supernode merge reproduces the full
+    # recompute exactly.
+    return (
+        group_cc_prefix(min_tokens=1, singletons_below=False)
+        + """
+        SELECT MIN(gb.min_id) AS canonical_id,
+               CAST(SUM(gb.c) AS BIGINT) AS group_size
+        FROM glabel gl JOIN gb ON gb.gid = gl.gid
+        GROUP BY gl.comp HAVING SUM(gb.c) > 1
+    """
+    )
+
+
+@register(
+    "dedup_incremental_groups",
+    oracle=_incremental_groups_oracle(),
+    tags=("dedup", "incremental", "groups", "llm-prep"),
+)
+def dedup_incremental_groups(spark, sf_dir):
+    """Incremental duplicate-GROUP maintenance: merge an arriving
+    batch (doc_id % 5 == 0 plays the delta) into the EXISTING corpus's
+    duplicate groups without re-running connected components over the
+    whole graph — the maintained-artifact shape a 100 TB ingest
+    pipeline needs (recomputing groups per batch is O(corpus), this is
+    O(delta + affected components)).
+
+    Steps: (1) the existing corpus's labels (the maintained artifact —
+    computed here so the query is self-contained; in production it is
+    read, not rebuilt); (2) delta edges = blocked Jaccard of new-vs-
+    (new+old) only — never old-vs-old, whose relations cannot change;
+    (3) CONDENSE old endpoints to their existing canonical (component
+    supernodes) and run CC on the condensed delta graph (new docs +
+    touched components — delta-sized); (4) expand back to doc
+    membership. Output contract equals dedup_duplicate_groups over the
+    FULL corpus, and the oracle IS the full-corpus group-level CC — so
+    the incremental merge is driver-proven equal to the recompute.
+    Correctness rests on monotonicity: old-old similarity relations are
+    unchanged by new arrivals, so only components touching a delta edge
+    can merge, and the condensed min-label equals the global min
+    (each supernode already carries its component's min doc id)."""
+    docs = table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+
+    # (1) the maintained artifact: existing groups over the old corpus
+    old_pairs = D.jaccard_pairs(old, threshold=0.7)
+    old_labels = D.connected_components(old_pairs)  # only paired docs
+    old_canon = (
+        old.select("doc_id")
+        .join(old_labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("canon"),
+        )
+        .localCheckpoint(eager=False)  # read twice: edges + expansion
+    )
+
+    # (2) delta edges: blocked new-vs-all (new-new and new-old; an
+    # old-old pair cannot appear because one side is always new)
+    def side(df, prefix):
+        return df.select(
+            F.col("doc_id").alias(f"{prefix}id"),
+            F.col("source").alias(f"{prefix}src"),
+            F.floor(F.col("n_chars") / 50).alias(f"{prefix}bkt"),
+            distinct_tokens(F.col("text")).alias(f"{prefix}tok"),
+        ).filter(F.size(f"{prefix}tok") > 0)
+
+    a = side(new, "a_")
+    b = side(docs, "b_")
+    j = D.word_jaccard(F.col("a_tok"), F.col("b_tok"))
+    delta = (
+        a.join(
+            b,
+            (F.col("a_src") == F.col("b_src"))
+            & (F.col("a_bkt") == F.col("b_bkt"))
+            & (F.col("a_id") != F.col("b_id")),
+        )
+        .filter(F.round(j, 4) >= 0.7)
+        .select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"))
+    )
+
+    # (3) condense old endpoints to their existing canonical supernode
+    oc_b = old_canon.select(
+        F.col("doc_id").alias("id_b"), F.col("canon").alias("canon_b")
+    )
+    cond = (
+        delta.join(oc_b, "id_b", "left")
+        .select(
+            F.col("id_a"),
+            F.coalesce(F.col("canon_b"), F.col("id_b")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    merged = D.connected_components(cond)  # (doc_id=node, canonical_id)
+
+    # (4) expand: every doc resolves through (its old canon when old) ->
+    # the merged condensed label when its supernode was touched
+    node_lab = merged.select(
+        F.col("doc_id").alias("node"), F.col("canonical_id").alias("lab")
+    )
+    old_final = (
+        old_canon.join(node_lab, old_canon["canon"] == node_lab["node"], "left")
+        .select(
+            "doc_id", F.coalesce(F.col("lab"), F.col("canon")).alias("final")
+        )
+    )
+    new_final = (
+        new.select("doc_id")
+        .join(node_lab, F.col("doc_id") == node_lab["node"], "left")
+        .select(
+            "doc_id", F.coalesce(F.col("lab"), F.col("doc_id")).alias("final")
+        )
+    )
+    return (
+        old_final.unionByName(new_final)
+        .groupBy(F.col("final").alias("canonical_id"))
+        .agg(F.count("*").cast("long").alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )

@@ -133,6 +133,7 @@ def all_specs() -> dict[str, QuerySpec]:
 _ROUND_NEW = (
     # round 6: new composed scale-path flagship
     "cluster_geo_pipeline_cellgrid",
+    "dedup_incremental_groups",
     # round 6: distinct-set-weighted contract rewrites (new oracles —
     # their old green rows certify the OLD contract, so they need
     # fresh driver rows)

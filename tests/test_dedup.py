@@ -98,3 +98,20 @@ def test_jaccard_gemm_equals_dataframe_variant(spark, sf_dir):
     a = sorted(map(tuple, jaccard_pairs(docs, threshold=0.7).collect()))
     b = sorted(map(tuple, jaccard_pairs_gemm(docs, threshold=0.7).collect()))
     assert a == b
+
+
+def test_incremental_groups_equal_full_recompute(spark, sf_dir):
+    """The incremental supernode merge must reproduce the full-corpus
+    duplicate groups exactly — the maintained-artifact contract."""
+    from bigdatanycdiseasesurveillance_spark.registry import all_specs
+
+    specs = all_specs()
+    full = {
+        (r["canonical_id"], r["group_size"])
+        for r in specs["dedup_duplicate_groups"].fn(spark, sf_dir).collect()
+    }
+    inc = {
+        (r["canonical_id"], r["group_size"])
+        for r in specs["dedup_incremental_groups"].fn(spark, sf_dir).collect()
+    }
+    assert inc == full and full
