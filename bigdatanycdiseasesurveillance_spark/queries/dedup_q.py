@@ -147,8 +147,11 @@ def dedup_minhash_lsh(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("c"), F.min("id").alias("rep"))
         .localCheckpoint(eager=False)
     )
-    rep_toks = gm.join(toks.select(F.col("id").alias("rep"), "tok"), "rep").select(
-        "mask", "tok"
+    rep_toks = (
+        gm.join(toks.select(F.col("id").alias("rep"), "tok"), "rep")
+        .select("mask", "tok")
+        .localCheckpoint(eager=False)  # distinct-set-sized; read by the
+        # banding AND both sides of the word_jaccard recheck
     )
     # the fast-path banding, verbatim, over distinct sets
     n_perm, bands = 32, 8
@@ -303,8 +306,10 @@ def dedup_simhash(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("c"), F.min("id").alias("rep"))
         .localCheckpoint(eager=False)
     )
-    rep_toks = gm.join(toks.select(F.col("id").alias("rep"), "tok"), "rep").select(
-        "mask", "tok"
+    rep_toks = (
+        gm.join(toks.select(F.col("id").alias("rep"), "tok"), "rep")
+        .select("mask", "tok")
+        .localCheckpoint(eager=False)
     )
     sigs = rep_toks.select(
         "mask",
