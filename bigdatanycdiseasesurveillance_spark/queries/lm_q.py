@@ -165,19 +165,27 @@ def mix_temperature_sampling(spark, sf_dir):
 
 
 def _bpe_oracle(steps: int = 3) -> str:
-    """Relational replay of the BPE loop: per step, adjacent-pair counts
-    via aligned parallel unnest + lead(), the (count DESC, a, b) argmax,
-    and the disjoint mark-and-drop merge (equal to the engine's greedy
-    fold because candidate pairs require a <> b — see
+    """Relational replay of the BPE loop over DISTINCT token sequences
+    with multiplicity (mirroring the engine's collapse — the doc-level
+    replay materialized the full corpus token stream per step and OOM'd
+    DuckDB at sf1): per step, multiplicity-weighted adjacent-pair
+    counts via aligned parallel unnest + lead(), the (count DESC, a, b)
+    argmax, and the disjoint mark-and-drop merge (equal to the engine's
+    greedy fold because candidate pairs require a <> b — see
     operators/tokenizer.py's determinism contract)."""
     parts = [
         """
         WITH s0 AS (
-            SELECT doc_id,
-                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS tok
-            FROM documents
-            WHERE len(list_filter(string_split(lower(text), ' '),
-                                  t -> t <> '')) > 0
+            SELECT ROW_NUMBER() OVER (ORDER BY tok) AS sid, tok, mult
+            FROM (
+                SELECT list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '') AS tok,
+                       CAST(COUNT(*) AS BIGINT) AS mult
+                FROM documents
+                WHERE len(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) > 0
+                GROUP BY 1
+            )
         )"""
     ]
     for k in range(1, steps + 1):
@@ -185,34 +193,34 @@ def _bpe_oracle(steps: int = 3) -> str:
         parts.append(
             """
         , p{k} AS (
-            SELECT doc_id, unnest(tok) AS t,
+            SELECT sid, mult, unnest(tok) AS t,
                    unnest(range(1, len(tok) + 1)) AS pos
             FROM s{p}
         ), c{k} AS (
-            SELECT t AS a,
-                   lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+            SELECT mult, t AS a,
+                   lead(t) OVER (PARTITION BY sid ORDER BY pos) AS b
             FROM p{k}
         ), b{k} AS (
-            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+            SELECT a, b, CAST(SUM(mult) AS BIGINT) AS cnt
             FROM c{k} WHERE b IS NOT NULL AND a <> b
             GROUP BY a, b
             ORDER BY cnt DESC, a, b LIMIT 1
         ), f{k} AS (
-            SELECT doc_id, pos, t,
+            SELECT sid, mult, pos, t,
                    (t = (SELECT a FROM b{k})
-                    AND lead(t) OVER (PARTITION BY doc_id ORDER BY pos)
+                    AND lead(t) OVER (PARTITION BY sid ORDER BY pos)
                         = (SELECT b FROM b{k})) AS start
             FROM p{k}
         ), m{k} AS (
-            SELECT doc_id, pos,
+            SELECT sid, mult, pos,
                    CASE WHEN start
                         THEN t || '_' || (SELECT b FROM b{k}) ELSE t END AS t,
                    lag(start, 1, false)
-                       OVER (PARTITION BY doc_id ORDER BY pos) AS consumed
+                       OVER (PARTITION BY sid ORDER BY pos) AS consumed
             FROM f{k}
         ), s{k} AS (
-            SELECT doc_id, list(t ORDER BY pos) AS tok
-            FROM m{k} WHERE NOT consumed GROUP BY doc_id
+            SELECT sid, MIN(mult) AS mult, list(t ORDER BY pos) AS tok
+            FROM m{k} WHERE NOT consumed GROUP BY sid
         )""".format(k=k, p=p)
         )
     selects = [
@@ -221,7 +229,7 @@ def _bpe_oracle(steps: int = 3) -> str:
                (SELECT a FROM b{k}) AS merge_a,
                (SELECT b FROM b{k}) AS merge_b,
                (SELECT cnt FROM b{k}) AS pair_count,
-               (SELECT CAST(SUM(len(tok)) AS BIGINT) FROM s{k})
+               (SELECT CAST(SUM(len(tok) * mult) AS BIGINT) FROM s{k})
                    AS corpus_tokens_after""".format(k=k)
         for k in range(1, steps + 1)
     ]

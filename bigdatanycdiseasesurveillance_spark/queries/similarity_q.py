@@ -55,19 +55,25 @@ def ann_cosine_topk(spark, sf_dir):
 
 @register(
     "ann_knn_per_label",
+    # cosine computed ONCE in an inner projection that drops the vector
+    # lists immediately: evaluating it again inside the window ORDER BY
+    # kept two 64-double lists alive per pair row and OOM'd DuckDB at
+    # sf1 (the r6 audit's MemoryError)
     oracle="""
-        SELECT * FROM (
+        WITH pairs AS (
             SELECT a.vec_id, b.vec_id AS neighbor_id,
                    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                 CAST(b.embedding AS DOUBLE[])), 4)
-                       AS cosine_sim,
-                   CAST(row_number() OVER (
-                       PARTITION BY a.vec_id
-                       ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                             CAST(b.embedding AS DOUBLE[])), 4) DESC,
-                                b.vec_id) AS BIGINT) AS rank
+                       AS cosine_sim
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id <> b.vec_id
+        )
+        SELECT * FROM (
+            SELECT vec_id, neighbor_id, cosine_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
+            FROM pairs
         ) WHERE rank <= 3
     """,
     tags=("ann", "knn"),
