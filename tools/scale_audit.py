@@ -61,6 +61,13 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # bound DuckDB's memory and give it a spill directory: an untamed
+    # oracle can MemoryError the process mid-audit (and a dead interrupt
+    # thread then wedges the whole run) — spilling is the safe failure
+    con.execute(
+        "SET memory_limit='%s'" % os.environ.get("SPARK_GRAFT_DUCK_MEM", "24GB")
+    )
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
