@@ -119,16 +119,24 @@ def dedup_jaccard_pairs(spark, sf_dir):
     tags=("dedup", "M2", "lsh"),
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH certification, distinct-set-weighted: 32-perm
-    xxhash64 minhash -> 8-band bucketing over one representative per
-    DISTINCT token set (the signature is a pure function of the set,
-    so the set-level candidate relation is exactly the doc-level one),
-    then a contract row the oracle value-checks: blocked-exact pair
-    count (multiplicity-weighted: a qualifying set pair (A,B) stands
-    for c_A*c_B doc pairs, a set with c >= 2 for C(c,2) jaccard-1.0
-    pairs), independent false-positive recount (pinned 0), recall-vs-
-    exact floor (pinned >= 0.9; within-set pairs are always caught —
-    identical sets share every band). The pair stream itself is the
+    """MinHash-LSH certification, distinct-set-weighted and
+    blocked-pair-bounded: 32-perm xxhash64 minhash -> 8 per-band
+    hashes over one representative per DISTINCT token set (the
+    signature is a pure function of the set, so the set-level banding
+    relation is exactly the doc-level one), then a contract row the
+    oracle value-checks: blocked-exact pair count
+    (multiplicity-weighted: a qualifying set pair (A,B) stands for
+    c_A*c_B doc pairs, a set with c >= 2 for C(c,2) jaccard-1.0
+    pairs), independent false-positive recount over every counted
+    pair (raw token arrays vs the popcount filter, pinned 0), and the
+    banding recall floor (pinned >= 0.9; within-set pairs are always
+    caught — identical sets share every band). Recall is evaluated by
+    DIRECT band-hash equality on the exact-pair relation — the same
+    predicate as the production bucket join (collision in >= 1 of 8
+    bands), but on blocked-pair-many rows: materializing the unblocked
+    bucket self-join made the certification itself quadratic under
+    31-token-vocabulary bucket skew (480s at sf1 for identical
+    contract values; ~30s this way). The pair stream itself is the
     operator (D.minhash_lsh_pairs); tests/test_lsh_recall_oracle.py
     pins the banding-theory floor on the doc-level operator."""
     from ..operators import setsim as SS
@@ -142,82 +150,35 @@ def dedup_minhash_lsh(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("c"))
         .localCheckpoint(eager=False)
     )
-    gm = (
-        masks.groupBy("mask")
-        .agg(F.count("*").cast("long").alias("c"), F.min("id").alias("rep"))
-        .localCheckpoint(eager=False)
-    )
+    gm = masks.groupBy("mask").agg(F.min("id").alias("rep"))
     rep_toks = (
         gm.join(toks.select(F.col("id").alias("rep"), "tok"), "rep")
         .select("mask", "tok")
         .localCheckpoint(eager=False)  # distinct-set-sized; read by the
         # banding AND both sides of the word_jaccard recheck
     )
-    # the fast-path banding, verbatim, over distinct sets
+    # the fast-path banding over distinct sets: one row per set with
+    # its 8 band hashes as columns (bucket collision <=> hash equality)
     n_perm, bands = 32, 8
     rows_per_band = n_perm // bands
     sigs = rep_toks.select(
-        "mask", "tok", D.minhash_signature(F.col("tok"), n_perm).alias("sig")
+        "mask", D.minhash_signature(F.col("tok"), n_perm).alias("sig")
     )
-    banded = (
-        sigs.select(
-            "mask",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                *[
-                                    F.col("sig")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ]
-                            ).alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        )
-        .select("mask", "bb.band", "bb.bucket")
-        .localCheckpoint(eager=False)
-    )
-    lsh = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.mask") < F.col("b.mask"))
-        .select(F.col("a.mask").alias("mask_a"), F.col("b.mask").alias("mask_b"))
-        .distinct()
-        .withColumn("je4", SS.je4_expr())
-        .filter(F.col("je4") >= 7000)  # the operator's exact verify
-        .localCheckpoint(eager=False)
-    )
-    # independent re-verification from the raw token ARRAYS (word_jaccard,
-    # not the mask popcounts): a broken verify stage shows up as n_fp > 0
-    ca = gm.select(F.col("mask").alias("mask_a"), F.col("c").alias("c_a"))
-    cb = gm.select(F.col("mask").alias("mask_b"), F.col("c").alias("c_b"))
-    ta = rep_toks.select(F.col("mask").alias("mask_a"), F.col("tok").alias("tok_a"))
-    tb = rep_toks.select(F.col("mask").alias("mask_b"), F.col("tok").alias("tok_b"))
-    j = D.word_jaccard(F.col("tok_a"), F.col("tok_b"))
-    n_fp = (
-        lsh.join(ta, "mask_a")
-        .join(tb, "mask_b")
-        .join(ca, "mask_a")
-        .join(cb, "mask_b")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(F.round(j, 4) < 0.7, F.col("c_a") * F.col("c_b")).otherwise(
-                        F.lit(0).cast("long")
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_false_positives")
-        )
-    )
-    # blocked exact pairs (the ground truth), weighted, with LSH hit flag
+    bh = sigs.select(
+        "mask",
+        *[
+            F.xxhash64(
+                *[
+                    F.col("sig")[b * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ]
+            ).alias(f"bh{b}")
+            for b in range(bands)
+        ],
+    ).localCheckpoint(eager=False)
+    # blocked exact pairs (the ground truth), multiplicity-weighted —
+    # the SAME relation the oracle recomputes; read by the recall AND
+    # false-positive stages
     a = gb.select(
         F.col("source"), F.col("bkt"), F.col("mask").alias("mask_a"),
         F.col("c").alias("c_a"),
@@ -232,12 +193,45 @@ def dedup_minhash_lsh(spark, sf_dir):
         .withColumn("je4", SS.je4_expr())
         .filter(F.col("je4") >= 7000)
         .select("mask_a", "mask_b", (F.col("c_a") * F.col("c_b")).alias("w"))
+        .localCheckpoint(eager=False)
     )
-    hits = eb.join(
-        lsh.select("mask_a", "mask_b").withColumn("hit", F.lit(True)),
-        ["mask_a", "mask_b"],
-        "left",
+    # independent re-verification from the raw token ARRAYS
+    # (word_jaccard, not mask popcounts) of EVERY pair the contract
+    # counts: a broken mask/verify path shows up as n_fp > 0
+    ta = rep_toks.select(F.col("mask").alias("mask_a"), F.col("tok").alias("tok_a"))
+    tb = rep_toks.select(F.col("mask").alias("mask_b"), F.col("tok").alias("tok_b"))
+    j = D.word_jaccard(F.col("tok_a"), F.col("tok_b"))
+    n_fp = (
+        eb.join(ta, "mask_a")
+        .join(tb, "mask_b")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.round(j, 4) < 0.7, F.col("w")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_false_positives")
+        )
     )
+    # LSH hit flag: >= 1 of the 8 band hashes agree — identical
+    # semantics to membership in the bucket self-join
+    bha = bh.select(
+        F.col("mask").alias("mask_a"),
+        *[F.col(f"bh{i}").alias(f"ah{i}") for i in range(bands)],
+    )
+    bhb = bh.select(
+        F.col("mask").alias("mask_b"),
+        *[F.col(f"bh{i}").alias(f"bh_{i}") for i in range(bands)],
+    )
+    hit = None
+    for i in range(bands):
+        eq = F.col(f"ah{i}") == F.col(f"bh_{i}")
+        hit = eq if hit is None else (hit | eq)
+    hits = eb.join(bha, "mask_a").join(bhb, "mask_b").withColumn("hit", hit)
     cross_stats = hits.agg(
         F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("n_cross"),
         F.coalesce(F.sum(F.when(F.col("hit"), F.col("w")).otherwise(0)), F.lit(0))
