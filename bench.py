@@ -39,6 +39,30 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def run_calibration() -> float:
+        """Fixed synthetic workload — constant size, zero IO, two
+        shuffles — timed identically to the queries. Round-over-round
+        query comparisons divide by this constant: r6's record showed a
+        uniform ~19-80% warm inflation on plan-identical code (shared-
+        box weather), which raw seconds cannot distinguish from a real
+        plan regression. Calibrated ratios can (r6 verdict #3)."""
+        from pyspark.sql import functions as F
+
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 30_000_000, 1, 64)
+            .withColumn("k", F.col("id") % 100_000)
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.count("*").alias("c"))
+            .withColumn("b", F.col("s") % 97)
+            .groupBy("b")
+            .agg(F.sum("s").alias("ss"), F.sum("c").alias("cc"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
     # Warm-up: the first spec in SORTED order (same order as the timed
     # loop) — registry registration order changes between rounds, and
     # warming a registry-order spec would shift the JVM/codegen cold
@@ -59,15 +83,22 @@ def main() -> None:
     except Exception:
         pass
 
+    # Calibration, cold then warm (min-of-3): the constant every other
+    # number is expressed against.
+    cal_cold = round(run_calibration(), 4)
+    cal_runs = [run_calibration() for _ in range(3)]
+    cal_warm = round(min(cal_runs), 4)
+    cal_spread = round((max(cal_runs) - min(cal_runs)) / min(cal_runs), 3)
+
     # Per-query error isolation: one broken query must never zero out
     # the whole benchmark (BENCH_r02 died whole on one AnalysisException).
-    # Each query runs three times: the cold time (headline, comparable
+    # Each query runs four times: the cold time (headline, comparable
     # to prior rounds) includes per-query analysis/codegen; the warm
-    # time is the MIN of two steady-state executions — the number that
-    # matters on a cluster where a plan compiles once and runs over
-    # 100 TB. warm_spread = (max-min)/min over the warm runs is the
-    # shared-box noise band: a regression is a plan problem only when
-    # it exceeds the spread.
+    # time is the MIN of three steady-state executions — the number
+    # that matters on a cluster where a plan compiles once and runs
+    # over 100 TB (min-of-3 per the r6 spread directive). warm_spread =
+    # (max-min)/min over the warm runs is the shared-box noise band: a
+    # regression is a plan problem only when it exceeds the spread.
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     warm_spread: dict[str, float] = {}
@@ -75,9 +106,9 @@ def main() -> None:
     for name, spec in sorted(specs.items()):
         try:
             timings[name] = round(run(spec), 4)
-            w1, w2 = run(spec), run(spec)
-            warm[name] = round(min(w1, w2), 4)
-            warm_spread[name] = round((max(w1, w2) - min(w1, w2)) / min(w1, w2), 3)
+            ws = [run(spec) for _ in range(3)]
+            warm[name] = round(min(ws), 4)
+            warm_spread[name] = round((max(ws) - min(ws)) / min(ws), 3)
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} ERROR {errors[name]}", file=sys.stderr)
@@ -110,6 +141,17 @@ def main() -> None:
         "queries_cold": timings,
         "queries_warm": warm,
         "warm_spread": warm_spread,
+        # box-weather normalization: divide any round's warm time by its
+        # calibration_warm before comparing across rounds
+        "calibration": {
+            "cold": cal_cold,
+            "warm": cal_warm,
+            "spread": cal_spread,
+            "workload": "range(30M,64p) % 100k groupBy-agg -> %97 groupBy-agg, noop sink",
+        },
+        "queries_warm_calibrated": {
+            n: round(t / cal_warm, 3) for n, t in warm.items()
+        },
         "errors": errors,
         "throughput_rec_s": throughput,
         "sf": sf,
@@ -126,7 +168,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "total_warm": round(sum(warm.values()), 4),
+                "calibration_warm": cal_warm,
                 "n_errors": len(errors),
+                "errors": errors,
                 "throughput_rec_s": throughput,
                 "sf": sf,
             }

@@ -251,7 +251,11 @@ def minhash_lsh_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    fixed_steps: int | None = None,
 ) -> DataFrame:
     """Duplicate GROUPS from near-dup pairs: iterative minimum-label
     propagation (the standard large-graph connected-components loop,
@@ -265,6 +269,15 @@ def connected_components(
     corpus). Iterations = graph diameter (near-dup graphs are dense
     cliques, so 2-3 in practice); each is one join + one groupBy on the
     node key. Returns (doc_id, canonical_id).
+
+    ``fixed_steps``: pin the body to exactly N propagation steps with
+    NO per-block convergence probes, then assert convergence ONCE with
+    a single verification step afterwards. For a corpus whose diameter
+    is known (the bench corpus is <=2), this removes the probe
+    round-trips from the timed region — the measured source of warm
+    run-to-run spread (r6 verdict #2) — while keeping the loud-failure
+    guarantee: a graph needing more hops raises instead of returning
+    under-merged groups.
     """
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
@@ -287,6 +300,25 @@ def connected_components(
         )
         return (
             lbl.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
+        )
+
+    if fixed_steps is not None:
+        lbl = labels
+        for i in range(fixed_steps):
+            lbl = step(lbl)
+            if i % 2 == 1 or i == fixed_steps - 1:
+                lbl = lbl.localCheckpoint(eager=True)
+        labels = lbl
+        before = labels.agg(F.sum("comp")).collect()[0][0]
+        after = step(labels).agg(F.sum("comp")).collect()[0][0]
+        if before != after:
+            raise RuntimeError(
+                f"connected_components: min-label propagation not converged "
+                f"after the pinned {fixed_steps} steps (graph diameter "
+                f"exceeds the pin); raise fixed_steps or drop the pin"
+            )
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("comp").alias("canonical_id")
         )
 
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]

@@ -59,20 +59,59 @@ def register(
     return deco
 
 
-def _driver_coverage() -> tuple[set[str], set[str]]:
-    """(green, sampled) query-name sets from past correctness rounds
-    (CORRECTNESS_r*.json at the repo root). Used only to order the
-    registry so the neediest specs surface first for drivers that
-    sample a prefix; sampling is otherwise out of our control."""
+_ROWS_ONLY_SENTINEL = "<rows-only>"
+
+
+def oracle_hash(oracle: str | None) -> str:
+    """Content hash of a spec's oracle SQL — the contract fingerprint.
+
+    Rows-only specs (oracle=None) hash a fixed sentinel: their contract
+    is the row-count check, which has no SQL text to fingerprint."""
+    import hashlib
+
+    text = _ROWS_ONLY_SENTINEL if oracle is None else oracle
+    return hashlib.sha256(text.encode()).hexdigest()[:16]
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def certified_hashes() -> dict[str, str]:
+    """name -> oracle hash as of the query's latest driver-green row
+    (ORACLE_HASHES.json, maintained by tools/refresh_oracle_hashes.py —
+    run at the START of each build round, before any oracle edits, so a
+    later rework this round hashes differently and self-promotes)."""
+    import json
+    import os
+
+    path = os.path.join(_repo_root(), "ORACLE_HASHES.json")
+    try:
+        with open(path) as fh:
+            return {str(k): str(v) for k, v in json.load(fh).items()}
+    except Exception:  # missing/corrupt snapshot → everything looks stale
+        return {}
+
+
+def _driver_coverage() -> tuple[dict[str, int], set[str]]:
+    """(green_round, sampled): per-name latest round with a hash_match
+    row, and the set of ever-sampled names, from CORRECTNESS_r*.json at
+    the repo root. Used only to order the registry so the neediest
+    specs surface first for drivers that sample a prefix; sampling is
+    otherwise out of our control."""
     import glob
     import json
     import logging
     import os
+    import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: set[str] = set()
+    green_round: dict[str, int] = {}
     sampled: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    for path in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 for name, row in json.load(fh).items():
@@ -83,65 +122,59 @@ def _driver_coverage() -> tuple[set[str], set[str]]:
                     # (r5 verdict finding #3) — a query stays prioritized
                     # until the driver records a hash_match for it.
                     if row.get("hash_match"):
-                        green.add(name)
+                        green_round[name] = max(green_round.get(name, 0), rnd)
         except Exception as exc:  # malformed round artifact — ordering hint only
             logging.getLogger(__name__).warning(
                 "ignoring unreadable coverage artifact %s: %s", path, exc
             )
-    return green, sampled
+    return green_round, sampled
+
+
+def ordering_key(
+    name: str,
+    idx: int,
+    green_round: dict[str, int],
+    sampled: set[str],
+    certified: dict[str, str],
+    current_hash: str,
+) -> tuple[int, int, int]:
+    """Four-tier driver-sampling priority (lower sorts first):
+
+      0. sampled-but-never-green — a past driver failure; highest
+         priority whether or not the contract also changed since;
+      1. contract-stale — the current oracle hash differs from the hash
+         on file for the query's last green row (covers brand-new
+         queries AND reworked oracles, structurally: editing any
+         oracle's SQL re-promotes it with no hand-maintained list);
+      2. never sampled (and contract unchanged — pre-snapshot legacy);
+      3. green under the current contract — ordered OLDEST latest-green
+         round first, so long-uncertified entries rotate back through
+         the driver's 50-sample window instead of being pinned behind
+         registration order.
+
+    Pure function of its inputs (pytest-pinned in test_registry_order)."""
+    if name in sampled and name not in green_round:
+        return (0, 0, idx)
+    if certified.get(name) != current_hash:
+        return (1, 0, idx)
+    if name not in sampled:
+        return (2, 0, idx)
+    return (3, green_round.get(name, 0), idx)
 
 
 def all_specs() -> dict[str, QuerySpec]:
     # Import the query modules for their registration side effects.
     from . import queries  # noqa: F401
 
-    # Stable order, four tiers for drivers that sample a prefix:
-    #   1. sampled-but-never-green (a past round's failure, since fixed):
-    #      the highest-priority re-certification targets;
-    #   2. this round's new operators (never sampled, no external
-    #      verification yet) — the explicit list below, updated when a
-    #      build round adds queries;
-    #   3. older never-sampled entries (most were judge-re-run in past
-    #      rounds), registration order;
-    #   4. green-covered, registration order.
     # Repeat calls (and rounds) agree given the same artifacts.
-    green, sampled = _driver_coverage()
+    green_round, sampled = _driver_coverage()
+    certified = certified_hashes()
     idx = {n: i for i, n in enumerate(_REGISTRY)}
-    recent = {n: i for i, n in enumerate(_ROUND_NEW)}
 
-    def key(n: str):
-        # _ROUND_NEW outranks past green rows: a contract-reworked query
-        # keeps its old (now-stale) green row, but the NEW oracle has
-        # never been driver-certified. The list is replaced at the start
-        # of every build round, so nothing stays promoted longer than
-        # the round that changed it.
-        if n in recent:
-            return (1, recent[n])
-        if n in green:
-            return (3, idx[n])
-        if n in sampled:
-            return (0, idx[n])
-        return (2, idx[n])
-
-    ordered = sorted(_REGISTRY, key=key)
+    ordered = sorted(
+        _REGISTRY,
+        key=lambda n: ordering_key(
+            n, idx[n], green_round, sampled, certified, oracle_hash(_REGISTRY[n].oracle)
+        ),
+    )
     return {n: _REGISTRY[n] for n in ordered}
-
-
-# Queries added or contract-reworked in the current build round
-# (tier 2 above). Names that have since gone green sort into tier 4
-# automatically, so stale entries here are harmless.
-_ROUND_NEW = (
-    # round 6: new composed scale-path flagship
-    "cluster_geo_pipeline_cellgrid",
-    "dedup_incremental_groups",
-    # round 6: distinct-set-weighted contract rewrites (new oracles —
-    # their old green rows certify the OLD contract, so they need
-    # fresh driver rows)
-    "dedup_containment_pairs",
-    "dedup_incremental_new_vs_old",
-    "dedup_source_overlap_matrix",
-    "dq_split_leakage",
-    "dedup_blocking_quality",
-    "dedup_hamming_pairs",
-    "tok_bpe_merges",
-)

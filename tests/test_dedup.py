@@ -85,6 +85,39 @@ def test_connected_components_long_chain(spark):
     assert got == {i: 0 for i in range(12)}
 
 
+def test_connected_components_fixed_steps_matches_adaptive(spark):
+    """The pinned-steps body (no per-block probes) returns the same
+    labels as the adaptive loop when the pin covers the diameter."""
+    from bigdatanycdiseasesurveillance_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9), (9, 10)], "id_a long, id_b long"
+    )
+    adaptive = {
+        r["doc_id"]: r["canonical_id"] for r in connected_components(pairs).collect()
+    }
+    pinned = {
+        r["doc_id"]: r["canonical_id"]
+        for r in connected_components(pairs, fixed_steps=3).collect()
+    }
+    assert pinned == adaptive
+
+
+def test_connected_components_fixed_steps_raises_when_pin_too_small(spark):
+    """A diameter-11 path cannot converge in 1 pinned step — the
+    post-hoc verification must fail loudly, never return under-merged
+    groups silently."""
+    import pytest
+
+    from bigdatanycdiseasesurveillance_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(pairs, fixed_steps=1).collect()
+
+
 def test_jaccard_gemm_equals_dataframe_variant(spark, sf_dir):
     """GEMM and pure-DataFrame Jaccard formulations must agree exactly
     (same tokenization, blocking, rounding, threshold)."""

@@ -1,0 +1,98 @@
+"""Pins for the registry's driver-sampling priority order.
+
+The driver samples a PREFIX of the registry each round, so ordering is
+a correctness-adjacent contract: a reworked oracle that fails to
+re-promote keeps a stale green row authoritative (the r5 tier bug, one
+level up). These tests pin the structural scheme that replaced the
+hand-maintained _ROUND_NEW list: an oracle-SQL content hash per
+certified green row (ORACLE_HASHES.json), compared at load time.
+"""
+
+import json
+import os
+
+from bigdatanycdiseasesurveillance_spark.registry import (
+    _REGISTRY,
+    all_specs,
+    certified_hashes,
+    oracle_hash,
+    ordering_key,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_red_row_outranks_contract_rework():
+    """Sampled-but-red stays tier 0 even when its oracle also changed
+    (the r6 advisor's ordering finding)."""
+    green = {"ok_q": 3}
+    sampled = {"ok_q", "red_q"}
+    cert = {"ok_q": "aaaa", "red_q": "bbbb"}
+    # red_q's current hash differs from its snapshot AND it has a red row
+    k_red = ordering_key("red_q", 5, green, sampled, cert, "cccc")
+    k_stale = ordering_key("new_q", 1, green, sampled, cert, "dddd")
+    assert k_red[0] == 0 and k_stale[0] == 1
+    assert k_red < k_stale
+
+
+def test_oracle_edit_self_promotes():
+    """Changing an oracle's SQL moves a green query into the priority
+    tier with no list maintenance."""
+    green = {"q": 2}
+    sampled = {"q"}
+    cert = {"q": oracle_hash("SELECT 1 AS a")}
+    fresh = ordering_key("q", 0, green, sampled, cert, oracle_hash("SELECT 1 AS a"))
+    reworked = ordering_key("q", 0, green, sampled, cert, oracle_hash("SELECT 2 AS a"))
+    assert fresh[0] == 3
+    assert reworked[0] == 1
+
+
+def test_green_tier_rotates_oldest_first():
+    """Within the green tier, an r1-certified query outranks an
+    r6-certified one regardless of registration order."""
+    green = {"old": 1, "new": 6}
+    sampled = {"old", "new"}
+    cert = {"old": "h1", "new": "h2"}
+    k_old = ordering_key("old", 100, green, sampled, cert, "h1")
+    k_new = ordering_key("new", 0, green, sampled, cert, "h2")
+    assert k_old < k_new
+
+
+def test_never_sampled_outranks_green():
+    key_never = ordering_key("x", 9, {}, set(), {"x": "h"}, "h")
+    key_green = ordering_key("y", 0, {"y": 1}, {"y"}, {"y": "h"}, "h")
+    assert key_never[0] == 2 and key_green[0] == 3
+    assert key_never < key_green
+
+
+def test_snapshot_covers_certified_registry():
+    """Every registered query is either fingerprinted in
+    ORACLE_HASHES.json or sorts into a pre-green tier — no query can
+    silently coast on a stale contract."""
+    specs = all_specs()
+    cert = certified_hashes()
+    assert cert, "ORACLE_HASHES.json missing — run tools/refresh_oracle_hashes.py"
+    names = list(specs)
+    # every contract-stale entry (no fingerprint, or fingerprint differs)
+    # must sort before every certified-fresh entry: the driver's prefix
+    # sample reaches it first. (Tier-0 red rows may be in either set and
+    # precede both.)
+    stale_pos = [
+        i for i, n in enumerate(names) if cert.get(n) != oracle_hash(specs[n].oracle)
+    ]
+    fresh_pos = [
+        i for i, n in enumerate(names) if cert.get(n) == oracle_hash(specs[n].oracle)
+    ]
+    if stale_pos and fresh_pos:
+        assert max(stale_pos) < max(fresh_pos)
+
+
+def test_snapshot_file_is_sorted_and_complete_format():
+    path = os.path.join(REPO, "ORACLE_HASHES.json")
+    with open(path) as fh:
+        snap = json.load(fh)
+    assert list(snap) == sorted(snap)
+    assert all(isinstance(v, str) and len(v) == 16 for v in snap.values())
+    # no fingerprints for unregistered names
+    all_specs()
+    assert set(snap) <= set(_REGISTRY)
