@@ -323,7 +323,26 @@ def cellgrid_assign(
     tot = cells.agg(
         F.sum("w").cast("long").alias("n"), F.count("*").cast("long").alias("c")
     )
-    key = (F.col("cx") * key_mult + F.col("cy")).alias("k")
+    # k = cx*key_mult + cy is injective for ANY cx (including negative)
+    # iff 0 <= cy < key_mult; outside that range distinct cells collide
+    # ((cx, cy) vs (cx-1, cy+key_mult)) and clusters silently merge.
+    # Guard in the key expression itself — when/otherwise keeps the
+    # check un-prunable because it PRODUCES the key value.
+    key = (
+        F.when(
+            (F.col("cy") >= 0) & (F.col("cy") < key_mult),
+            F.col("cx") * key_mult + F.col("cy"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "cellgrid_assign: cy outside [0, key_mult) — packed cell "
+                    "keys would collide; normalize cy or raise key_mult"
+                )
+            ).cast("long")
+        )
+        .alias("k")
+    )
     core = (
         cells.join(
             dens.crossJoin(F.broadcast(tot)).filter(

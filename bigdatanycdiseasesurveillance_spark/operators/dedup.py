@@ -171,7 +171,50 @@ def jaccard_pairs_gemm(
     )
 
 
-def minhash_signature(tokens_col: Column, n_perm: int = 32) -> Column:
+# Banding/chunk layout constants — the SINGLE definition shared by the
+# production pair operators below and the certification queries
+# (queries/dedup_q.py dedup_minhash_lsh / dedup_simhash), which replay
+# the same banding over distinct token sets. Importing from here (and
+# building band hashes through the helpers below) keeps certification
+# and production from drifting if the layout ever changes.
+MINHASH_N_PERM = 32
+MINHASH_BANDS = 8
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4
+
+
+def minhash_band_hashes(
+    sig_col: str = "sig", n_perm: int = MINHASH_N_PERM, bands: int = MINHASH_BANDS
+) -> list[Column]:
+    """One Column per band: xxhash64 over that band's signature slots.
+    Bucket collision <=> band-hash equality, so this is both the
+    production bucket key and the certification's hit predicate."""
+    rows_per_band = n_perm // bands
+    return [
+        F.xxhash64(*[F.col(sig_col)[b * rows_per_band + r] for r in range(rows_per_band)])
+        for b in range(bands)
+    ]
+
+
+def simhash_chunk_structs(
+    sig_col: str = "sig", bits: int = SIMHASH_BITS, chunks: int = SIMHASH_CHUNKS
+) -> list[Column]:
+    """struct(chunk, ckey) per 16-bit signature chunk — the blocking
+    key layout shared by simhash_pairs and its certification."""
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    return [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col(sig_col), c * chunk_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("ckey"),
+        )
+        for c in range(chunks)
+    ]
+
+
+def minhash_signature(tokens_col: Column, n_perm: int = MINHASH_N_PERM) -> Column:
     """MinHash signature as an array<long>: perm i = min over tokens of
     xxhash64(token, seed=i). Pure column expressions — the whole
     signature computes inside codegen, no Python, no ML-pipeline
@@ -188,8 +231,8 @@ def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_perm: int = 32,
-    bands: int = 8,
+    n_perm: int = MINHASH_N_PERM,
+    bands: int = MINHASH_BANDS,
     threshold: float = 0.7,
 ) -> DataFrame:
     """M2: MinHash-LSH near-dup detection. shingle -> minhash -> band ->
@@ -202,7 +245,6 @@ def minhash_lsh_pairs(
     doc size; each band bucket-join is an equi-join on (band, hash) so
     the shuffle key space is uniform unless the corpus is degenerate.
     """
-    rows_per_band = n_perm // bands
     toks = distinct_tokens(F.col(text_col))
     sigs = df.select(
         F.col(id_col).alias("id"),
@@ -220,13 +262,8 @@ def minhash_lsh_pairs(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
+                    F.struct(F.lit(b).alias("band"), h.alias("bucket"))
+                    for b, h in enumerate(minhash_band_hashes("sig", n_perm, bands))
                 ]
             )
         ).alias("bb"),
@@ -382,7 +419,7 @@ def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 64,
+    bits: int = SIMHASH_BITS,
     max_hamming: int = 8,
 ) -> DataFrame:
     """M2/M3-class SimHash near-dup pairs. Blocking: split the 64-bit
@@ -391,9 +428,6 @@ def simhash_pairs(
     max_hamming < 4*? (pigeonhole holds for max_hamming <= 3 with 4
     chunks; larger budgets trade recall). Candidates verified with the
     true Hamming distance. Returns (id_a, id_b, hamming)."""
-    chunks = 4
-    chunk_bits = bits // chunks
-    mask = (1 << chunk_bits) - 1
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(distinct_tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
@@ -402,19 +436,7 @@ def simhash_pairs(
     banded = sigs.select(
         "id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("sig"), c * chunk_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("ckey"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("cc"),
+        F.explode(F.array(*simhash_chunk_structs("sig", bits))).alias("cc"),
     ).select("id", "sig", "cc.chunk", "cc.ckey")
     a = banded.select("chunk", "ckey", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = banded.select("chunk", "ckey", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))

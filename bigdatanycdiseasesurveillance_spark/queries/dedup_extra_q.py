@@ -780,6 +780,82 @@ def _incremental_groups_oracle() -> str:
     )
 
 
+def _merge_batch_labels(new, corpus_all, old_canon):
+    """One incremental ingest step: fold batch ``new`` into the
+    maintained canonical labels ``old_canon`` ((doc_id, canon) over
+    corpus_all minus new), returning (doc_id, canon) over corpus_all.
+
+    Delta edges are blocked Jaccard of new-vs-corpus only (old-old
+    relations cannot change); old endpoints CONDENSE to their component
+    supernode (which carries the component's min doc id), so connected
+    components runs on the delta-sized condensed graph — the O(delta)
+    ingest shape. Shared by dedup_incremental_groups (one in-lineage
+    batch) and inc_groups_two_batch (two batches against the PERSISTED
+    gold artifact)."""
+    # delta edges: blocked new-vs-all (new-new and new-old; an
+    # old-old pair cannot appear because one side is always new)
+    def side(df, prefix):
+        return df.select(
+            F.col("doc_id").alias(f"{prefix}id"),
+            F.col("source").alias(f"{prefix}src"),
+            F.floor(F.col("n_chars") / 50).alias(f"{prefix}bkt"),
+            distinct_tokens(F.col("text")).alias(f"{prefix}tok"),
+        ).filter(F.size(f"{prefix}tok") > 0)
+
+    a = side(new, "a_")
+    b = side(corpus_all, "b_")
+    j = D.word_jaccard(F.col("a_tok"), F.col("b_tok"))
+    delta = (
+        a.join(
+            b,
+            (F.col("a_src") == F.col("b_src"))
+            & (F.col("a_bkt") == F.col("b_bkt"))
+            & (F.col("a_id") != F.col("b_id")),
+        )
+        .filter(F.round(j, 4) >= 0.7)
+        .select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"))
+    )
+
+    # condense old endpoints to their existing canonical supernode
+    oc_b = old_canon.select(
+        F.col("doc_id").alias("id_b"), F.col("canon").alias("canon_b")
+    )
+    cond = (
+        delta.join(oc_b, "id_b", "left")
+        .select(
+            F.col("id_a"),
+            F.coalesce(F.col("canon_b"), F.col("id_b")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    merged = D.connected_components(cond)  # (doc_id=node, canonical_id)
+
+    # expand: every doc resolves through (its old canon when old) ->
+    # the merged condensed label when its supernode was touched
+    node_lab = merged.select(
+        F.col("doc_id").alias("node"), F.col("canonical_id").alias("lab")
+    )
+    old_final = old_canon.join(
+        node_lab, old_canon["canon"] == node_lab["node"], "left"
+    ).select("doc_id", F.coalesce(F.col("lab"), F.col("canon")).alias("canon"))
+    new_final = (
+        new.select("doc_id")
+        .join(node_lab, F.col("doc_id") == node_lab["node"], "left")
+        .select("doc_id", F.coalesce(F.col("lab"), F.col("doc_id")).alias("canon"))
+    )
+    return old_final.unionByName(new_final)
+
+
+def _group_contract(labels):
+    """(doc_id, canon) -> the dedup group contract (canonical_id,
+    group_size > 1) — the same shape as dedup_duplicate_groups."""
+    return (
+        labels.groupBy(F.col("canon").alias("canonical_id"))
+        .agg(F.count("*").cast("long").alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
 @register(
     "dedup_incremental_groups",
     oracle=_incremental_groups_oracle(),
@@ -824,65 +900,76 @@ def dedup_incremental_groups(spark, sf_dir):
         .localCheckpoint(eager=False)  # read twice: edges + expansion
     )
 
-    # (2) delta edges: blocked new-vs-all (new-new and new-old; an
-    # old-old pair cannot appear because one side is always new)
-    def side(df, prefix):
-        return df.select(
-            F.col("doc_id").alias(f"{prefix}id"),
-            F.col("source").alias(f"{prefix}src"),
-            F.floor(F.col("n_chars") / 50).alias(f"{prefix}bkt"),
-            distinct_tokens(F.col("text")).alias(f"{prefix}tok"),
-        ).filter(F.size(f"{prefix}tok") > 0)
+    # (2)-(4): delta edges -> condensed CC -> expansion
+    return _group_contract(_merge_batch_labels(new, docs, old_canon))
 
-    a = side(new, "a_")
-    b = side(docs, "b_")
-    j = D.word_jaccard(F.col("a_tok"), F.col("b_tok"))
-    delta = (
-        a.join(
-            b,
-            (F.col("a_src") == F.col("b_src"))
-            & (F.col("a_bkt") == F.col("b_bkt"))
-            & (F.col("a_id") != F.col("b_id")),
-        )
-        .filter(F.round(j, 4) >= 0.7)
-        .select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"))
-    )
 
-    # (3) condense old endpoints to their existing canonical supernode
-    oc_b = old_canon.select(
-        F.col("doc_id").alias("id_b"), F.col("canon").alias("canon_b")
-    )
-    cond = (
-        delta.join(oc_b, "id_b", "left")
-        .select(
-            F.col("id_a"),
-            F.coalesce(F.col("canon_b"), F.col("id_b")).alias("id_b"),
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
-    )
-    merged = D.connected_components(cond)  # (doc_id=node, canonical_id)
+@register(
+    "inc_groups_two_batch",
+    # Oracle: the FULL-corpus group-level CC — identical contract to
+    # dedup_incremental_groups, because after both batches land the
+    # maintained artifact must equal the from-scratch recompute.
+    oracle=_incremental_groups_oracle(),
+    tags=("dedup", "incremental", "groups", "llm-prep", "gold"),
+)
+def inc_groups_two_batch(spark, sf_dir):
+    """PERSISTED incremental duplicate-group maintenance across two
+    simulated ingest batches — the production shape the self-contained
+    dedup_incremental_groups only models in-lineage (r6 verdict next
+    #6; reference analog: the skip-existing maintained collection,
+    chromadb_client.py:77-102).
 
-    # (4) expand: every doc resolves through (its old canon when old) ->
-    # the merged condensed label when its supernode was touched
-    node_lab = merged.select(
-        F.col("doc_id").alias("node"), F.col("canonical_id").alias("lab")
+    The canonical-label artifact is WRITTEN once over the base corpus
+    (doc_id % 5 in {1,2,3}) via the W5 versioned gold sink
+    (write_gold_version), then each batch (doc_id % 5 == 4, then == 0)
+    is folded in by reading the LATEST committed gold version from
+    parquet — not the in-session lineage — merging via the condensed
+    delta-CC (_merge_batch_labels), and writing the next version. So
+    the query exercises artifact persistence, versioned commit
+    (_SUCCESS-gated read_latest_gold), and two successive O(delta)
+    merges; the oracle proves the final artifact equals the full-corpus
+    recompute. Every per-batch structure is delta-sized; the gold
+    read/write is one narrow (doc_id, canon) table — linear in corpus,
+    written once per ingest, exactly what a 100 TB pipeline maintains."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.sinks import read_latest_gold, write_gold_version
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 >= 1).filter(F.col("doc_id") % 5 <= 3)
+    batch1 = docs.filter(F.col("doc_id") % 5 == 4)
+    batch2 = docs.filter(F.col("doc_id") % 5 == 0)
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    gold_dir = os.path.join(
+        tempfile.gettempdir(), f"bdnds_incgold_{tag}_{os.getpid()}"
     )
-    old_final = (
-        old_canon.join(node_lab, old_canon["canon"] == node_lab["node"], "left")
+    shutil.rmtree(gold_dir, ignore_errors=True)  # deterministic reruns
+
+    # version 1: base-corpus labels, persisted
+    base_pairs = D.jaccard_pairs(base, threshold=0.7)
+    base_labels = D.connected_components(base_pairs)
+    base_canon = (
+        base.select("doc_id")
+        .join(base_labels, "doc_id", "left")
         .select(
-            "doc_id", F.coalesce(F.col("lab"), F.col("canon")).alias("final")
+            "doc_id",
+            F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("canon"),
         )
     )
-    new_final = (
-        new.select("doc_id")
-        .join(node_lab, F.col("doc_id") == node_lab["node"], "left")
-        .select(
-            "doc_id", F.coalesce(F.col("lab"), F.col("doc_id")).alias("final")
-        )
-    )
-    return (
-        old_final.unionByName(new_final)
-        .groupBy(F.col("final").alias("canonical_id"))
-        .agg(F.count("*").cast("long").alias("group_size"))
-        .filter(F.col("group_size") > 1)
-    )
+    write_gold_version(base_canon, gold_dir)
+
+    # batch 1: read the PERSISTED artifact, merge, persist version 2
+    canon_v1 = read_latest_gold(spark, gold_dir)
+    corpus1 = base.unionByName(batch1)
+    labels1 = _merge_batch_labels(batch1, corpus1, canon_v1)
+    write_gold_version(labels1, gold_dir)
+
+    # batch 2: read version 2 from parquet, merge, emit the contract
+    canon_v2 = read_latest_gold(spark, gold_dir)
+    corpus2 = corpus1.unionByName(batch2)
+    labels2 = _merge_batch_labels(batch2, corpus2, canon_v2)
+    return _group_contract(labels2)

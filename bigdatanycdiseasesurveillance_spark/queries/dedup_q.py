@@ -136,9 +136,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     bands), but on blocked-pair-many rows: materializing the unblocked
     bucket self-join made the certification itself quadratic under
     31-token-vocabulary bucket skew (480s at sf1 for identical
-    contract values; ~30s this way). The pair stream itself is the
-    operator (D.minhash_lsh_pairs); tests/test_lsh_recall_oracle.py
-    pins the banding-theory floor on the doc-level operator."""
+    contract values; ~30s this way). The PRODUCTION pair stream is
+    D.minhash_lsh_pairs; this query replays its banding over distinct
+    sets using the operator's own constants and band-hash helper
+    (D.MINHASH_N_PERM/BANDS, D.minhash_band_hashes), and
+    tests/test_dedup.py pins replay-hit == operator-bucket on a doc
+    corpus; tests/test_lsh_recall_oracle.py pins the banding-theory
+    floor on the doc-level operator."""
     from ..operators import setsim as SS
 
     docs = table(spark, sf_dir, "documents")
@@ -158,23 +162,19 @@ def dedup_minhash_lsh(spark, sf_dir):
         # banding AND both sides of the word_jaccard recheck
     )
     # the fast-path banding over distinct sets: one row per set with
-    # its 8 band hashes as columns (bucket collision <=> hash equality)
-    n_perm, bands = 32, 8
-    rows_per_band = n_perm // bands
+    # its band hashes as columns (bucket collision <=> hash equality).
+    # Constants AND the band-hash construction are imported from the
+    # operator module (D.MINHASH_*, D.minhash_band_hashes) so the
+    # certification replays the production layout verbatim — layout
+    # drift is structurally impossible (r6 advisor finding), and
+    # tests/test_dedup.py pins replay == D.minhash_lsh_pairs buckets.
+    bands = D.MINHASH_BANDS
     sigs = rep_toks.select(
-        "mask", D.minhash_signature(F.col("tok"), n_perm).alias("sig")
+        "mask", D.minhash_signature(F.col("tok")).alias("sig")
     )
     bh = sigs.select(
         "mask",
-        *[
-            F.xxhash64(
-                *[
-                    F.col("sig")[b * rows_per_band + r]
-                    for r in range(rows_per_band)
-                ]
-            ).alias(f"bh{b}")
-            for b in range(bands)
-        ],
+        *[h.alias(f"bh{b}") for b, h in enumerate(D.minhash_band_hashes("sig"))],
     ).localCheckpoint(eager=False)
     # blocked exact pairs (the ground truth), multiplicity-weighted —
     # the SAME relation the oracle recomputes; read by the recall AND
@@ -290,7 +290,9 @@ def dedup_simhash(spark, sf_dir):
     distinct CONTENT, not corpus size — it executes at sf1 where the
     doc-level crossJoin cannot. Empty-token docs ride as mask 0
     (sig 0) so signature coverage still counts every document. The
-    pair stream itself is D.simhash_pairs."""
+    PRODUCTION pair stream is D.simhash_pairs; this query replays its
+    chunk blocking via the operator's own helper
+    (D.simhash_chunk_structs), so the two cannot drift."""
     from ..operators import setsim as SS
 
     docs = table(spark, sf_dir, "documents")
@@ -311,24 +313,13 @@ def dedup_simhash(spark, sf_dir):
             F.transform(F.col("tok"), lambda t: F.xxhash64(t))
         ).alias("sig"),
     ).localCheckpoint(eager=False)
-    # the operator's chunk blocking, verbatim, over distinct sets
-    chunks, chunk_bits = 4, 16
-    cmask = (1 << chunk_bits) - 1
+    # the operator's chunk blocking, verbatim, over distinct sets —
+    # built by the SAME helper the production simhash_pairs uses
+    # (D.simhash_chunk_structs), so the certification cannot drift from
+    # the operator's chunk layout (r6 advisor finding)
     chunked = sigs.select(
         "mask",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("sig"), c * chunk_bits)
-                        .bitwiseAND(F.lit(cmask))
-                        .alias("ckey"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("cc"),
+        F.explode(F.array(*D.simhash_chunk_structs("sig"))).alias("cc"),
     ).select("mask", "cc.chunk", "cc.ckey")
     emitted = (
         chunked.alias("a")

@@ -105,8 +105,12 @@ _SCALE = float(1 << 60)
 )
 def dedup_hamming_pairs(spark, sf_dir):
     """Same-length name pairs within Hamming distance 2, counted per
-    distance. The oracle runs the ground-truth O(n^2) theta join; the
-    engine generates candidates by masked-neighborhood blocking over
+    distance. The oracle REPLAYS the masked-neighborhood scheme (the
+    O(n^2) theta join is sf1-infeasible in DuckDB); independent
+    ground truths live in dedup_hamming_bruteforce_guard (driver-run
+    brute-force oracle on a capped subset, every round) and the pytest
+    losslessness/hypothesis checks. The engine generates candidates by
+    masked-neighborhood blocking over
     VARYING positions only: a (length, position) is varying when the
     corpus shows more than one character there — a 1-row-per-(len,pos)
     control-plane profile — and two same-length names can mismatch
@@ -131,6 +135,14 @@ def dedup_hamming_pairs(spark, sf_dir):
     c = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
+    return _hamming_masked_pairs(spark, c)
+
+
+def _hamming_masked_pairs(spark, c):
+    """The masked-neighborhood Hamming pipeline over (id, name) — shared
+    by dedup_hamming_pairs (full corpus, replay oracle) and
+    dedup_hamming_bruteforce_guard (bounded subset, independent O(n^2)
+    oracle), so the guarded entry exercises the production code path."""
     # control-plane profile: varying positions per length class
     # (bounded by #length-classes x max length — tens of rows)
     stats = (
@@ -215,6 +227,55 @@ def dedup_hamming_pairs(spark, sf_dir):
         .groupBy("hamming_d")
         .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
     )
+
+
+_GUARD_MAX_CUSTKEY = 3000
+
+
+@register(
+    "dedup_hamming_bruteforce_guard",
+    # INDEPENDENT ground truth: the oracle is the exact O(n^2)
+    # length-blocked theta join — it shares NO algorithmic structure
+    # with the engine's masked-neighborhood blocking, so a shared
+    # blocking/multiplicity bug cannot pass (the r6 advisor's
+    # independence concern about the full-corpus entry's replay
+    # oracle). Feasible at every SF because the subset is capped at a
+    # CONSTANT (c_custkey <= 3000): at the sf0.01 driver gate the
+    # subset IS the whole customer table, so the driver retains one
+    # full-strength independent Hamming check each round; at sf1 the
+    # theta join stays ~4.5M row pairs.
+    oracle=f"""
+        WITH c AS (
+            SELECT c_custkey AS id, c_name AS name,
+                   CAST(length(c_name) AS INTEGER) AS len
+            FROM customer WHERE c_custkey <= {_GUARD_MAX_CUSTKEY}
+        ), d AS (
+            SELECT list_sum(list_transform(range(1, a.len + 1),
+                       p -> CASE WHEN substr(a.name, CAST(p AS INTEGER), 1)
+                                      <> substr(b.name, CAST(p AS INTEGER), 1)
+                                 THEN 1 ELSE 0 END)) AS d
+            FROM c a JOIN c b ON a.len = b.len AND a.id < b.id
+        )
+        SELECT CAST(d AS BIGINT) AS hamming_d,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM d WHERE d BETWEEN 1 AND {_MAX_HAMMING} GROUP BY d
+    """,
+    tags=("dedup", "similarity", "blocking", "guard"),
+)
+def dedup_hamming_bruteforce_guard(spark, sf_dir):
+    """Independence guard for the masked-neighborhood Hamming path: the
+    engine runs the PRODUCTION pipeline (_hamming_masked_pairs, same
+    code as dedup_hamming_pairs) on the c_custkey <= 3000 subset; the
+    oracle recomputes the answer with the brute-force theta join. Any
+    losslessness or multiplicity-division bug in the blocking scheme
+    goes red here even though the full-corpus entry's oracle replays
+    the scheme (which it must, to stay sf1-feasible)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= _GUARD_MAX_CUSTKEY)
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    )
+    return _hamming_masked_pairs(spark, c)
 
 
 @register(

@@ -85,6 +85,52 @@ def test_connected_components_long_chain(spark):
     assert got == {i: 0 for i in range(12)}
 
 
+def test_certification_band_replay_equals_operator_buckets(spark):
+    """The certification queries replay the operator's banding via the
+    shared helpers; this pins the semantics end-to-end: a pair collides
+    in >=1 of minhash_lsh_pairs' bucket joins IFF the replayed
+    band-hash-equality predicate fires for the same token sets."""
+    from bigdatanycdiseasesurveillance_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "flu outbreak reported in queens this week"),
+            (2, "flu outbreak reported in queens this week"),  # exact dup
+            (3, "flu outbreak reported in brooklyn this week"),  # near dup
+            (4, "measles cases rising across staten island schools"),
+            (5, "subway delays on the f line this morning"),
+            (6, "flu outbreak reported in queens this month"),  # near dup
+        ],
+        "doc_id long, text string",
+    )
+    # operator side: ALL banded-together pairs (threshold=0 keeps every
+    # verified candidate, i.e. exactly the bucket-collision relation)
+    op_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(docs, threshold=0.0).collect()
+    }
+    # certification side: per-doc signatures + shared band-hash helper,
+    # hit = any band hash equal (the predicate dedup_minhash_lsh uses)
+    from pyspark.sql import functions as F
+
+    sigs = docs.select(
+        F.col("doc_id").alias("id"),
+        D.minhash_signature(D.distinct_tokens(F.col("text"))).alias("sig"),
+    ).select(
+        "id", *[h.alias(f"bh{b}") for b, h in enumerate(D.minhash_band_hashes("sig"))]
+    )
+    rows = {r["id"]: [r[f"bh{b}"] for b in range(D.MINHASH_BANDS)] for r in sigs.collect()}
+    ids = sorted(rows)
+    replay_pairs = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if any(x == y for x, y in zip(rows[a], rows[b]))
+    }
+    assert op_pairs == replay_pairs
+    assert (1, 2) in op_pairs  # identical docs always collide
+
+
 def test_connected_components_fixed_steps_matches_adaptive(spark):
     """The pinned-steps body (no per-block probes) returns the same
     labels as the adaptive loop when the pin covers the diameter."""
@@ -148,3 +194,22 @@ def test_incremental_groups_equal_full_recompute(spark, sf_dir):
         for r in specs["dedup_incremental_groups"].fn(spark, sf_dir).collect()
     }
     assert inc == full and full
+
+
+def test_two_batch_persisted_groups_equal_full_recompute(spark, sf_dir):
+    """Two successive batch merges against the PERSISTED gold artifact
+    (write_gold_version -> read_latest_gold -> condensed delta-CC, twice)
+    must land on the same duplicate groups as the from-scratch
+    recompute — artifact round-trip included."""
+    from bigdatanycdiseasesurveillance_spark.registry import all_specs
+
+    specs = all_specs()
+    full = {
+        (r["canonical_id"], r["group_size"])
+        for r in specs["dedup_duplicate_groups"].fn(spark, sf_dir).collect()
+    }
+    two = {
+        (r["canonical_id"], r["group_size"])
+        for r in specs["inc_groups_two_batch"].fn(spark, sf_dir).collect()
+    }
+    assert two == full and full
