@@ -323,21 +323,27 @@ def cellgrid_assign(
     tot = cells.agg(
         F.sum("w").cast("long").alias("n"), F.count("*").cast("long").alias("c")
     )
-    # k = cx*key_mult + cy is injective for ANY cx (including negative)
-    # iff 0 <= cy < key_mult; outside that range distinct cells collide
-    # ((cx, cy) vs (cx-1, cy+key_mult)) and clusters silently merge.
-    # Guard in the key expression itself — when/otherwise keeps the
-    # check un-prunable because it PRODUCES the key value.
+    # k = cx*key_mult + cy: two distinct cells collide iff
+    # (cx1-cx2)*key_mult == cy2-cy1 != 0, which needs |cy1-cy2| >=
+    # key_mult — so the pack is injective exactly when the OCCUPIED cy
+    # span stays under key_mult (negative cy is fine; geo callers land
+    # around floor(lon/eps) < 0). Guard that condition in the key
+    # expression itself: the 1-row span aggregate rides a broadcast
+    # crossJoin (cell-sized input, no driver round-trip), and
+    # when/otherwise keeps the check un-prunable because it PRODUCES
+    # the key value — an out-of-range corpus raises instead of
+    # silently merging clusters.
+    cy_bounds = cells.agg((F.max("cy") - F.min("cy")).alias("cy_span"))
     key = (
         F.when(
-            (F.col("cy") >= 0) & (F.col("cy") < key_mult),
+            F.col("cy_span") < key_mult,
             F.col("cx") * key_mult + F.col("cy"),
         )
         .otherwise(
             F.raise_error(
                 F.lit(
-                    "cellgrid_assign: cy outside [0, key_mult) — packed cell "
-                    "keys would collide; normalize cy or raise key_mult"
+                    "cellgrid_assign: occupied cy span >= key_mult — packed "
+                    "cell keys would collide; raise key_mult"
                 )
             ).cast("long")
         )
@@ -350,6 +356,7 @@ def cellgrid_assign(
             ),
             ["cx", "cy"],
         )
+        .crossJoin(F.broadcast(cy_bounds))
         .select("cx", "cy", "w", key)
         .localCheckpoint(eager=False)
     )

@@ -126,7 +126,14 @@ def _geo_oracle() -> str:
     tags=("cluster", "geo", "M7", "M9", "J3", "composed"),
 )
 def cluster_geo_pipeline(spark, sf_dir):
-    """Jitter -> bbox-join -> DBSCAN -> profile, composed. Purchase
+    """AUDIT-TIER exact variant — the production entry is
+    cluster_geo_pipeline_cellgrid (identical output contract, oracle-
+    equal at sf1, corpus-size-independent plan). This exact eps-graph
+    formulation densifies quadratically at fixed geography (651.8s at
+    sf1 vs the cellgrid twin's seconds) and is kept as the verification
+    surface the scale path is proven against, not as the path users run.
+
+    Jitter -> bbox-join -> DBSCAN -> profile, composed. Purchase
     events carry synthetic NYC coordinates (user_id lattice + exact
     integer-LCG jitter, both engines replay bit-for-bit); points inside
     a neighborhood bbox cluster with grid-DBSCAN; each cluster reports

@@ -72,3 +72,39 @@ def test_cellgrid_conserves_points_and_partitions_cells(spark, sf_dir):
     for r in out:
         assert r["n_cells"] >= 1
         assert r["min_cx"] <= r["max_cx"] and r["min_cy"] <= r["max_cy"]
+
+
+def test_cellgrid_key_pack_accepts_negative_cy_and_guards_span(spark):
+    """The packed cell key is injective iff the occupied cy SPAN stays
+    under key_mult (negative cy is legal — geo callers floor longitudes
+    below zero). In-span negative cells must cluster normally; a span
+    >= key_mult must raise, never silently merge distinct cells."""
+    import pytest
+
+    ok = spark.createDataFrame(
+        # a dense negative-cy blob + one far sparse cell to keep the
+        # corpus-mean density below the blob's relative-density bar
+        [(0, -7400, 100), (0, -7399, 10), (1, -7400, 10), (500, -7000, 1)],
+        "cx long, cy long, w long",
+    )
+    got = {(r["cx"], r["cy"]): r["cid"] for r in C.cellgrid_assign(ok, key_mult=100000).collect()}
+    assert len(got) == 4
+    blob = {got[(0, -7400)], got[(0, -7399)], got[(1, -7400)]}
+    assert len(blob) == 1 and blob != {-1}  # one cluster over the blob
+    assert got[(500, -7000)] == -1  # far sparse cell is noise
+
+    # (0, 0) and (-1, 100000) pack to the SAME key (0*M+0 == -1*M+M);
+    # two dense blobs + a sparse far cell so core cells exist and the
+    # key expression actually evaluates
+    bad = spark.createDataFrame(
+        [
+            (0, 0, 100),
+            (0, 1, 100),
+            (-1, 100000, 100),
+            (-1, 100001, 100),
+            (50, 500, 1),
+        ],
+        "cx long, cy long, w long",
+    )
+    with pytest.raises(Exception, match="cy span|would collide"):
+        C.cellgrid_assign(bad, key_mult=100000).collect()
