@@ -39,7 +39,15 @@ def daily_counts(
     """
     aggs = [F.count("*").alias("cnt")]
     if value_col is not None:
-        aggs.append(F.round(F.sum(value_col), 2).alias("total_value"))
+        # decimal accumulation: a DOUBLE money sum is summation-order-
+        # dependent, and at large row counts the accumulated float error
+        # crosses the half-cent rounding boundary (the r7 sf1 audit
+        # caught tpch_q3 flipping a cent RUN TO RUN on this class)
+        aggs.append(
+            F.round(F.sum(F.col(value_col).cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("total_value")
+        )
     return (
         df.groupBy(F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"), *keys)
         .agg(*aggs)
@@ -80,7 +88,11 @@ def global_stats(df: DataFrame, ts_col: str, value_col: str, id_col: str) -> Dat
         F.countDistinct(id_col).alias("n_distinct_ids"),
         F.min(ts_col).alias("min_ts"),
         F.max(ts_col).alias("max_ts"),
-        F.round(F.avg(value_col), 4).alias("avg_value"),
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(14,2)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_value"),
     )
 
 
@@ -89,7 +101,14 @@ def mean_std_per_group(df: DataFrame, keys: Sequence[str], value_col: str) -> Da
     (reference: src/analysis/disease_outbreak_forecaster.py:374-375)."""
     return df.groupBy(*keys).agg(
         F.count("*").alias("cnt"),
-        F.round(F.avg(value_col), 4).alias("mean_value"),
+        # mean over exact decimal sum; stddev keeps the float path (its
+        # result is a generic irrational — a 4dp-boundary landing has
+        # measure zero, unlike finite-decimal means)
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(14,2)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_value"),
         F.round(F.stddev_samp(value_col), 4).alias("std_value"),
     )
 

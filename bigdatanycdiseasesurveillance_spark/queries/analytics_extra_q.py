@@ -276,7 +276,8 @@ def win_rank_suite(spark, sf_dir):
                CAST(GROUPING(event_type, CAST(date_part('dow', ts) AS BIGINT))
                     AS BIGINT) AS gid,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               ROUND(SUM(value), 2) AS sum_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE)
+                   AS sum_value
         FROM events
         GROUP BY GROUPING SETS ((event_type),
                                 (CAST(date_part('dow', ts) AS BIGINT)),
@@ -297,7 +298,9 @@ def agg_grouping_sets(spark, sf_dir):
     return e.groupingSets([["event_type"], ["dow"], []], "event_type", "dow").agg(
         F.grouping_id().cast("long").alias("gid"),
         F.count("*").cast("long").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
     )
 
 

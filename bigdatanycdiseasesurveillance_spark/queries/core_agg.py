@@ -16,7 +16,8 @@ from ..tables import table
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                event_type,
                COUNT(*) AS cnt,
-               ROUND(SUM(value), 2) AS total_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE)
+                   AS total_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -76,7 +77,8 @@ def agg_type_summary(spark, sf_dir):
                COUNT(DISTINCT user_id) AS n_distinct_ids,
                MIN(ts) AS min_ts,
                MAX(ts) AS max_ts,
-               ROUND(AVG(value), 4) AS avg_value
+               CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+                          / COUNT(*), 4) AS DOUBLE) AS avg_value
         FROM events
     """,
     tags=("agg", "A6", "A9"),
@@ -91,7 +93,8 @@ def agg_global_stats(spark, sf_dir):
     oracle="""
         SELECT event_type,
                COUNT(*) AS cnt,
-               ROUND(AVG(value), 4) AS mean_value,
+               CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+                          / COUNT(*), 4) AS DOUBLE) AS mean_value,
                ROUND(STDDEV_SAMP(value), 4) AS std_value
         FROM events GROUP BY 1
     """,
@@ -201,7 +204,8 @@ def agg_doc_source_stats(spark, sf_dir):
                CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE), event_type)
                     AS BIGINT) AS gid,
                COUNT(*) AS cnt,
-               ROUND(SUM(value), 2) AS total_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE)
+                   AS total_value
         FROM events
         GROUP BY ROLLUP(CAST(date_trunc('day', ts) AS DATE), event_type)
     """,
@@ -218,7 +222,9 @@ def agg_rollup_daily(spark, sf_dir):
     return ev.rollup("day", "event_type").agg(
         F.grouping_id().cast("long").alias("gid"),
         F.count("*").alias("cnt"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
     )
 
 

@@ -198,7 +198,8 @@ _RESERVOIR_K = 20
                CAST(COUNT(*) AS BIGINT) AS n_sampled,
                md5(string_agg(CAST(event_id AS VARCHAR), ','
                               ORDER BY event_id)) AS ids_md5,
-               ROUND(SUM(value), 2) AS sum_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE)
+                   AS sum_value
         FROM keep GROUP BY event_type
     """,
     tags=("sampling", "reservoir", "llm-prep"),
@@ -227,7 +228,9 @@ def samp_group_reservoir(spark, sf_dir):
         F.md5(
             F.array_join(F.sort_array(F.collect_list("event_id")), ",")
         ).alias("ids_md5"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
     )
 
 

@@ -327,7 +327,8 @@ _SESSION_ORACLE = f"""
                MIN(ts) AS session_start,
                MAX(ts) + INTERVAL {_GAP_HOURS} HOURS AS session_end,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               ROUND(SUM(value), 2) AS sum_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE)
+                   AS sum_value
         FROM g
         GROUP BY user_id, sid
     """
@@ -351,7 +352,9 @@ def win_session_window(spark, sf_dir):
         )
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             "user_id",

@@ -251,9 +251,13 @@ def agg_hopping_windows(spark, sf_dir):
         )
         SELECT e.event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(AVG(e.value), 4) AS mean_raw,
-               ROUND(AVG(LEAST(GREATEST(e.value, th.lo), th.hi)), 4)
-                   AS mean_winsorized,
+               CAST(ROUND(CAST(SUM(CAST(e.value AS DECIMAL(16,6))) AS DOUBLE)
+                          / COUNT(*), 4) AS DOUBLE) AS mean_raw,
+               CAST(ROUND(CAST(SUM(LEAST(GREATEST(
+                              CAST(e.value AS DECIMAL(16,6)),
+                              CAST(th.lo AS DECIMAL(16,6))),
+                              CAST(th.hi AS DECIMAL(16,6)))) AS DOUBLE)
+                          / COUNT(*), 4) AS DOUBLE) AS mean_winsorized,
                CAST(SUM(CASE WHEN e.value < th.lo OR e.value > th.hi
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
         FROM events e JOIN th USING (event_type)
@@ -274,15 +278,29 @@ def cur_winsorize_values(spark, sf_dir):
         F.round(F.percentile("value", F.lit(0.01)), 6).alias("lo"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("hi"),
     )
-    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    # decimal accumulation for the means: values are exact 6dp decimals
+    # after clipping, and a DOUBLE sum's order-dependent last bits can
+    # flip a 4dp-half boundary run to run (the r7 sf1-audit bug class)
+    clipped_dec = F.least(
+        F.greatest(
+            F.col("value").cast("decimal(16,6)"), F.col("lo").cast("decimal(16,6)")
+        ),
+        F.col("hi").cast("decimal(16,6)"),
+    )
     out_of_band = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
     return (
         ev.join(F.broadcast(th), "event_type")
         .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.avg("value"), 4).alias("mean_raw"),
-            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(16,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clipped_dec).cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_winsorized"),
             F.sum(F.when(out_of_band, 1).otherwise(0)).cast("long").alias("n_clipped"),
         )
     )

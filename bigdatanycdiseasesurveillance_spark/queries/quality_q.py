@@ -199,7 +199,8 @@ def dq_k_anonymity(spark, sf_dir):
                     WHEN o_totalprice <= c3 THEN 'q3'
                     ELSE 'q4' END AS bin,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               ROUND(AVG(o_totalprice), 2) AS avg_price,
+               CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                               AS DOUBLE) / COUNT(*), 2) AS DOUBLE) AS avg_price,
                ROUND(MIN(o_totalprice), 2) AS min_price,
                ROUND(MAX(o_totalprice), 2) AS max_price
         FROM orders, cuts
@@ -239,7 +240,14 @@ def feat_quantile_binning(spark, sf_dir):
     )
     return binned.groupBy("bin").agg(
         F.count("*").cast("long").alias("n_orders"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        # decimal sum: AVG over a DOUBLE money column is summation-order-
+        # dependent and can flip a half-cent boundary run to run (the r7
+        # sf1 audit's tpch_q3 finding, same class)
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double")
+            / F.count(F.lit(1)),
+            2,
+        ).alias("avg_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )

@@ -74,7 +74,8 @@ _IV_HOURS = 2
         SELECT w.w_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
-               ROUND(SUM(e.value), 2) AS sum_value
+               CAST(ROUND(SUM(CAST(e.value AS DECIMAL(14,2))), 2) AS DOUBLE)
+                   AS sum_value
         FROM win w JOIN events e
           ON e.ts >= w.w_start AND e.ts < w.w_end
         GROUP BY w.w_id
@@ -121,7 +122,9 @@ def join_interval_binned(spark, sf_dir):
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.countDistinct("user_id").cast("long").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
     )
 

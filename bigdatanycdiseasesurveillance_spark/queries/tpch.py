@@ -14,17 +14,41 @@ from ..registry import register
 from ..tables import table
 
 
+# Exact-money device (r7 sf1-audit finding): SUM over DOUBLE money is
+# summation-order-dependent, and Spark's order varies with partition
+# scheduling — at sf1 a revenue landing on a half-cent boundary rounds
+# differently RUN TO RUN (tpch_q3 flipped a cent between the audit run
+# and a re-run, same code, same data). DECIMAL sums are exact at any
+# order on both engines. Width 12 keeps the triple product
+# price*(1-disc)*(1+tax) at DuckDB width (12,2)x(13,2)x(13,2) = (38,6),
+# inside the 38-digit decimal limit on both engines (beyond it DuckDB
+# silently falls back to DOUBLE, losing the guarantee).
+_MONEY = "decimal(12,2)"
+
+
+def _dec(name: str):
+    return F.col(name).cast(_MONEY)
+
+
 @register(
     "tpch_q1_pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                              * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2)
+                    AS DOUBLE) AS sum_charge,
                ROUND(AVG(l_quantity), 4) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 4) AS avg_price,
-               ROUND(AVG(l_discount), 4) AS avg_disc,
+               CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                               AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_price,
+               CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,2)))
+                               AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -36,20 +60,31 @@ from ..tables import table
 def tpch_q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: wide partial-aggregation scan. The shipdate filter
     reaches the parquet scan (PushedFilters); the groupBy keys are
-    2-value strings so the shuffle carries ~8 rows per map task."""
+    2-value strings so the shuffle carries ~8 rows per map task. Money
+    sums accumulate in DECIMAL (exact at any summation order — see
+    _MONEY); quantity sums stay double because quantities are whole
+    numbers, exactly representable."""
     li = table(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    one = F.lit(1).cast(_MONEY)
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    charge = disc_price * (one + _dec("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(_dec("l_extendedprice")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -59,7 +94,9 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     "tpch_q3_shipping_priority",
     oracle="""
         SELECT l.l_orderkey,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 2)
+                    AS DOUBLE) AS revenue,
                o.o_orderdate, o.o_orderpriority
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -77,7 +114,10 @@ def tpch_q1_pricing_summary(spark, sf_dir):
 def tpch_q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: selective filters pushed below a 3-way join, then
     top-k (TakeOrderedAndProject — no global sort materialization).
-    customer (filtered) broadcasts; orders⋈lineitem is the only shuffle."""
+    customer (filtered) broadcasts; orders⋈lineitem is the only shuffle.
+    Revenue accumulates in DECIMAL — the r7 sf1 audit caught this exact
+    query flipping a half-cent-boundary cent between runs on the
+    double-sum formulation (see _MONEY)."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -85,15 +125,12 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(_MONEY) - _dec("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -104,7 +141,9 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     "tpch_q5_regional_revenue",
     oracle="""
         SELECT n.n_name,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 2)
+                    AS DOUBLE) AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -144,9 +183,15 @@ def tpch_q5_regional_revenue(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast(_MONEY) - _dec("l_discount"))
+                ),
+                2,
             )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -228,10 +273,13 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
     "tpch_q14_promo_share",
     oracle="""
         SELECT CAST(ROUND(
-                 100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE)
+                 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                       * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                                  ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                        AS DOUBLE), 4) AS DOUBLE)
                    AS promo_share_pct,
                CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -249,12 +297,16 @@ def tpch_q14_promo_share(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
+    disc = _dec("l_extendedprice") * (F.lit(1).cast(_MONEY) - _dec("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(
+        F.lit(0).cast(_MONEY)
+    )
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(disc), 4)
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(disc).cast("double"), 4
+            )
             .cast("double")
             .alias("promo_share_pct"),
             F.count("*").cast("long").alias("n_rows"),
@@ -425,7 +477,9 @@ def tpch_q13_order_distribution(spark, sf_dir):
 @register(
     "tpch_q19_disjunctive_revenue",
     oracle="""
-        SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 2)
+                    AS DOUBLE) AS revenue
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
         WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
@@ -456,8 +510,14 @@ def tpch_q19_disjunctive_revenue(spark, sf_dir):
         .filter(clause)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast(_MONEY) - _dec("l_discount"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -468,7 +528,9 @@ def tpch_q19_disjunctive_revenue(spark, sf_dir):
         SELECT sn.n_name AS supp_nation,
                cn.n_name AS cust_nation,
                CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 2)
+                    AS DOUBLE) AS revenue
         FROM supplier s
         JOIN lineitem l ON s.s_suppkey = l.l_suppkey
         JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -522,8 +584,14 @@ def tpch_q7_volume_shipping(spark, sf_dir):
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast(_MONEY) - _dec("l_discount"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -538,7 +606,8 @@ def tpch_q7_volume_shipping(spark, sf_dir):
             FROM lineitem
             GROUP BY l_partkey
         )
-        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+                               AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
         JOIN per_part a ON a.l_partkey = l.l_partkey
@@ -566,7 +635,11 @@ def tpch_q17_small_qty_revenue(spark, sf_dir):
         .filter(
             F.col("l_quantity").cast("long") * 2 * F.col("cnt") < F.col("sum_qty")
         )
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
     )
 
 
@@ -647,7 +720,8 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
         )
         SELECT SUBSTR(c.c_name, 17, 2) AS cntrycode,
                CAST(COUNT(*) AS BIGINT) AS numcust,
-               ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+               CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS totacctbal
         FROM customer c, pos
         WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) * pos.n_pos
                   > pos.sum_cents
@@ -684,7 +758,7 @@ def tpch_q22_dormant_balance(spark, sf_dir):
         .groupBy(F.substring("c_name", 17, 2).alias("cntrycode"))
         .agg(
             F.count("*").cast("long").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
         )
     )
 
