@@ -151,7 +151,8 @@ def lead_time_detection(spark, sf_dir):
         ), agg AS (
             SELECT region, event_type,
                    COUNT(*) AS total,
-                   AVG(value) AS sev,
+                   CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+                       / COUNT(*) AS sev,
                    COUNT(*) FILTER (WHERE day > max_day - 7) AS last7,
                    COUNT(*) FILTER (WHERE day > max_day - 14 AND day <= max_day - 7)
                        AS prior7
@@ -197,7 +198,13 @@ def risk_composite(spark, sf_dir):
         .groupBy("region", "event_type")
         .agg(
             F.count("*").cast("long").alias("total"),
-            F.avg("value").alias("sev"),
+            # exact decimal sum -> one deterministic double division: a
+            # double AVG's order-dependent last bits can flip the rounded
+            # risk_score on a boundary (r7 sf1-audit bug class)
+            (
+                F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("sev"),
             F.count(F.when(F.col("day") > F.date_sub(F.col("max_day"), 7), 1))
             .cast("long")
             .alias("last7"),

@@ -79,10 +79,12 @@ def cdc_apply_changes(spark, sf_dir):
     oracle=f"""
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               ROUND(SUM(value), 2) AS sum_value,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE)
+                   AS sum_value,
                ROUND(MIN(value), 2) AS min_value,
                ROUND(MAX(value), 2) AS max_value,
-               ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+               CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+                          / COUNT(*), 4) AS DOUBLE) AS avg_value
         FROM events
         GROUP BY event_type
     """,
@@ -102,9 +104,13 @@ def agg_incremental_merge(spark, sf_dir):
     split = F.lit(_SPLIT).cast("timestamp")
 
     def partials(df):
+        # decimal sum partials: exact at any order AND exactly mergeable
+        # (sum-of-sums of decimals is the from-scratch decimal sum; the
+        # double form made merge==recompute hold only to float noise —
+        # r7 sf1-audit bug class)
         return df.groupBy("event_type").agg(
             F.count("*").alias("cnt"),
-            F.sum("value").alias("s"),
+            F.sum(F.col("value").cast("decimal(14,2)")).alias("s"),
             F.min("value").alias("mn"),
             F.max("value").alias("mx"),
         )
@@ -120,10 +126,10 @@ def agg_incremental_merge(spark, sf_dir):
     return merged.select(
         "event_type",
         F.col("cnt").cast("long").alias("n_events"),
-        F.round("s", 2).alias("sum_value"),
+        F.round("s", 2).cast("double").alias("sum_value"),
         F.round("mn", 2).alias("min_value"),
         F.round("mx", 2).alias("max_value"),
-        F.round(F.col("s") / F.col("cnt"), 4).alias("avg_value"),
+        F.round(F.col("s").cast("double") / F.col("cnt"), 4).alias("avg_value"),
     )
 
 

@@ -148,7 +148,8 @@ def scalar_math_suite(spark, sf_dir):
                     WHEN event_type IN ('purchase','signup') THEN 'moderate'
                     ELSE 'mild' END AS severity,
                CAST(COUNT(*) AS BIGINT) AS cnt,
-               ROUND(AVG(value), 2) AS avg_value
+               CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+                          / COUNT(*), 2) AS DOUBLE) AS avg_value
         FROM events, mx
         WHERE ts >= mx.max_ts - INTERVAL 72 HOURS
         GROUP BY event_type
@@ -174,7 +175,8 @@ def sql_dashboard_severity(spark, sf_dir):
                     WHEN event_type IN ('purchase','signup') THEN 'moderate'
                     ELSE 'mild' END AS severity,
                CAST(COUNT(*) AS BIGINT) AS cnt,
-               ROUND(AVG(value), 2) AS avg_value
+               CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+                          / COUNT(*), 2) AS DOUBLE) AS avg_value
         FROM events CROSS JOIN mx
         WHERE ts >= mx.max_ts - INTERVAL 72 HOURS
         GROUP BY event_type

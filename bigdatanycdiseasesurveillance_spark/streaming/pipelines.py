@@ -126,7 +126,12 @@ def streaming_session_windows(
         "user_id", F.session_window("ts", f"{gap_hours} hours").alias("sw")
     ).agg(
         F.count("*").cast("long").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        # decimal accumulation, matching the batch twin and the shared
+        # oracle (_SESSION_ORACLE): double money sums are summation-
+        # order-dependent (r7 sf1-audit bug class)
+        F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
     )
     out = _run_to_memory(agg, "complete")
     return out.select(
