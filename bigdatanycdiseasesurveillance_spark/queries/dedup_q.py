@@ -457,12 +457,12 @@ def dedup_duplicate_groups(spark, sf_dir):
     quadratic (templated corpora) — this is the operator a 100 TB dedup
     pipeline actually materializes."""
     pairs = D.jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.7)
-    # fixed_steps=3: the templated near-dup graph is clique-shaped
-    # (diameter <=2 at every audited SF); pinning the body removes the
-    # per-block convergence probes from the hot path while the single
-    # post-hoc verification step still raises loudly if a future corpus
-    # needs more hops (r6 verdict #2 — warm-spread tripwire).
-    labels = D.connected_components(pairs, fixed_steps=3)
+    # Adaptive loop, NOT a fixed-step pin: the r7 bench corpus proved
+    # the 'diameter <= 2 clique' premise wrong (sf0.1 measured d=7 —
+    # a 3-step pin failed its convergence assert, loudly). The loop's
+    # pointer-jumping compression gets the round count to O(log d),
+    # which is both the spread fix and the 100 TB shape.
+    labels = D.connected_components(pairs)
     return (
         labels.groupBy("canonical_id")
         .agg(F.count("*").cast("long").alias("group_size"))
