@@ -131,6 +131,24 @@ def test_certification_band_replay_equals_operator_buckets(spark):
     assert (1, 2) in op_pairs  # identical docs always collide
 
 
+def test_connected_components_log_depth_on_chain(spark):
+    """Pointer jumping must keep the materialization count O(log d): a
+    24-node path (diameter 23) has to converge well inside the default
+    max_iter=20 PROPAGATION-step budget, which plain 1-hop propagation
+    could not do (it needs 23 steps). Also pins label correctness on a
+    long chain."""
+    from bigdatanycdiseasesurveillance_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(23)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in connected_components(pairs, max_iter=20).collect()
+    }
+    assert got == {i: 0 for i in range(24)}
+
+
 def test_connected_components_fixed_steps_matches_adaptive(spark):
     """The pinned-steps body (no per-block probes) returns the same
     labels as the adaptive loop when the pin covers the diameter."""
