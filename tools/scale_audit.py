@@ -11,15 +11,19 @@ super-linear ENGINE surfaces and timing the slow tail. So per query:
 
 1. DuckDB runs the oracle capped at ROW_CAP+1 fetched rows (timed, with
    an interrupt-based timeout). Small result -> full value compare
-   (same normalization as gate_sim). Large result -> the query is
-   executed-only on the Spark side (recorded as such).
+   (same normalization as gate_sim). Large result -> CHECKSUM compare:
+   both sides stream through an identical canonical per-row serializer
+   into an order-insensitive (count, sum-of-md5) digest, so sf1 still
+   compares VALUES without a 10^7-row driver-side sort (r7 verdict
+   directive #2 — "executed-only" was the one tier where a scale-only
+   wrong answer could hide).
 2. Spark runs the query to completion — collect for compared queries,
-   noop write (full physical execution, no driver transfer) for
-   large-output ones — with a cancelAllJobs watchdog timeout.
+   distributed rdd.mapPartitions digest for checksum ones (no driver
+   row transfer) — with a cancelAllJobs watchdog timeout.
 
 Output: one line per query `STATUS name spark_s oracle_s rows note`, and
-a sorted slow-tail summary. Exit 1 on any MISMATCH/ERROR (timeouts and
-large-output executed-only rows are reported, not failures).
+a sorted slow-tail summary. Exit 1 on any MISMATCH/ERROR (timeouts are
+reported, not failures).
 
 Usage:
   cd /tmp && SPARK_GRAFT_CPUS=24 SPARK_GRAFT_DRIVER_MEM=48g \
@@ -46,7 +50,75 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.data/sf1"
 ROW_CAP = int(os.environ.get("SPARK_GRAFT_AUDIT_ROWCAP", "200000"))
 ORACLE_TIMEOUT = float(os.environ.get("SPARK_GRAFT_AUDIT_ORACLE_TIMEOUT", "600"))
 SPARK_TIMEOUT = float(os.environ.get("SPARK_GRAFT_AUDIT_SPARK_TIMEOUT", "900"))
+# extra budget for streaming a >ROW_CAP oracle result through the digest
+CHECKSUM_TIMEOUT = float(os.environ.get("SPARK_GRAFT_AUDIT_CHECKSUM_TIMEOUT", "1800"))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+# ---------------------------------------------------------------------------
+# Order-insensitive value checksum for >ROW_CAP results.
+#
+# The full-compare path (norm_rows) defines equality as Python == on
+# round-6 normalized tuples. The checksum path needs a CANONICAL BYTE
+# STRING per cell instead, identical for any pair of cells the gate
+# would call equal across the two engines' Python type surfaces
+# (duckdb fetch vs Spark Row): int 3 == float 3.0 == Decimal('3.00'),
+# Decimal('1.50') == float 1.5, -0.0 == 0.0, NaN ~ NULL. Both sides run
+# THIS function, so any residual canon quirk fails loudly as a
+# MISMATCH-CHECKSUM, never silently passes.
+# ---------------------------------------------------------------------------
+_MD5_MASK = (1 << 128) - 1
+
+
+def canon_cell(v):
+    import datetime
+    import decimal
+    import math
+
+    if v is None:
+        return "\x00"
+    if v is True:
+        return "b1"
+    if v is False:
+        return "b0"
+    t = type(v)
+    if t is int:
+        return repr(v)
+    if t is float or isinstance(v, decimal.Decimal):
+        f = float(v)
+        if math.isnan(f):
+            return "\x00"  # norm_cell maps NaN -> None
+        r = round(f, 6)
+        if r == 0:
+            return "0"  # collapse IEEE -0.0 (same sf1 find as norm_cell)
+        if r.is_integer() and abs(r) < 1e15:
+            return repr(int(r))
+        return repr(r)
+    if t is str:
+        return "s" + v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return "d" + v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "y" + bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + "\x1e".join(canon_cell(x) for x in v) + "]"
+    return "r" + repr(v)
+
+
+def digest_rows(rows, order):
+    """Fold an iterable of row tuples into (count, sum-of-md5 mod 2^128).
+
+    `order` is the column permutation that sorts column names — the same
+    alignment norm_rows uses — so both engines hash cells identically."""
+    import hashlib
+
+    n, acc = 0, 0
+    for r in rows:
+        key = "\x1f".join(canon_cell(r[i]) for i in order)
+        h = hashlib.md5(key.encode("utf-8", "surrogatepass")).digest()
+        acc = (acc + int.from_bytes(h, "big")) & _MD5_MASK
+        n += 1
+    return n, acc
 
 
 def main():
@@ -85,7 +157,8 @@ def main():
 
         done = set()
         pat = re.compile(
-            r"^(?:OK|ok\(rows-only\)|BIG|MISMATCH|ERROR|TIMEOUT|ORACLE-\w+) (\S+?):? "
+            r"^(?:OK-CHECKSUM|MISMATCH-CHECKSUM|OK|ok\(rows-only\)|BIG"
+            r"|MISMATCH|ERROR|TIMEOUT|ORACLE-\w+) (\S+?):? "
         )
         with open(skip_log) as fh:
             for line in fh:
@@ -96,7 +169,9 @@ def main():
         print(f"resume: skipping {len(done)} already-audited queries", flush=True)
 
     def run_oracle(sql):
-        """(rows, cols, elapsed, status) — status in ok|big|timeout|error."""
+        """(rows_or_digest, cols, elapsed, status) — status in
+        ok|bigsum|timeout|error. A >ROW_CAP result streams the remaining
+        rows through digest_rows and returns the (count, sum) digest."""
         hit_timeout = threading.Event()
 
         def interrupt():
@@ -110,10 +185,25 @@ def main():
             res = con.execute(sql)
             cols = [d[0] for d in res.description]
             rows = res.fetchmany(ROW_CAP + 1)
-            dt = time.perf_counter() - t0
             if len(rows) > ROW_CAP:
-                return None, cols, dt, "big"
-            return rows, cols, dt, "ok"
+                # value checksum instead of executed-only: restart the
+                # clock with the (larger) checksum budget and fold every
+                # row — the ROW_CAP+1 already fetched plus the rest.
+                timer.cancel()
+                timer = threading.Timer(CHECKSUM_TIMEOUT, interrupt)
+                timer.start()
+                order = sorted(range(len(cols)), key=lambda i: cols[i])
+                n, acc = digest_rows(rows, order)
+                del rows
+                while True:
+                    chunk = res.fetchmany(65536)
+                    if not chunk:
+                        break
+                    cn, cacc = digest_rows(chunk, order)
+                    n += cn
+                    acc = (acc + cacc) & _MD5_MASK
+                return (n, acc), cols, time.perf_counter() - t0, "bigsum"
+            return rows, cols, time.perf_counter() - t0, "ok"
         except Exception as e:  # noqa: BLE001
             dt = time.perf_counter() - t0
             if hit_timeout.is_set():
@@ -122,12 +212,19 @@ def main():
         finally:
             timer.cancel()
 
-    def run_spark(fn, collect):
-        """(rows_or_None, elapsed, status)."""
+    def run_spark(fn, mode):
+        """(payload, cols, elapsed, status); mode in collect|digest|noop.
+
+        digest mode computes the same (count, sum-of-md5) checksum as the
+        oracle side, but DISTRIBUTED: each partition folds its rows in a
+        Python worker (df.rdd hands workers the same Python type surface
+        as driver collect — datetime/Decimal/list), and only the tiny
+        per-partition (count, acc) pairs reach the driver."""
         done = threading.Event()
+        timeout = CHECKSUM_TIMEOUT if mode == "digest" else SPARK_TIMEOUT
 
         def watchdog():
-            if not done.wait(SPARK_TIMEOUT):
+            if not done.wait(timeout):
                 spark.sparkContext.cancelAllJobs()
 
         w = threading.Thread(target=watchdog, daemon=True)
@@ -135,25 +232,40 @@ def main():
         t0 = time.perf_counter()
         try:
             df = fn(spark, SF)
-            if collect:
+            if mode == "collect":
                 rows = [tuple(r) for r in df.collect()]
                 return rows, df.columns, time.perf_counter() - t0, "ok"
+            if mode == "digest":
+                cols = df.columns
+                order = sorted(range(len(cols)), key=lambda i: cols[i])
+                parts = df.rdd.mapPartitions(
+                    lambda it: [digest_rows(it, order)]
+                ).collect()
+                n = sum(p[0] for p in parts)
+                acc = sum(p[1] for p in parts) & _MD5_MASK
+                return (n, acc), cols, time.perf_counter() - t0, "ok"
             df.write.format("noop").mode("overwrite").save()
             return None, df.columns, time.perf_counter() - t0, "ok"
         except Exception as e:  # noqa: BLE001
             dt = time.perf_counter() - t0
-            status = "timeout" if dt >= SPARK_TIMEOUT - 1 else "error"
+            status = "timeout" if dt >= timeout - 1 else "error"
             return None, str(e)[:200], dt, status
         finally:
             done.set()
+
+    only = os.environ.get("SPARK_GRAFT_AUDIT_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        qs = {n: f for n, f in qs.items() if n in keep}
+        print(f"only: restricted to {len(qs)} queries", flush=True)
 
     for name, fn in qs.items():
         o_rows = o_cols = None
         o_dt, o_status = 0.0, "none"
         if name in oracles:
             o_rows, o_cols, o_dt, o_status = run_oracle(oracles[name])
-        compare = o_status == "ok"
-        s_rows, s_cols, s_dt, s_status = run_spark(fn, collect=compare)
+        mode = {"ok": "collect", "bigsum": "digest"}.get(o_status, "noop")
+        s_rows, s_cols, s_dt, s_status = run_spark(fn, mode)
 
         if s_status != "ok":
             tag = "TIMEOUT" if s_status == "timeout" else "ERROR"
@@ -167,12 +279,26 @@ def main():
             )
             if o_status == "error":
                 fails.append(name)
-        elif o_status == "big":
-            line = (
-                f"BIG {name}: executed-only (oracle > {ROW_CAP} rows) "
-                f"[spark {s_dt:.1f}s oracle {o_dt:.1f}s]"
-            )
-        elif not compare:
+        elif o_status == "bigsum":
+            if sorted(s_cols) != sorted(o_cols):
+                fails.append(name)
+                line = (
+                    f"MISMATCH-CHECKSUM {name}: schema "
+                    f"{sorted(s_cols)} vs {sorted(o_cols)}"
+                )
+            elif s_rows != o_rows:
+                fails.append(name)
+                line = (
+                    f"MISMATCH-CHECKSUM {name}: spark (n={s_rows[0]}, "
+                    f"sum={s_rows[1]:#x}) vs oracle (n={o_rows[0]}, "
+                    f"sum={o_rows[1]:#x})"
+                )
+            else:
+                line = (
+                    f"OK-CHECKSUM {name}: {s_rows[0]} rows digest-equal "
+                    f"[spark {s_dt:.1f}s oracle {o_dt:.1f}s]"
+                )
+        elif o_status == "none":
             line = f"ok(rows-only) {name} [spark {s_dt:.1f}s]"
         else:
             if sorted(s_cols) != sorted(o_cols):
