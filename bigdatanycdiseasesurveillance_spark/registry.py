@@ -95,12 +95,12 @@ def certified_hashes() -> dict[str, str]:
         return {}
 
 
-def _driver_coverage() -> tuple[dict[str, int], set[str]]:
-    """(green_round, sampled): per-name latest round with a hash_match
-    row, and the set of ever-sampled names, from CORRECTNESS_r*.json at
-    the repo root. Used only to order the registry so the neediest
-    specs surface first for drivers that sample a prefix; sampling is
-    otherwise out of our control."""
+def _driver_coverage() -> tuple[dict[str, int], dict[str, int]]:
+    """(green_round, sample_round): per-name latest round with a
+    hash_match row, and per-name latest SAMPLED round (green or red),
+    from CORRECTNESS_r*.json at the repo root. Used only to order the
+    registry so the neediest specs surface first for drivers that
+    sample a prefix; sampling is otherwise out of our control."""
     import glob
     import json
     import logging
@@ -108,14 +108,14 @@ def _driver_coverage() -> tuple[dict[str, int], set[str]]:
     import re
 
     green_round: dict[str, int] = {}
-    sampled: set[str] = set()
+    sample_round: dict[str, int] = {}
     for path in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 for name, row in json.load(fh).items():
-                    sampled.add(name)
+                    sample_round[name] = max(sample_round.get(name, 0), rnd)
                     # only exact-value GREEN rows count as covered: a
                     # rows-only (`no_oracle`) row that predates a spec's
                     # oracle must NOT demote it out of the priority tier
@@ -127,20 +127,23 @@ def _driver_coverage() -> tuple[dict[str, int], set[str]]:
             logging.getLogger(__name__).warning(
                 "ignoring unreadable coverage artifact %s: %s", path, exc
             )
-    return green_round, sampled
+    return green_round, sample_round
 
 
 def ordering_key(
     name: str,
     idx: int,
     green_round: dict[str, int],
-    sampled: set[str],
+    sample_round: dict[str, int],
     certified: dict[str, str],
     current_hash: str,
 ) -> tuple[int, int, int]:
     """Four-tier driver-sampling priority (lower sorts first):
 
-      0. sampled-but-never-green — a past driver failure; highest
+      0. failing — sampled-but-never-green, OR regressed (latest
+         sampled round is NEWER than the latest green round: the most
+         recent driver row was red, so a past green must not let it
+         coast behind the prefix window — r7 advisor finding); highest
          priority whether or not the contract also changed since;
       1. contract-stale — the current oracle hash differs from the hash
          on file for the query's last green row (covers brand-new
@@ -153,13 +156,15 @@ def ordering_key(
          registration order.
 
     Pure function of its inputs (pytest-pinned in test_registry_order)."""
-    if name in sampled and name not in green_round:
+    sampled_rnd = sample_round.get(name, 0)
+    green_rnd = green_round.get(name)
+    if sampled_rnd and (green_rnd is None or sampled_rnd > green_rnd):
         return (0, 0, idx)
     if certified.get(name) != current_hash:
         return (1, 0, idx)
-    if name not in sampled:
+    if not sampled_rnd:
         return (2, 0, idx)
-    return (3, green_round.get(name, 0), idx)
+    return (3, green_rnd or 0, idx)
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -167,14 +172,19 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import queries  # noqa: F401
 
     # Repeat calls (and rounds) agree given the same artifacts.
-    green_round, sampled = _driver_coverage()
+    green_round, sample_round = _driver_coverage()
     certified = certified_hashes()
     idx = {n: i for i, n in enumerate(_REGISTRY)}
 
     ordered = sorted(
         _REGISTRY,
         key=lambda n: ordering_key(
-            n, idx[n], green_round, sampled, certified, oracle_hash(_REGISTRY[n].oracle)
+            n,
+            idx[n],
+            green_round,
+            sample_round,
+            certified,
+            oracle_hash(_REGISTRY[n].oracle),
         ),
     )
     return {n: _REGISTRY[n] for n in ordered}

@@ -26,23 +26,45 @@ def test_red_row_outranks_contract_rework():
     """Sampled-but-red stays tier 0 even when its oracle also changed
     (the r6 advisor's ordering finding)."""
     green = {"ok_q": 3}
-    sampled = {"ok_q", "red_q"}
+    sample = {"ok_q": 3, "red_q": 4}
     cert = {"ok_q": "aaaa", "red_q": "bbbb"}
     # red_q's current hash differs from its snapshot AND it has a red row
-    k_red = ordering_key("red_q", 5, green, sampled, cert, "cccc")
-    k_stale = ordering_key("new_q", 1, green, sampled, cert, "dddd")
+    k_red = ordering_key("red_q", 5, green, sample, cert, "cccc")
+    k_stale = ordering_key("new_q", 1, green, sample, cert, "dddd")
     assert k_red[0] == 0 and k_stale[0] == 1
     assert k_red < k_stale
+
+
+def test_regression_demotes_to_tier_0():
+    """A query green in r2 but sampled RED in r6 (latest sampled round
+    newer than latest green round, contract unchanged) is a live
+    regression — it must sort tier 0, not coast in the green tier on
+    its old green row (the r7 advisor's ordering finding)."""
+    green = {"regressed": 2, "fine": 6}
+    sample = {"regressed": 6, "fine": 6}
+    cert = {"regressed": "h1", "fine": "h2"}
+    k_reg = ordering_key("regressed", 50, green, sample, cert, "h1")
+    k_fine = ordering_key("fine", 0, green, sample, cert, "h2")
+    assert k_reg[0] == 0
+    assert k_fine[0] == 3
+    assert k_reg < k_fine
+
+
+def test_regreened_after_red_is_green_tier():
+    """Red in r4 then green again in r6: the latest row is green, so it
+    belongs in the rotation tier, not tier 0."""
+    k = ordering_key("q", 0, {"q": 6}, {"q": 6}, {"q": "h"}, "h")
+    assert k[0] == 3 and k[1] == 6
 
 
 def test_oracle_edit_self_promotes():
     """Changing an oracle's SQL moves a green query into the priority
     tier with no list maintenance."""
     green = {"q": 2}
-    sampled = {"q"}
+    sample = {"q": 2}
     cert = {"q": oracle_hash("SELECT 1 AS a")}
-    fresh = ordering_key("q", 0, green, sampled, cert, oracle_hash("SELECT 1 AS a"))
-    reworked = ordering_key("q", 0, green, sampled, cert, oracle_hash("SELECT 2 AS a"))
+    fresh = ordering_key("q", 0, green, sample, cert, oracle_hash("SELECT 1 AS a"))
+    reworked = ordering_key("q", 0, green, sample, cert, oracle_hash("SELECT 2 AS a"))
     assert fresh[0] == 3
     assert reworked[0] == 1
 
@@ -51,16 +73,16 @@ def test_green_tier_rotates_oldest_first():
     """Within the green tier, an r1-certified query outranks an
     r6-certified one regardless of registration order."""
     green = {"old": 1, "new": 6}
-    sampled = {"old", "new"}
+    sample = {"old": 1, "new": 6}
     cert = {"old": "h1", "new": "h2"}
-    k_old = ordering_key("old", 100, green, sampled, cert, "h1")
-    k_new = ordering_key("new", 0, green, sampled, cert, "h2")
+    k_old = ordering_key("old", 100, green, sample, cert, "h1")
+    k_new = ordering_key("new", 0, green, sample, cert, "h2")
     assert k_old < k_new
 
 
 def test_never_sampled_outranks_green():
-    key_never = ordering_key("x", 9, {}, set(), {"x": "h"}, "h")
-    key_green = ordering_key("y", 0, {"y": 1}, {"y"}, {"y": "h"}, "h")
+    key_never = ordering_key("x", 9, {}, {}, {"x": "h"}, "h")
+    key_green = ordering_key("y", 0, {"y": 1}, {"y": 1}, {"y": "h"}, "h")
     assert key_never[0] == 2 and key_green[0] == 3
     assert key_never < key_green
 
