@@ -15,13 +15,20 @@ so at round start tree == certified contract. An oracle edited later
 in the round then hashes differently and self-promotes to tier 1 with
 no hand-maintained list (replaces the old registry._ROUND_NEW tuple).
 
-Usage: python tools/refresh_oracle_hashes.py
+Usage: python tools/refresh_oracle_hashes.py [--force]
+
+A late run (after an in-round oracle edit) would stamp never-certified
+SQL as the certified fingerprint and silently defeat the staleness
+tier, so the tool REFUSES when any query module looks newer than the
+newest CORRECTNESS artifact — dirty in git, or file mtime past the
+artifact's (r7 advisor finding). --force overrides after review.
 """
 
 import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -32,8 +39,52 @@ from bigdatanycdiseasesurveillance_spark.registry import (  # noqa: E402
     oracle_hash,
 )
 
+# where oracle SQL text lives — an edit anywhere here can change a
+# contract fingerprint
+_ORACLE_SOURCES = "bigdatanycdiseasesurveillance_spark/queries"
+
+
+def _late_run_evidence() -> list[str]:
+    """Reasons to believe oracles changed AFTER the last driver gate."""
+    reasons = []
+    arts = glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    if not arts:
+        return []  # round 1: nothing certified yet, nothing to protect
+    newest_art = max(os.path.getmtime(p) for p in arts)
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain", "--", _ORACLE_SOURCES],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+        if out:
+            reasons.append(f"uncommitted query-module changes:\n{out}")
+    except Exception:  # noqa: BLE001 — git unavailable: fall back to mtimes
+        pass
+    src = glob.glob(os.path.join(REPO, _ORACLE_SOURCES, "*.py"))
+    late = [p for p in src if os.path.getmtime(p) > newest_art]
+    if late:
+        reasons.append(
+            "query modules newer than the latest CORRECTNESS artifact: "
+            + ", ".join(sorted(os.path.basename(p) for p in late))
+        )
+    return reasons
+
 
 def main() -> None:
+    if "--force" not in sys.argv:
+        evidence = _late_run_evidence()
+        if evidence:
+            print(
+                "REFUSING to refresh: this looks like a LATE run — the "
+                "fingerprints would certify oracle SQL the driver never "
+                "gated. Run at round start, before oracle edits, or pass "
+                "--force if you know these edits predate the last gate.\n- "
+                + "\n- ".join(evidence)
+            )
+            sys.exit(2)
     snap_path = os.path.join(REPO, "ORACLE_HASHES.json")
     snapshot: dict[str, str] = {}
     if os.path.exists(snap_path):
