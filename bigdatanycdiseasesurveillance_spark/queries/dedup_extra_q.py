@@ -856,6 +856,24 @@ def _group_contract(labels):
     )
 
 
+def _gold_scratch_dir(sf_dir: str, kind: str) -> str:
+    """Deterministic scratch location for a persisted-gold query's
+    artifact: one directory per (query kind, dataset), REUSED across
+    processes — the md5 sf tag plus the start-of-run rmtree already
+    gives deterministic reruns, and a pid suffix would leave one
+    orphaned artifact per process behind (r7 advisor finding:
+    repeated audit/bench runs accumulating unbounded /tmp litter)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"bdnds_{kind}_{tag}")
+    shutil.rmtree(d, ignore_errors=True)  # deterministic reruns
+    return d
+
+
 @register(
     "dedup_incremental_groups",
     oracle=_incremental_groups_oracle(),
@@ -931,11 +949,6 @@ def inc_groups_two_batch(spark, sf_dir):
     recompute. Every per-batch structure is delta-sized; the gold
     read/write is one narrow (doc_id, canon) table — linear in corpus,
     written once per ingest, exactly what a 100 TB pipeline maintains."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..sources.sinks import read_latest_gold, write_gold_version
 
     docs = table(spark, sf_dir, "documents")
@@ -943,11 +956,7 @@ def inc_groups_two_batch(spark, sf_dir):
     batch1 = docs.filter(F.col("doc_id") % 5 == 4)
     batch2 = docs.filter(F.col("doc_id") % 5 == 0)
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    gold_dir = os.path.join(
-        tempfile.gettempdir(), f"bdnds_incgold_{tag}_{os.getpid()}"
-    )
-    shutil.rmtree(gold_dir, ignore_errors=True)  # deterministic reruns
+    gold_dir = _gold_scratch_dir(sf_dir, "incgold")
 
     # version 1: base-corpus labels, persisted
     base_pairs = D.jaccard_pairs(base, threshold=0.7)
@@ -973,3 +982,92 @@ def inc_groups_two_batch(spark, sf_dir):
     corpus2 = corpus1.unionByName(batch2)
     labels2 = _merge_batch_labels(batch2, corpus2, canon_v2)
     return _group_contract(labels2)
+
+
+@register(
+    "inc_groups_compacted",
+    # Oracle: the FULL-corpus group-level CC — after every batch lands,
+    # vacuumed and compacted or not, the maintained artifact must equal
+    # the from-scratch recompute.
+    oracle=_incremental_groups_oracle(),
+    tags=("dedup", "incremental", "groups", "llm-prep", "gold", "maintenance"),
+)
+def inc_groups_compacted(spark, sf_dir):
+    """Steady-state persisted incremental dedup: THREE ingest batches
+    with mid-stream maintenance — the N-batch concern inc_groups_two_batch
+    leaves open (r7 verdict next #6). At daily-ingest cadence the
+    canonical-label gold directory is the table that grows forever:
+    write_gold_version adds a version per batch, and each streaming-style
+    write lands many small parquet files. This entry composes the two
+    maintenance primitives into the flow and proves they are
+    correctness-neutral:
+
+    - after batch 2, ``vacuum_gold_versions(keep=1)`` deletes every
+      superseded version (bounding the directory at O(1) versions
+      regardless of batch count — read_latest_gold never needed them);
+    - the surviving version is rewritten to one file with
+      ``compact_table`` (small-file bound for the NameNode/listing path);
+    - batch 3 then merges against the vacuumed-and-compacted artifact.
+
+    The oracle is the full-corpus recompute, so the row goes red if the
+    vacuum deletes a live version, the compaction rewrite drops or
+    duplicates rows, or the merge reads a stale version. Loud-fail
+    guards assert the structural claims (exactly one version survives;
+    one data file after compaction) rather than trusting them.
+    Per-batch cost stays O(delta + touched components); maintenance cost
+    is linear in the one narrow (doc_id, canon) table."""
+    import os
+
+    from ..sources.sinks import (
+        compact_table,
+        latest_gold_version,
+        read_latest_gold,
+        vacuum_gold_versions,
+        write_gold_version,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 <= 1)
+    batches = [
+        docs.filter(F.col("doc_id") % 5 == 2),
+        docs.filter(F.col("doc_id") % 5 == 3),
+        docs.filter(F.col("doc_id") % 5 == 4),
+    ]
+
+    gold_dir = _gold_scratch_dir(sf_dir, "incgoldc")
+
+    # version 1: base-corpus labels, persisted
+    base_pairs = D.jaccard_pairs(base, threshold=0.7)
+    base_labels = D.connected_components(base_pairs)
+    base_canon = (
+        base.select("doc_id")
+        .join(base_labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("canon"),
+        )
+    )
+    write_gold_version(base_canon, gold_dir)
+
+    corpus = base
+    for i, batch in enumerate(batches):
+        canon_prev = read_latest_gold(spark, gold_dir)
+        corpus = corpus.unionByName(batch)
+        labels = _merge_batch_labels(batch, corpus, canon_prev)
+        if i < len(batches) - 1:
+            v = write_gold_version(labels, gold_dir)
+            if i == 1:
+                # mid-stream maintenance: vacuum superseded versions,
+                # compact the survivor's small files
+                vacuum_gold_versions(gold_dir, keep=1, partial_grace_sec=0.0)
+                if latest_gold_version(gold_dir) != v:
+                    raise AssertionError(
+                        f"vacuum lost the live version {v} in {gold_dir}"
+                    )
+                vdir = os.path.join(gold_dir, f"version={v}")
+                n_files = compact_table(spark, vdir, target_files=1)
+                if n_files != 1:
+                    raise AssertionError(
+                        f"compaction left {n_files} files in {vdir}"
+                    )
+    return _group_contract(labels)
