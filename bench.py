@@ -102,13 +102,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     warm_spread: dict[str, float] = {}
+    warm_spread_abs: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, spec in sorted(specs.items()):
         try:
             timings[name] = round(run(spec), 4)
             ws = [run(spec) for _ in range(3)]
             warm[name] = round(min(ws), 4)
-            warm_spread[name] = round((max(ws) - min(ws)) / min(ws), 3)
+            # Tripwire-safe spread (r7 verdict #4): below a 1 s warm
+            # floor, fixed scheduling jitter (~0.3 s on a shared box)
+            # dominates and a pure ratio cries wolf (r7 saw 0.787 on a
+            # 0.35 s query). Dividing by max(min, 1 s) makes sub-second
+            # entries report ABSOLUTE-seconds spread while ≥1 s entries
+            # keep the relative ratio; the raw absolute swing is also
+            # recorded for either regime.
+            warm_spread[name] = round((max(ws) - min(ws)) / max(min(ws), 1.0), 3)
+            warm_spread_abs[name] = round(max(ws) - min(ws), 4)
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} ERROR {errors[name]}", file=sys.stderr)
@@ -140,7 +149,10 @@ def main() -> None:
     detail = {
         "queries_cold": timings,
         "queries_warm": warm,
+        # spread denominator is max(warm, 1s): sub-second entries report
+        # absolute-seconds spread, >=1s entries the relative ratio
         "warm_spread": warm_spread,
+        "warm_spread_abs": warm_spread_abs,
         # box-weather normalization: divide any round's warm time by its
         # calibration_warm before comparing across rounds
         "calibration": {
