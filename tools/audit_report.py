@@ -35,7 +35,8 @@ R5_BASELINE = {
 }
 
 LINE = re.compile(
-    r"^(OK|ok\(rows-only\)|BIG|MISMATCH|ERROR|TIMEOUT|ORACLE-TIMEOUT|ORACLE-ERROR) "
+    r"^(OK-CHECKSUM|MISMATCH-CHECKSUM|OK|ok\(rows-only\)|BIG|MISMATCH|ERROR"
+    r"|TIMEOUT|ORACLE-TIMEOUT|ORACLE-ERROR) "
     r"(\S+?):?\s"
 )
 SPARK_S = re.compile(r"spark (?:ok )?([0-9.]+)s")
@@ -55,7 +56,7 @@ def main(path):
             ms = SPARK_S.search(line)
             if ms:
                 spark_s[name] = float(ms.group(1))
-            if status in ("MISMATCH", "ERROR", "ORACLE-ERROR"):
+            if status in ("MISMATCH", "MISMATCH-CHECKSUM", "ERROR", "ORACLE-ERROR"):
                 fails.append((status, name))
 
     total = sum(counts.values())
