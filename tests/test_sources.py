@@ -262,3 +262,38 @@ def test_vacuum_safety_rails(spark, tmp_path):
     n_deleted, n_kept = vacuum_gold_versions(base, keep=1)
     assert not os.path.isdir(partial)
     assert n_deleted == 1 and n_kept == 1
+
+
+def test_vacuum_then_compact_keeps_version_readable(spark, tmp_path):
+    """The maintenance composition inc_groups_compacted performs:
+    vacuum to the live version, compact its files IN PLACE, and the
+    version must still be the committed latest (compact_table's
+    overwrite rewrites _SUCCESS — if it ever stopped doing so,
+    read_latest_gold would see no committed version at all, the
+    worst possible failure for a maintained artifact)."""
+    import os
+
+    from bigdatanycdiseasesurveillance_spark.sources.sinks import (
+        compact_table,
+        latest_gold_version,
+        read_latest_gold,
+        vacuum_gold_versions,
+        write_gold_version,
+    )
+
+    base = str(tmp_path / "gold_maint")
+    rows = [(i, f"v{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "k long, v string").repartition(8)
+    write_gold_version(df, base)
+    write_gold_version(df, base)
+    v = latest_gold_version(base)
+
+    vacuum_gold_versions(base, keep=1, partial_grace_sec=0.0)
+    assert latest_gold_version(base) == v
+
+    vdir = os.path.join(base, f"version={v}")
+    n_files = compact_table(spark, vdir, target_files=1)
+    assert n_files == 1
+    assert latest_gold_version(base) == v, "_SUCCESS lost in compaction"
+    got = sorted(map(tuple, read_latest_gold(spark, base).collect()))
+    assert got == sorted(rows)
