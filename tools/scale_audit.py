@@ -140,6 +140,13 @@ def main():
         "SET memory_limit='%s'" % os.environ.get("SPARK_GRAFT_DUCK_MEM", "24GB")
     )
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # cap oracle threads: per-thread aggregate/CTE state scales with
+    # thread count and duckdb's limit does not cover all of it — at 24+
+    # threads the tok_bpe_merges recursive CTE malloc-failed the whole
+    # process at sf1 (r8 find); at 8 threads it completes in ~200s.
+    # Result order is irrelevant (compares are order-insensitive).
+    con.execute("SET threads=%d" % int(os.environ.get("SPARK_GRAFT_DUCK_THREADS", "8")))
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
