@@ -43,24 +43,28 @@ SPARK_S = re.compile(r"spark (?:ok )?([0-9.]+)s")
 
 
 def main(path):
-    counts = Counter()
+    # LAST status per name wins: solo re-runs are APPENDED to the log
+    # (resume/ONLY passes), superseding earlier timeout/error lines.
+    final = {}
     spark_s = {}
-    fails = []
     with open(path) as fh:
         for line in fh:
             m = LINE.match(line)
             if not m:
                 continue
             status, name = m.group(1), m.group(2)
-            counts[status] += 1
+            final[name] = status
             ms = SPARK_S.search(line)
             if ms:
                 spark_s[name] = float(ms.group(1))
-            if status in ("MISMATCH", "MISMATCH-CHECKSUM", "ERROR", "ORACLE-ERROR"):
-                fails.append((status, name))
+    counts = Counter(final.values())
+    fails = sorted(
+        (s, n)
+        for n, s in final.items()
+        if s in ("MISMATCH", "MISMATCH-CHECKSUM", "ERROR", "ORACLE-ERROR")
+    )
 
-    total = sum(counts.values())
-    print(f"queries audited: {total}")
+    print(f"queries audited: {len(final)} (final status per query)")
     for status, n in counts.most_common():
         print(f"  {status}: {n}")
     if fails:
