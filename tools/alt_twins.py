@@ -1,0 +1,238 @@
+"""Dual-plan sf1 value proofs for the exact-DBSCAN audit tier.
+
+Three registry rows (`cluster_grid_dbscan`, `cluster_dbscan_jittered`,
+`cluster_geo_pipeline`) have DuckDB oracles that are genuinely
+sf1-infeasible: the recursive connected-components CTE over the ~47M-edge
+eps-graph cannot finish even solo at a 1500s cap (r8 audit), while the
+Spark side completes in 156-476s. Their VALUES at sf1 therefore rested on
+sf0.1 evidence alone (r8 verdict, "What's missing" #3).
+
+This module gives each a bounded sf1 value proof the r8 verdict
+explicitly sanctions: dual-plan Spark-vs-Spark equality. Each twin
+recomputes the SAME output contract with an INDEPENDENT cluster-labeling
+implementation:
+
+- the registry queries label clusters with grid_dbscan's in-line
+  neighbor-min propagation + path doubling
+  (operators/clustering.py:205-261);
+- the twins label with operators.dedup.connected_components — a separate
+  pointer-jumping implementation whose sf1 values are already proven
+  (dedup_duplicate_groups: 555 groups exact at sf1, r8 audit) — plus
+  their own border/noise/profile derivation written here.
+
+The eps-edge/core derivation (grid cells, 9-offset equi-join, exact
+distance filter, degree >= min_samples) is shared MATH between the two
+plans — it is plain non-recursive relational algebra that DuckDB value-
+verifies at sf0.01/0.1 on these very queries; the recursive CC labeling
+is the only part the oracle cannot check at sf1, and it is exactly the
+part computed twice by algorithmically distinct code. scale_audit.py
+runs registry-vs-twin full value compares and reports OK-ALTPROOF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _eps_edges(pts: DataFrame, eps: float) -> DataFrame:
+    """Exact eps-neighbor pairs (pid, qid), self-pairs included — the
+    standard grid decomposition (cell join on 9 neighbor offsets +
+    exact distance filter). Shared math with the production path; the
+    independence this module provides is in the labeling, not here."""
+    cells = pts.select(
+        "pid",
+        "x",
+        "y",
+        F.floor(F.col("x") / eps).cast("long").alias("cx"),
+        F.floor(F.col("y") / eps).cast("long").alias("cy"),
+    )
+    probes = cells.select(
+        "pid",
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("tx"),
+                        (F.col("cy") + dy).alias("ty"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("o"),
+    ).select("pid", "x", "y", F.col("o.tx").alias("cx"), F.col("o.ty").alias("cy"))
+    targets = cells.select(
+        F.col("pid").alias("qid"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("x") - F.col("qx")) ** 2 + (F.col("y") - F.col("qy")) ** 2
+    return (
+        probes.join(targets, ["cx", "cy"])
+        .filter(d2 <= F.lit(eps * eps))
+        .select("pid", "qid")
+        .distinct()
+    )
+
+
+def dbscan_assign_cc(pts: DataFrame, eps: float, min_samples: int) -> DataFrame:
+    """DBSCAN assignment (pid, cluster_id), clustered points only, with
+    the cluster labeling done by operators.dedup.connected_components
+    instead of grid_dbscan's in-line propagation loop. Label contract is
+    identical by construction: cluster_id = min core pid of the
+    component; border points take the min label among core neighbors;
+    noise is dropped (the registry profiles filter cluster_id >= 0)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bigdatanycdiseasesurveillance_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = _eps_edges(pts, eps).localCheckpoint(eager=False)
+    core = (
+        edges.groupBy("pid")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") >= min_samples)
+        .select("pid")
+        .localCheckpoint(eager=False)
+    )
+    core_edges = (
+        edges.join(core, "pid")
+        .join(core.select(F.col("pid").alias("qid")), "qid")
+        .filter(F.col("pid") != F.col("qid"))
+    )
+    cc = connected_components(
+        core_edges.select(F.col("pid").alias("id_a"), F.col("qid").alias("id_b"))
+    ).select(F.col("doc_id").alias("pid"), F.col("canonical_id").alias("cluster_id"))
+    # connected_components only labels nodes that appear in an edge; a
+    # core point with no other core in range is its own 1-core cluster
+    isolated = core.join(cc.select("pid"), "pid", "left_anti").select(
+        "pid", F.col("pid").alias("cluster_id")
+    )
+    core_lab = cc.unionByName(isolated)
+    border = (
+        edges.join(
+            core_lab.select(F.col("pid").alias("qid"), "cluster_id"), "qid"
+        )
+        .groupBy("pid")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .join(core, "pid", "left_anti")
+    )
+    return core_lab.unionByName(border.select("pid", "cluster_id"))
+
+
+def _emb_pts(spark, sf_dir: str, jitter: bool) -> DataFrame:
+    from bigdatanycdiseasesurveillance_spark.operators.clustering import (
+        seeded_jitter,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    x = F.col("embedding")[0].cast("double")
+    y = F.col("embedding")[1].cast("double")
+    if jitter:
+        x = x + seeded_jitter(F.col("vec_id"), seed=42)
+        y = y + seeded_jitter(F.col("vec_id"), seed=43)
+    return emb.select(F.col("vec_id").alias("pid"), x.alias("x"), y.alias("y"))
+
+
+def _profile(assigned: DataFrame, pts: DataFrame) -> DataFrame:
+    return (
+        assigned.join(pts, "pid")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("size"),
+            F.round(F.avg("x"), 4).alias("centroid_x"),
+            F.round(F.avg("y"), 4).alias("centroid_y"),
+        )
+    )
+
+
+def twin_cluster_grid_dbscan(spark, sf_dir: str) -> DataFrame:
+    pts = _emb_pts(spark, sf_dir, jitter=False)
+    return _profile(dbscan_assign_cc(pts, eps=0.05, min_samples=4), pts)
+
+
+def twin_cluster_dbscan_jittered(spark, sf_dir: str) -> DataFrame:
+    pts = _emb_pts(spark, sf_dir, jitter=True)
+    return _profile(dbscan_assign_cc(pts, eps=0.05, min_samples=4), pts)
+
+
+def twin_cluster_geo_pipeline(spark, sf_dir: str) -> DataFrame:
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bigdatanycdiseasesurveillance_spark.domain.location import (
+        neighborhood_dim,
+    )
+    from bigdatanycdiseasesurveillance_spark.operators.clustering import (
+        seeded_jitter,
+    )
+    from bigdatanycdiseasesurveillance_spark.queries.geo_pipeline_q import (
+        _EPS,
+        _MIN_SAMPLES,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    jittered = ev.select(
+        F.col("event_id").alias("pid"),
+        (
+            F.lit(40.60)
+            + (F.col("user_id") % 37).cast("double") / 100.0
+            + seeded_jitter(F.col("event_id"), seed=7)
+        ).alias("x"),
+        (
+            F.lit(-74.00)
+            + (F.col("user_id") % 23).cast("double") / 100.0
+            + seeded_jitter(F.col("event_id"), seed=8)
+        ).alias("y"),
+    )
+    nb = neighborhood_dim(spark).select(
+        "neighborhood", "lat_min", "lat_max", "lon_min", "lon_max"
+    )
+    located = (
+        jittered.join(
+            F.broadcast(nb),
+            (jittered.x >= nb.lat_min)
+            & (jittered.x <= nb.lat_max)
+            & (jittered.y >= nb.lon_min)
+            & (jittered.y <= nb.lon_max),
+        )
+        .groupBy("pid", "x", "y")
+        .agg(F.min("neighborhood").alias("neighborhood"))
+    ).localCheckpoint(eager=False)
+    assigned = dbscan_assign_cc(
+        located.select("pid", "x", "y"), eps=_EPS, min_samples=_MIN_SAMPLES
+    )
+    clustered = assigned.join(located, "pid")
+    counts = clustered.groupBy("cluster_id", "neighborhood").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("cnt"), F.asc("neighborhood"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("neighborhood").alias("top_neighborhood"))
+    )
+    stats = clustered.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("size"),
+        F.round(F.avg("x"), 4).alias("centroid_lat"),
+        F.round(F.avg("y"), 4).alias("centroid_lon"),
+    )
+    return stats.join(F.broadcast(top), "cluster_id").select(
+        "cluster_id", "size", "centroid_lat", "centroid_lon", "top_neighborhood"
+    )
+
+
+ALT_TWINS = {
+    "cluster_grid_dbscan": twin_cluster_grid_dbscan,
+    "cluster_dbscan_jittered": twin_cluster_dbscan_jittered,
+    "cluster_geo_pipeline": twin_cluster_geo_pipeline,
+}

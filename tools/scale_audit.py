@@ -52,6 +52,15 @@ ORACLE_TIMEOUT = float(os.environ.get("SPARK_GRAFT_AUDIT_ORACLE_TIMEOUT", "600")
 SPARK_TIMEOUT = float(os.environ.get("SPARK_GRAFT_AUDIT_SPARK_TIMEOUT", "900"))
 # extra budget for streaming a >ROW_CAP oracle result through the digest
 CHECKSUM_TIMEOUT = float(os.environ.get("SPARK_GRAFT_AUDIT_CHECKSUM_TIMEOUT", "1800"))
+# entries whose FIRST spark run is at least this slow get one solo
+# re-timing pass at the end of the audit, so before/after tables compare
+# work, not box weather (r8 verdict directive #4: dedup_duplicate_groups
+# showed a 5x phantom regression on unchanged code under contention)
+RETIME_THRESH = float(os.environ.get("SPARK_GRAFT_AUDIT_RETIME_THRESH", "100"))
+# per-query oracle-timeout overrides: dedup_source_overlap_matrix's
+# DuckDB side lands right on the 600s global cap under mild contention
+# (605s in r8, cleared solo) — give it headroom instead of a re-run
+ORACLE_TIMEOUT_OVERRIDES = {"dedup_source_overlap_matrix": 900.0}
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -91,7 +100,11 @@ def canon_cell(v):
         r = round(f, 6)
         if r == 0:
             return "0"  # collapse IEEE -0.0 (same sf1 find as norm_cell)
-        if r.is_integer() and abs(r) < 1e15:
+        if r.is_integer():
+            # unconditional: int(r) is exact for ANY integral float, and
+            # the old abs(r) < 1e15 guard split BIGINT 10**15 from DOUBLE
+            # 1e15 ('1000000000000000' vs '1e+15') though Python == — the
+            # full-compare relation — calls them equal (r8 advisor)
             return repr(int(r))
         return repr(r)
     if t is str:
@@ -101,7 +114,11 @@ def canon_cell(v):
     if isinstance(v, (bytes, bytearray)):
         return "y" + bytes(v).hex()
     if isinstance(v, (list, tuple)):
-        return "[" + "\x1e".join(canon_cell(x) for x in v) + "]"
+        # length-prefix each element: a raw join lets a separator-bearing
+        # string shift element boundaries (r8 advisor)
+        return "[" + "".join(
+            "%d:%s" % (len(c), c) for c in (canon_cell(x) for x in v)
+        ) + "]"
     return "r" + repr(v)
 
 
@@ -114,7 +131,12 @@ def digest_rows(rows, order):
 
     n, acc = 0, 0
     for r in rows:
-        key = "\x1f".join(canon_cell(r[i]) for i in order)
+        # length-prefixed cells, not a separator join: a str cell can
+        # contain ANY byte, so ('a\x1fsb','c') must not collide with
+        # ('a','b\x1fsc') in the multiset digest (r8 advisor)
+        key = "".join(
+            "%d:%s" % (len(c), c) for c in (canon_cell(r[i]) for i in order)
+        )
         h = hashlib.md5(key.encode("utf-8", "surrogatepass")).digest()
         acc = (acc + int.from_bytes(h, "big")) & _MD5_MASK
         n += 1
@@ -164,7 +186,8 @@ def main():
 
         done = set()
         pat = re.compile(
-            r"^(?:OK-CHECKSUM|MISMATCH-CHECKSUM|OK|ok\(rows-only\)|BIG"
+            r"^(?:OK-CHECKSUM|MISMATCH-CHECKSUM|OK-ALTPROOF|MISMATCH-ALTPROOF"
+            r"|OK|ok\(rows-only\)|BIG"
             r"|MISMATCH|ERROR|TIMEOUT|ORACLE-\w+) (\S+?):? "
         )
         with open(skip_log) as fh:
@@ -175,7 +198,7 @@ def main():
         qs = {n: f for n, f in qs.items() if n not in done}
         print(f"resume: skipping {len(done)} already-audited queries", flush=True)
 
-    def run_oracle(sql):
+    def run_oracle(sql, timeout=None):
         """(rows_or_digest, cols, elapsed, status) — status in
         ok|bigsum|timeout|error. A >ROW_CAP result streams the remaining
         rows through digest_rows and returns the (count, sum) digest."""
@@ -185,7 +208,7 @@ def main():
             hit_timeout.set()
             con.interrupt()
 
-        timer = threading.Timer(ORACLE_TIMEOUT, interrupt)
+        timer = threading.Timer(timeout or ORACLE_TIMEOUT, interrupt)
         timer.start()
         t0 = time.perf_counter()
         try:
@@ -266,11 +289,70 @@ def main():
         qs = {n: f for n, f in qs.items() if n in keep}
         print(f"only: restricted to {len(qs)} queries", flush=True)
 
+    # Dual-plan sf1 value proofs for the exact-DBSCAN rows whose DuckDB
+    # oracle is genuinely sf1-infeasible (recursive CC CTE over ~47M
+    # eps-edges; r8 measured >1500s solo with no completion). Instead of
+    # burning ORACLE_TIMEOUT seconds per row to re-document that, compare
+    # the registry plan against an independently-labeled Spark twin
+    # (tools/alt_twins.py — connected_components-based, itself sf1-exact
+    # via dedup_duplicate_groups). SPARK_GRAFT_AUDIT_FORCE_ORACLE=1
+    # restores the DuckDB attempt.
+    try:
+        from alt_twins import ALT_TWINS
+    except Exception as e:  # noqa: BLE001 — audit must run without the module
+        print(f"alt_twins unavailable ({e}); DBSCAN tier falls back to oracle", flush=True)
+        ALT_TWINS = {}
+    if os.environ.get("SPARK_GRAFT_AUDIT_FORCE_ORACLE"):
+        ALT_TWINS = {}
+
+    retime_jobs = []  # (name, fn, mode, first_s_dt)
+
     for name, fn in qs.items():
+        if name in ALT_TWINS:
+            s_rows, s_cols, s_dt, s_status = run_spark(fn, "collect")
+            load = os.getloadavg()[0]
+            if s_status != "ok":
+                fails.append(name)
+                line = f"ERROR {name}: spark {s_status} after {s_dt:.0f}s ({s_cols})"
+            else:
+                a_rows, a_cols, a_dt, a_status = run_spark(
+                    ALT_TWINS[name], "collect"
+                )
+                if a_status != "ok":
+                    fails.append(name)
+                    line = f"ERROR {name}: alt-twin {a_status} after {a_dt:.0f}s ({a_cols})"
+                elif sorted(s_cols) != sorted(a_cols):
+                    fails.append(name)
+                    line = (
+                        f"MISMATCH-ALTPROOF {name}: schema "
+                        f"{sorted(s_cols)} vs {sorted(a_cols)}"
+                    )
+                else:
+                    sn = norm_rows(s_cols, s_rows)
+                    an = norm_rows(a_cols, a_rows)
+                    if sn != an:
+                        fails.append(name)
+                        line = (
+                            f"MISMATCH-ALTPROOF {name}: rows {len(sn)} vs {len(an)}"
+                        )
+                    else:
+                        line = (
+                            f"OK-ALTPROOF {name}: {len(sn)} rows value-equal vs "
+                            f"independent-CC twin (oracle sf1-infeasible) "
+                            f"[spark {s_dt:.1f}s twin {a_dt:.1f}s]"
+                        )
+                if s_status == "ok" and s_dt >= RETIME_THRESH:
+                    retime_jobs.append((name, fn, "collect", s_dt))
+            rows_out.append((s_dt, 0.0, line))
+            print(f"{line} load={load:.1f}", flush=True)
+            continue
+
         o_rows = o_cols = None
         o_dt, o_status = 0.0, "none"
         if name in oracles:
-            o_rows, o_cols, o_dt, o_status = run_oracle(oracles[name])
+            o_rows, o_cols, o_dt, o_status = run_oracle(
+                oracles[name], ORACLE_TIMEOUT_OVERRIDES.get(name)
+            )
         mode = {"ok": "collect", "bigsum": "digest"}.get(o_status, "noop")
         s_rows, s_cols, s_dt, s_status = run_spark(fn, mode)
 
@@ -321,8 +403,27 @@ def main():
                         f"OK {name}: {len(sn)} rows "
                         f"[spark {s_dt:.1f}s oracle {o_dt:.1f}s]"
                     )
+        if s_status == "ok" and s_dt >= RETIME_THRESH:
+            retime_jobs.append((name, fn, mode, s_dt))
         rows_out.append((s_dt, o_dt, line))
-        print(line, flush=True)
+        # 1-min load average at entry end: a before/after table can now
+        # tell contention from regression (r8 verdict directive #4)
+        print(f"{line} load={os.getloadavg()[0]:.1f}", flush=True)
+
+    # Solo re-timing pass for the slow tail: one extra run of each
+    # >= RETIME_THRESH entry, same mode, after all oracle work is done —
+    # reproduce-within-2x evidence inside a single audit artifact.
+    if retime_jobs:
+        print(f"\n--- retime pass ({len(retime_jobs)} entries >= {RETIME_THRESH:.0f}s) ---", flush=True)
+        for name, fn, mode, first_dt in retime_jobs:
+            _, _, second_dt, r_status = run_spark(fn, mode)
+            ratio = max(first_dt, second_dt) / max(min(first_dt, second_dt), 1e-9)
+            tag = "RETIME" if r_status == "ok" and ratio <= 2.0 else "RETIME-DIVERGED"
+            print(
+                f"{tag} {name}: first {first_dt:.1f}s second {second_dt:.1f}s "
+                f"ratio {ratio:.2f} load={os.getloadavg()[0]:.1f}",
+                flush=True,
+            )
 
     print("\n--- slow tail (by spark seconds) ---", flush=True)
     for s_dt, o_dt, line in sorted(rows_out, reverse=True)[:20]:
