@@ -92,32 +92,54 @@ def main() -> None:
 
     # Per-query error isolation: one broken query must never zero out
     # the whole benchmark (BENCH_r02 died whole on one AnalysisException).
-    # Each query runs four times: the cold time (headline, comparable
-    # to prior rounds) includes per-query analysis/codegen; the warm
-    # time is the MIN of three steady-state executions — the number
+    # Each query runs cold once (headline, comparable to prior rounds:
+    # includes per-query analysis/codegen), then warm runs — the number
     # that matters on a cluster where a plan compiles once and runs
-    # over 100 TB (min-of-3 per the r6 spread directive). warm_spread =
-    # (max-min)/min over the warm runs is the shared-box noise band: a
-    # regression is a plan problem only when it exceeds the spread.
+    # over 100 TB.
+    #
+    # Load control (r8 verdict directive #1): BENCH_r08's driver run
+    # landed on a contended box (40.1s warm total vs the 30.8s quiet-box
+    # sidecar) and nothing in the artifact said so. Now each entry's warm
+    # measurement RETRIES until its three fastest samples agree within
+    # max(0.5s, 5% of min) or the sample cap is hit; an entry that never
+    # converges is listed in `tainted_queries` and flips the top-level
+    # `tainted` flag, and 1-min load averages are recorded per entry —
+    # a contended run is visibly tainted instead of silently becoming
+    # the round's number.
+    #
+    # warm_spread is the PURE ratio (max-min)/min over the three fastest
+    # samples and warm_spread_abs the raw seconds (r8 advisor: one field
+    # holding absolute seconds below a 1s floor and a ratio above it
+    # silently compares different quantities across rounds); consumers
+    # apply any sub-second floor when flagging.
+    SPREAD_ABS_BOUND = 0.5
+    MAX_WARM_SAMPLES = 9
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     warm_spread: dict[str, float] = {}
     warm_spread_abs: dict[str, float] = {}
+    warm_samples_n: dict[str, int] = {}
+    load_1m: dict[str, float] = {}
+    tainted_queries: list[str] = []
     errors: dict[str, str] = {}
     for name, spec in sorted(specs.items()):
         try:
             timings[name] = round(run(spec), 4)
             ws = [run(spec) for _ in range(3)]
-            warm[name] = round(min(ws), 4)
-            # Tripwire-safe spread (r7 verdict #4): below a 1 s warm
-            # floor, fixed scheduling jitter (~0.3 s on a shared box)
-            # dominates and a pure ratio cries wolf (r7 saw 0.787 on a
-            # 0.35 s query). Dividing by max(min, 1 s) makes sub-second
-            # entries report ABSOLUTE-seconds spread while ≥1 s entries
-            # keep the relative ratio; the raw absolute swing is also
-            # recorded for either regime.
-            warm_spread[name] = round((max(ws) - min(ws)) / max(min(ws), 1.0), 3)
-            warm_spread_abs[name] = round(max(ws) - min(ws), 4)
+            while True:
+                best3 = sorted(ws)[:3]
+                bound = max(SPREAD_ABS_BOUND, 0.05 * best3[0])
+                if best3[2] - best3[0] <= bound or len(ws) >= MAX_WARM_SAMPLES:
+                    break
+                ws.append(run(spec))
+            best3 = sorted(ws)[:3]
+            if best3[2] - best3[0] > max(SPREAD_ABS_BOUND, 0.05 * best3[0]):
+                tainted_queries.append(name)
+            warm[name] = round(best3[0], 4)
+            warm_spread[name] = round((best3[2] - best3[0]) / best3[0], 3)
+            warm_spread_abs[name] = round(best3[2] - best3[0], 4)
+            warm_samples_n[name] = len(ws)
+            load_1m[name] = round(os.getloadavg()[0], 2)
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} ERROR {errors[name]}", file=sys.stderr)
@@ -149,10 +171,16 @@ def main() -> None:
     detail = {
         "queries_cold": timings,
         "queries_warm": warm,
-        # spread denominator is max(warm, 1s): sub-second entries report
-        # absolute-seconds spread, >=1s entries the relative ratio
+        # warm_spread is the pure (max-min)/min ratio over the 3 fastest
+        # samples; warm_spread_abs the raw seconds. Entries retried past
+        # 3 samples show warm_samples > 3; load_avg_1m is the box load
+        # right after each entry finished.
         "warm_spread": warm_spread,
         "warm_spread_abs": warm_spread_abs,
+        "warm_samples": warm_samples_n,
+        "load_avg_1m": load_1m,
+        "tainted": bool(tainted_queries),
+        "tainted_queries": tainted_queries,
         # box-weather normalization: divide any round's warm time by its
         # calibration_warm before comparing across rounds
         "calibration": {
@@ -181,6 +209,9 @@ def main() -> None:
                 "queries": timings,
                 "total_warm": round(sum(warm.values()), 4),
                 "calibration_warm": cal_warm,
+                "tainted": bool(tainted_queries),
+                "tainted_queries": tainted_queries,
+                "load_avg_1m": round(os.getloadavg()[0], 2),
                 "n_errors": len(errors),
                 "errors": errors,
                 "throughput_rec_s": throughput,

@@ -4,6 +4,7 @@ from .inspect import (  # noqa: F401
     executed_plan,
     formatted_plan,
     has_partial_aggregation,
+    plan_invariants,
     pushed_filters,
     shuffle_count,
 )

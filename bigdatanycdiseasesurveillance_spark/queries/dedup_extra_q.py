@@ -856,13 +856,25 @@ def _group_contract(labels):
     )
 
 
+_GOLD_LOCKS: dict[str, tuple[int, int]] = {}  # dir -> (owner pid, held flock fd)
+
+
 def _gold_scratch_dir(sf_dir: str, kind: str) -> str:
     """Deterministic scratch location for a persisted-gold query's
     artifact: one directory per (query kind, dataset), REUSED across
     processes — the md5 sf tag plus the start-of-run rmtree already
     gives deterministic reruns, and a pid suffix would leave one
     orphaned artifact per process behind (r7 advisor finding:
-    repeated audit/bench runs accumulating unbounded /tmp litter)."""
+    repeated audit/bench runs accumulating unbounded /tmp litter).
+
+    Cross-process safety (r8 advisor finding): the shared dir is
+    guarded by a non-blocking flock held for the process lifetime —
+    without it, a gate_one re-run concurrent with an audit would rmtree
+    the audit's mid-run gold versions. If another process holds the
+    lock, fall back to a pid-suffixed dir cleaned up at exit (bounded
+    litter: only under actual concurrency, and only until exit)."""
+    import atexit
+    import fcntl
     import hashlib
     import os
     import shutil
@@ -870,6 +882,17 @@ def _gold_scratch_dir(sf_dir: str, kind: str) -> str:
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"bdnds_{kind}_{tag}")
+    # the pid check matters under fork: a forked child inherits
+    # _GOLD_LOCKS but must NOT treat the parent's lock as its own
+    if _GOLD_LOCKS.get(d, (None,))[0] != os.getpid():
+        fd = os.open(d + ".lock", os.O_CREAT | os.O_RDWR, 0o600)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            _GOLD_LOCKS[d] = (os.getpid(), fd)  # held until process exit
+        except OSError:
+            os.close(fd)
+            d = f"{d}_{os.getpid()}"
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
     shutil.rmtree(d, ignore_errors=True)  # deterministic reruns
     return d
 

@@ -211,3 +211,25 @@ def stream_dedup_within_watermark(spark, sf_dir):
     form of streaming dedup (plain dropDuplicates state never ages out).
     Equals batch DISTINCT on the drained stream."""
     return P.streaming_dedup_within_watermark(spark, sf_dir)
+
+
+@register(
+    "stream_restart_recovery",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_events
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("streaming", "ST3", "ST6", "restart"),
+)
+def stream_restart_recovery(spark, sf_dir):
+    """ST3 restart proof: a checkpointed dedup+agg query killed after
+    draining batch 1 and RESUMED (same checkpoint dir) over a grown
+    source whose new batch re-sends a third of batch 1. Equal to batch
+    COUNT(DISTINCT) only if both the dropDuplicates state and the
+    file-source commit log survive the restart; structural asserts
+    (resumed input == batch-2 rows exactly, offset log spans both runs)
+    fail loudly. The reference loses this by design — its dedup state
+    is driver RAM (deduplication_consumer.py:107-110)."""
+    return P.streaming_restart_recovery(spark, sf_dir)

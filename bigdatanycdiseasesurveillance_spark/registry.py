@@ -95,12 +95,20 @@ def certified_hashes() -> dict[str, str]:
         return {}
 
 
-def _driver_coverage() -> tuple[dict[str, int], dict[str, int]]:
-    """(green_round, sample_round): per-name latest round with a
-    hash_match row, and per-name latest SAMPLED round (green or red),
-    from CORRECTNESS_r*.json at the repo root. Used only to order the
-    registry so the neediest specs surface first for drivers that
-    sample a prefix; sampling is otherwise out of our control."""
+def _driver_coverage() -> tuple[dict[str, int], dict[str, int], dict[str, int]]:
+    """(green_round, red_round, sample_round): per-name latest round with
+    a hash_match row, latest round with an explicit FAILURE row, and
+    latest SAMPLED round of any kind, from CORRECTNESS_r*.json at the
+    repo root. Used only to order the registry so the neediest specs
+    surface first for drivers that sample a prefix; sampling is
+    otherwise out of our control.
+
+    A row is red only when it carries positive failure evidence: an
+    err that isn't the rows-only marker, or an explicit False on any
+    match flag. A rows-only `no_oracle` PASS is neither green nor red —
+    inferring red from "sampled but not hash-green" pinned once-green
+    queries whose oracle was later removed into tier 0 forever (r8
+    advisor finding)."""
     import glob
     import json
     import logging
@@ -108,6 +116,7 @@ def _driver_coverage() -> tuple[dict[str, int], dict[str, int]]:
     import re
 
     green_round: dict[str, int] = {}
+    red_round: dict[str, int] = {}
     sample_round: dict[str, int] = {}
     for path in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
@@ -123,28 +132,38 @@ def _driver_coverage() -> tuple[dict[str, int], dict[str, int]]:
                     # until the driver records a hash_match for it.
                     if row.get("hash_match"):
                         green_round[name] = max(green_round.get(name, 0), rnd)
+                    elif (
+                        row.get("err") not in (None, "no_oracle")
+                        or row.get("hash_match") is False
+                        or row.get("rows_match") is False
+                        or row.get("schema_match") is False
+                    ):
+                        red_round[name] = max(red_round.get(name, 0), rnd)
         except Exception as exc:  # malformed round artifact — ordering hint only
             logging.getLogger(__name__).warning(
                 "ignoring unreadable coverage artifact %s: %s", path, exc
             )
-    return green_round, sample_round
+    return green_round, red_round, sample_round
 
 
 def ordering_key(
     name: str,
     idx: int,
     green_round: dict[str, int],
+    red_round: dict[str, int],
     sample_round: dict[str, int],
     certified: dict[str, str],
     current_hash: str,
 ) -> tuple[int, int, int]:
     """Four-tier driver-sampling priority (lower sorts first):
 
-      0. failing — sampled-but-never-green, OR regressed (latest
-         sampled round is NEWER than the latest green round: the most
-         recent driver row was red, so a past green must not let it
-         coast behind the prefix window — r7 advisor finding); highest
-         priority whether or not the contract also changed since;
+      0. failing — the latest EXPLICIT failure row (oracle mismatch,
+         error, or driver timeout: see _driver_coverage) is newer than
+         the latest green row, or the query failed and has never been
+         green; highest priority whether or not the contract also
+         changed since. Derived from positive failure evidence, not
+         from "sampled > green" — a rows-only no_oracle PASS must not
+         read as a regression (r8 advisor finding);
       1. contract-stale — the current oracle hash differs from the hash
          on file for the query's last green row (covers brand-new
          queries AND reworked oracles, structurally: editing any
@@ -156,13 +175,13 @@ def ordering_key(
          registration order.
 
     Pure function of its inputs (pytest-pinned in test_registry_order)."""
-    sampled_rnd = sample_round.get(name, 0)
     green_rnd = green_round.get(name)
-    if sampled_rnd and (green_rnd is None or sampled_rnd > green_rnd):
+    red_rnd = red_round.get(name, 0)
+    if red_rnd and (green_rnd is None or red_rnd > green_rnd):
         return (0, 0, idx)
     if certified.get(name) != current_hash:
         return (1, 0, idx)
-    if not sampled_rnd:
+    if not sample_round.get(name, 0):
         return (2, 0, idx)
     return (3, green_rnd or 0, idx)
 
@@ -172,7 +191,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import queries  # noqa: F401
 
     # Repeat calls (and rounds) agree given the same artifacts.
-    green_round, sample_round = _driver_coverage()
+    green_round, red_round, sample_round = _driver_coverage()
     certified = certified_hashes()
     idx = {n: i for i, n in enumerate(_REGISTRY)}
 
@@ -182,6 +201,7 @@ def all_specs() -> dict[str, QuerySpec]:
             n,
             idx[n],
             green_round,
+            red_round,
             sample_round,
             certified,
             oracle_hash(_REGISTRY[n].oracle),

