@@ -95,3 +95,24 @@ def test_column_order_permutation_is_neutralized():
     the sorted-column-name permutation exactly like norm_rows."""
     # cols ('b','a') with order [1,0] == cols ('a','b') with order [0,1]
     assert DIGEST([(1, "x")], [1, 0]) == DIGEST([("x", 1)], [0, 1])
+
+
+def test_huge_integral_bigint_vs_double_unify():
+    """r8 advisor: BIGINT 10**15-and-up vs DOUBLE must still canon
+    equal (Python == calls them equal; the old abs(r) < 1e15 guard
+    split them into '1000000000000000' vs '1e+15')."""
+    assert CANON(10**15) == CANON(1e15)
+    assert CANON(10**18) == CANON(1e18)
+    assert CANON(-(10**16)) == CANON(-1e16)
+    # non-integral stays a float repr, ints stay exact
+    assert CANON(1e15 + 0.5) != CANON(10**15)
+
+
+def test_separator_bytes_cannot_shift_cell_boundaries():
+    """r8 advisor: with join-based keys, ('a\\x1fsb','c') and
+    ('a','b\\x1fsc') hashed identically; length-prefixed tokens keep
+    distinct rows distinct whatever bytes the strings contain."""
+    assert DIGEST([("a\x1fsb", "c")], [0, 1]) != DIGEST([("a", "b\x1fsc")], [0, 1])
+    # list-element boundaries too (\x1e was the list joiner)
+    assert CANON(["a\x1eb"]) != CANON(["a", "b"])
+    assert DIGEST([(["x\x1f", "y"],)], [0]) != DIGEST([(["x", "\x1fy"],)], [0])

@@ -35,11 +35,15 @@ R5_BASELINE = {
 }
 
 LINE = re.compile(
-    r"^(OK-CHECKSUM|MISMATCH-CHECKSUM|OK|ok\(rows-only\)|BIG|MISMATCH|ERROR"
+    r"^(OK-CHECKSUM|MISMATCH-CHECKSUM|OK-ALTPROOF|MISMATCH-ALTPROOF"
+    r"|OK|ok\(rows-only\)|BIG|MISMATCH|ERROR"
     r"|TIMEOUT|ORACLE-TIMEOUT|ORACLE-ERROR) "
     r"(\S+?):?\s"
 )
 SPARK_S = re.compile(r"spark (?:ok )?([0-9.]+)s")
+RETIME = re.compile(
+    r"^(RETIME|RETIME-DIVERGED) (\S+): first ([0-9.]+)s second ([0-9.]+)s"
+)
 
 
 def main(path):
@@ -47,8 +51,15 @@ def main(path):
     # (resume/ONLY passes), superseding earlier timeout/error lines.
     final = {}
     spark_s = {}
+    retimes = []
     with open(path) as fh:
         for line in fh:
+            mr = RETIME.match(line)
+            if mr:
+                retimes.append(
+                    (mr.group(2), mr.group(1), float(mr.group(3)), float(mr.group(4)))
+                )
+                continue
             m = LINE.match(line)
             if not m:
                 continue
@@ -61,7 +72,8 @@ def main(path):
     fails = sorted(
         (s, n)
         for n, s in final.items()
-        if s in ("MISMATCH", "MISMATCH-CHECKSUM", "ERROR", "ORACLE-ERROR")
+        if s
+        in ("MISMATCH", "MISMATCH-CHECKSUM", "MISMATCH-ALTPROOF", "ERROR", "ORACLE-ERROR")
     )
 
     print(f"queries audited: {len(final)} (final status per query)")
@@ -69,6 +81,10 @@ def main(path):
         print(f"  {status}: {n}")
     if fails:
         print("FAILURES:", fails)
+    if retimes:
+        print("\nretime pass (>=100s entries, same mode, end of run):")
+        for name, tag, a, b in retimes:
+            print(f"  {a:7.1f}s -> {b:7.1f}s  {name}" + ("  DIVERGED" if "DIV" in tag else ""))
 
     print("\nslow tail (spark seconds):")
     for name, s in sorted(spark_s.items(), key=lambda kv: -kv[1])[:15]:
