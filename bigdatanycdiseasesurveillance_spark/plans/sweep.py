@@ -60,10 +60,22 @@ BNLJ_ALLOWLIST = {
 
 
 def sweep_specs(spark, sf_dir: str, specs: dict):
-    """(results, violations, stale_allowlist) over the given specs."""
+    """(results, violations, stale_allowlist) over the given specs.
+
+    Streaming specs are SKIPPED with an explicit marker, not silently
+    passed: their registry fn drains the stream and returns a
+    memory-sink table, so the inspectable batch plan is a trivial
+    LocalTableScan — sweeping it would execute the whole pipeline
+    (including the two-pass restart-recovery run) to check nothing
+    (r9 review finding). Their Python/UDF hygiene is covered by the
+    repo-wide anti-pattern greps and the streaming pytest pins; their
+    micro-batch plans are not batch-inspectable from here."""
     results: dict[str, dict] = {}
     violations: list[str] = []
     for name, spec in sorted(specs.items()):
+        if "streaming" in spec.tags:
+            results[name] = {"skipped": "streaming drain: batch plan is the memory sink"}
+            continue
         try:
             inv = plan_invariants(spec.fn(spark, sf_dir))
         except Exception as exc:  # noqa: BLE001 — a broken build is a violation
@@ -82,9 +94,9 @@ def sweep_specs(spark, sf_dir: str, specs: dict):
             violations.append(
                 f"{name}: {inv['py_row_udf']} row-at-a-time BatchEvalPython node(s)"
             )
+    # only swept-clean entries count as stale — an errored or skipped
+    # row must not suggest deleting a still-valid vetted entry
     stale = sorted(
-        n
-        for n in BNLJ_ALLOWLIST
-        if n in results and results[n].get("bnlj", 0) == 0
+        n for n in BNLJ_ALLOWLIST if n in results and results[n].get("bnlj") == 0
     )
     return results, violations, stale

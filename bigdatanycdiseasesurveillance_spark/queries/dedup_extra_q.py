@@ -885,12 +885,16 @@ def _gold_scratch_dir(sf_dir: str, kind: str) -> str:
     # the pid check matters under fork: a forked child inherits
     # _GOLD_LOCKS but must NOT treat the parent's lock as its own
     if _GOLD_LOCKS.get(d, (None,))[0] != os.getpid():
-        fd = os.open(d + ".lock", os.O_CREAT | os.O_RDWR, 0o600)
+        fd = None
         try:
+            # os.open inside the try: another user's 0600 lock file must
+            # fall back too (EACCES), not crash the query (r9 review)
+            fd = os.open(d + ".lock", os.O_CREAT | os.O_RDWR, 0o600)
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
             _GOLD_LOCKS[d] = (os.getpid(), fd)  # held until process exit
         except OSError:
-            os.close(fd)
+            if fd is not None:
+                os.close(fd)
             d = f"{d}_{os.getpid()}"
             atexit.register(shutil.rmtree, d, ignore_errors=True)
     shutil.rmtree(d, ignore_errors=True)  # deterministic reruns

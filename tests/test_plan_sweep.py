@@ -26,13 +26,17 @@ def test_detector_catches_injected_cartesian(spark):
     b = spark.range(10).withColumnRenamed("id", "id2")
     inv = plan_invariants(a.crossJoin(b))
     assert inv["cartesian"] + inv["bnlj"] >= 1  # small sides broadcast -> BNLJ
-    # force the non-broadcast cartesian too
+    # force the non-broadcast cartesian too; RESTORE (never unset) the
+    # threshold — unset falls to Spark's hard 10MB default, not the
+    # session builder's value, and the session fixture is shared with
+    # every later plan-pin test (r9 review finding)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         inv2 = plan_invariants(a.crossJoin(b))
         assert inv2["cartesian"] >= 1
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
     from pyspark.sql.functions import udf
 

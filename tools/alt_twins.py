@@ -31,8 +31,14 @@ runs registry-vs-twin full value compares and reports OK-ALTPROOF.
 
 from __future__ import annotations
 
+import os
+import sys
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# tools/ is not a package; make the repo importable wherever it lives
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _eps_edges(pts: DataFrame, eps: float) -> DataFrame:
@@ -87,9 +93,6 @@ def dbscan_assign_cc(pts: DataFrame, eps: float, min_samples: int) -> DataFrame:
     identical by construction: cluster_id = min core pid of the
     component; border points take the min label among core neighbors;
     noise is dropped (the registry profiles filter cluster_id >= 0)."""
-    import sys
-
-    sys.path.insert(0, "/root/repo")
     from bigdatanycdiseasesurveillance_spark.operators.dedup import (
         connected_components,
     )
@@ -164,9 +167,6 @@ def twin_cluster_dbscan_jittered(spark, sf_dir: str) -> DataFrame:
 
 
 def twin_cluster_geo_pipeline(spark, sf_dir: str) -> DataFrame:
-    import sys
-
-    sys.path.insert(0, "/root/repo")
     from bigdatanycdiseasesurveillance_spark.domain.location import (
         neighborhood_dim,
     )

@@ -289,62 +289,60 @@ def main():
         qs = {n: f for n, f in qs.items() if n in keep}
         print(f"only: restricted to {len(qs)} queries", flush=True)
 
-    # Dual-plan sf1 value proofs for the exact-DBSCAN rows whose DuckDB
-    # oracle is genuinely sf1-infeasible (recursive CC CTE over ~47M
-    # eps-edges; r8 measured >1500s solo with no completion). Instead of
-    # burning ORACLE_TIMEOUT seconds per row to re-document that, compare
-    # the registry plan against an independently-labeled Spark twin
-    # (tools/alt_twins.py — connected_components-based, itself sf1-exact
-    # via dedup_duplicate_groups). SPARK_GRAFT_AUDIT_FORCE_ORACLE=1
-    # restores the DuckDB attempt.
+    # Dual-plan value proofs for rows whose DuckDB oracle TIMES OUT:
+    # compare the registry plan against an independently-labeled Spark
+    # twin (tools/alt_twins.py — connected_components-based, itself
+    # sf1-exact via dedup_duplicate_groups). The oracle is ALWAYS tried
+    # first — at small SFs the recursive-CTE oracle finishes and is the
+    # stronger independent-engine evidence (r9 review finding); the twin
+    # only backstops a timeout. SPARK_GRAFT_AUDIT_ALT_DIRECT=1 skips the
+    # oracle attempt for twin-covered names (saves 3 x ORACLE_TIMEOUT at
+    # sf1, where r8 proved those oracles infeasible even solo at 1500s).
     try:
         from alt_twins import ALT_TWINS
     except Exception as e:  # noqa: BLE001 — audit must run without the module
-        print(f"alt_twins unavailable ({e}); DBSCAN tier falls back to oracle", flush=True)
+        print(f"alt_twins unavailable ({e}); oracle timeouts stay timeouts", flush=True)
         ALT_TWINS = {}
-    if os.environ.get("SPARK_GRAFT_AUDIT_FORCE_ORACLE"):
-        ALT_TWINS = {}
+    alt_direct = bool(os.environ.get("SPARK_GRAFT_AUDIT_ALT_DIRECT"))
 
     retime_jobs = []  # (name, fn, mode, first_s_dt)
 
+    def run_altproof(name, fn, o_dt, o_status):
+        """Registry-vs-twin full value compare; returns the log line."""
+        s_rows, s_cols, s_dt, s_status = run_spark(fn, "collect")
+        if s_status != "ok":
+            fails.append(name)
+            return s_dt, f"ERROR {name}: spark {s_status} after {s_dt:.0f}s ({s_cols})"
+        if s_dt >= RETIME_THRESH:
+            retime_jobs.append((name, fn, "collect", s_dt))
+        a_rows, a_cols, a_dt, a_status = run_spark(ALT_TWINS[name], "collect")
+        why = (
+            f"oracle {o_status} {o_dt:.0f}s"
+            if o_status != "none"
+            else "oracle skipped: documented-infeasible (ALT_DIRECT)"
+        )
+        if a_status != "ok":
+            fails.append(name)
+            return s_dt, f"ERROR {name}: alt-twin {a_status} after {a_dt:.0f}s ({a_cols})"
+        if sorted(s_cols) != sorted(a_cols):
+            fails.append(name)
+            return s_dt, (
+                f"MISMATCH-ALTPROOF {name}: schema {sorted(s_cols)} vs {sorted(a_cols)}"
+            )
+        sn, an = norm_rows(s_cols, s_rows), norm_rows(a_cols, a_rows)
+        if sn != an:
+            fails.append(name)
+            return s_dt, f"MISMATCH-ALTPROOF {name}: rows {len(sn)} vs {len(an)}"
+        return s_dt, (
+            f"OK-ALTPROOF {name}: {len(sn)} rows value-equal vs "
+            f"independent-CC twin ({why}) [spark {s_dt:.1f}s twin {a_dt:.1f}s]"
+        )
+
     for name, fn in qs.items():
-        if name in ALT_TWINS:
-            s_rows, s_cols, s_dt, s_status = run_spark(fn, "collect")
-            load = os.getloadavg()[0]
-            if s_status != "ok":
-                fails.append(name)
-                line = f"ERROR {name}: spark {s_status} after {s_dt:.0f}s ({s_cols})"
-            else:
-                a_rows, a_cols, a_dt, a_status = run_spark(
-                    ALT_TWINS[name], "collect"
-                )
-                if a_status != "ok":
-                    fails.append(name)
-                    line = f"ERROR {name}: alt-twin {a_status} after {a_dt:.0f}s ({a_cols})"
-                elif sorted(s_cols) != sorted(a_cols):
-                    fails.append(name)
-                    line = (
-                        f"MISMATCH-ALTPROOF {name}: schema "
-                        f"{sorted(s_cols)} vs {sorted(a_cols)}"
-                    )
-                else:
-                    sn = norm_rows(s_cols, s_rows)
-                    an = norm_rows(a_cols, a_rows)
-                    if sn != an:
-                        fails.append(name)
-                        line = (
-                            f"MISMATCH-ALTPROOF {name}: rows {len(sn)} vs {len(an)}"
-                        )
-                    else:
-                        line = (
-                            f"OK-ALTPROOF {name}: {len(sn)} rows value-equal vs "
-                            f"independent-CC twin (oracle sf1-infeasible) "
-                            f"[spark {s_dt:.1f}s twin {a_dt:.1f}s]"
-                        )
-                if s_status == "ok" and s_dt >= RETIME_THRESH:
-                    retime_jobs.append((name, fn, "collect", s_dt))
+        if alt_direct and name in ALT_TWINS:
+            s_dt, line = run_altproof(name, fn, 0.0, "none")
             rows_out.append((s_dt, 0.0, line))
-            print(f"{line} load={load:.1f}", flush=True)
+            print(f"{line} load={os.getloadavg()[0]:.1f}", flush=True)
             continue
 
         o_rows = o_cols = None
@@ -353,6 +351,11 @@ def main():
             o_rows, o_cols, o_dt, o_status = run_oracle(
                 oracles[name], ORACLE_TIMEOUT_OVERRIDES.get(name)
             )
+        if o_status == "timeout" and name in ALT_TWINS:
+            s_dt, line = run_altproof(name, fn, o_dt, o_status)
+            rows_out.append((s_dt, o_dt, line))
+            print(f"{line} load={os.getloadavg()[0]:.1f}", flush=True)
+            continue
         mode = {"ok": "collect", "bigsum": "digest"}.get(o_status, "noop")
         s_rows, s_cols, s_dt, s_status = run_spark(fn, mode)
 
