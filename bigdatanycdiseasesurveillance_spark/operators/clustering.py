@@ -152,8 +152,8 @@ def grid_dbscan(
        target cell, exact distance filter;
     3. core points: neighbor count (incl. self) >= min_samples;
     4. clusters: connected components over core-core edges via
-       iterative min-label propagation (each round: label <- min label
-       among core neighbors; converges in graph-diameter rounds);
+       operators.dedup.connected_components (pointer-jumping min-label,
+       O(log diameter) materializations, loud-fail convergence);
     5. border points attach to the min cluster among core neighbors;
        everything else is noise (cluster_id = -1).
 
@@ -200,66 +200,30 @@ def grid_dbscan(
         .join(core.select(F.col("pid").alias("qid")), "qid")
         .filter(F.col("pid") != F.col("qid"))
     )
-    # distinct column names per stage (lid/label) — self-join lineage
-    # with shared attribute ids trips Spark's ambiguity check otherwise
-    labels = core.select(F.col("pid").alias("lid"), F.col("pid").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
-    converged = False
-    for _ in range(max_rounds):
-        neighbor_min = (
-            core_edges.join(labels, core_edges.qid == F.col("lid"))
-            .groupBy("pid")
-            .agg(F.min("label").alias("nmin"))
-        )
-        hopped = (
-            labels.join(neighbor_min, F.col("lid") == neighbor_min.pid, "left")
-            .select(
-                "lid",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-        )
-        # pointer jumping (path doubling): label <- label(label). The
-        # hop above moves a label one graph edge per round — diameter
-        # rounds on blob-shaped geo clusters; composing the label map
-        # with itself makes convergence O(log diameter). Correct because
-        # labels only ever decrease toward the component min and every
-        # jump target is in the same component.
-        jump = hopped.select(
-            F.col("lid").alias("jid"), F.col("label").alias("jlabel")
-        )
-        new_labels = (
-            hopped.join(jump, hopped.label == jump.jid, "left")
-            .select(
-                "lid",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
-                ).alias("label"),
-            )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
-        changed = (
-            labels.withColumnRenamed("label", "old")
-            .join(new_labels, "lid")
-            .filter(F.col("old") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # With pointer jumping convergence is O(log diameter); a core
-        # graph needing more than max_rounds doublings would otherwise
-        # return silently-split clusters.
-        raise RuntimeError(
-            f"grid_dbscan: label propagation did not converge within "
-            f"{max_rounds} rounds (core-graph diameter exceeds the cap); "
-            f"raise max_rounds"
-        )
-    core_labeled = labels.select(F.col("lid"), F.col("label").alias("cluster_id"))
+    # Cluster labeling: delegated to operators.dedup.connected_components
+    # (two propagation steps + one pointer-jump per materialization,
+    # sum-probe convergence, loud fail at the cap). Label contract is
+    # unchanged — min core pid of the component — and the r9 sf1 audit
+    # proved the two labelers value-identical on all three exact-DBSCAN
+    # registry queries at sf0.01 AND sf1 while this one is 3-7x faster
+    # (530->78s on cluster_geo_pipeline at sf1: fewer materializations
+    # and one sum-probe per block instead of a per-round changed-count
+    # join). The previous in-line propagation loop now lives in
+    # tools/alt_twins.py as the INDEPENDENT implementation the sf1
+    # audit dual-plan-proves this path against — the recursive labeling
+    # is exactly the part the DuckDB oracle cannot check at sf1.
+    from .dedup import connected_components
+
+    cc = connected_components(
+        core_edges.select(F.col("pid").alias("id_a"), F.col("qid").alias("id_b")),
+        max_iter=max_rounds,
+    ).select(F.col("doc_id").alias("lid"), F.col("canonical_id").alias("cluster_id"))
+    # connected_components labels only nodes with at least one core-core
+    # edge; a core point with no other core in range is its own cluster
+    isolated = core.join(
+        cc.select(F.col("lid").alias("pid")), "pid", "left_anti"
+    ).select(F.col("pid").alias("lid"), F.col("pid").alias("cluster_id"))
+    core_labeled = cc.unionByName(isolated)
     border = (
         edges.join(core_labeled, edges.qid == F.col("lid"))
         .groupBy("pid")

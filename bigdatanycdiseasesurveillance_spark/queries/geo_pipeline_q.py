@@ -10,8 +10,9 @@ composition itself a driver-checkable row with one chained-CTE oracle.
 Scale shape: the bbox dim broadcasts (KB-sized — BroadcastNestedLoop on
 the non-equi predicate, fact side never shuffles), DBSCAN edges come
 from eps-grid equi-joins (never all-pairs), and the profile is a
-cluster-key groupBy. The only collect is grid_dbscan's convergence
-probe (1-row limit per round).
+cluster-key groupBy. The only collects are connected_components'
+per-block convergence sum-probes (1-row scalars, O(log diameter) of
+them).
 """
 
 from __future__ import annotations
@@ -129,8 +130,9 @@ def cluster_geo_pipeline(spark, sf_dir):
     """AUDIT-TIER exact variant — the production entry is
     cluster_geo_pipeline_cellgrid (identical output contract, oracle-
     equal at sf1, corpus-size-independent plan). This exact eps-graph
-    formulation densifies quadratically at fixed geography (651.8s at
-    sf1 vs the cellgrid twin's seconds) and is kept as the verification
+    formulation densifies quadratically at fixed geography (~250s at
+    sf1 since the r9 connected_components labeler swap, down from 530s;
+    the cellgrid twin stays seconds) and is kept as the verification
     surface the scale path is proven against, not as the path users run.
 
     Jitter -> bbox-join -> DBSCAN -> profile, composed. Purchase
