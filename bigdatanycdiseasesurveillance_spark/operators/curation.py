@@ -156,3 +156,62 @@ def repetition_signals(
         F.col("_sig.dup_gram_frac").alias("dup_gram_frac"),
         F.col("_sig.top_gram_share").alias("top_gram_share"),
     ).drop("_sig")
+
+
+def nb_quality_scores(docs: DataFrame, pos_source: str = "src0") -> DataFrame:
+    """Multinomial Naive-Bayes quality classifier (the GPT-3 / CCNet
+    filter step): positive seed = documents whose ``source`` equals
+    ``pos_source``, negative = the rest. Returns one row per non-empty
+    document: (doc_id, source, n_tokens, quality_logodds, quality_keep)
+    where quality_logodds is the Laplace-smoothed class log-odds rounded
+    to 4 decimals and quality_keep = rounded log-odds > 0.
+
+    The trained model is vocabulary-sized (term -> two smoothed counts)
+    and broadcasts; scoring is explode -> broadcast join -> per-doc
+    groupBy — two map-side-combinable shuffles, nothing quadratic. The
+    same log-ratio dataflow computes DSIR importance weights with a
+    target-domain split in place of the class split. Rounding happens
+    BEFORE the keep/drop compare so the label cannot split on float
+    summation order across engines or layouts.
+    """
+    is_pos = F.col("source") == pos_source
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    cnt = tok.groupBy("term").agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).alias("pos_c"),
+        F.sum(F.when(is_pos, 0).otherwise(1)).alias("neg_c"),
+    )
+    st = cnt.agg(
+        F.sum("pos_c").alias("pos_n"),
+        F.sum("neg_c").alias("neg_n"),
+        F.count("*").alias("v"),
+    )
+    pr = docs.agg(
+        F.log(
+            F.sum(F.when(is_pos, 1).otherwise(0))
+            * 1.0
+            / F.sum(F.when(is_pos, 0).otherwise(1))
+        ).alias("prior")
+    )
+    llr = F.log((F.col("pos_c") + 1.0) / (F.col("pos_n") + F.col("v"))) - F.log(
+        (F.col("neg_c") + 1.0) / (F.col("neg_n") + F.col("v"))
+    )
+    scored = (
+        tok.join(F.broadcast(cnt), "term")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(llr).alias("s"),
+        )
+        .crossJoin(F.broadcast(pr))
+    )
+    logodds = F.round(F.col("s") + F.col("prior"), 4)
+    return scored.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        logodds.alias("quality_logodds"),
+        (logodds > 0).alias("quality_keep"),
+    )

@@ -18,6 +18,7 @@ from .inspect import plan_invariants
 BNLJ_ALLOWLIST = {
     # 1-row scalar-stats crossJoins (HashAggregate keys=[] build side):
     "agg_rfm_segments",
+    "cur_quality_classifier",
     "dq_group_split_leakfree",
     "feat_quantile_binning",
     "graph_triangle_count",

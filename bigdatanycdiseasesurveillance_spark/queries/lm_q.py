@@ -164,6 +164,72 @@ def mix_temperature_sampling(spark, sf_dir):
     )
 
 
+@register(
+    "cur_quality_classifier",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS term
+            FROM documents
+        ),
+        cnt AS (
+            SELECT term,
+                   SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS pos_c,
+                   SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS neg_c
+            FROM tok GROUP BY term
+        ),
+        st AS (
+            SELECT SUM(pos_c) AS pos_n, SUM(neg_c) AS neg_n,
+                   COUNT(*) AS v
+            FROM cnt
+        ),
+        pr AS (
+            SELECT ln(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) * 1.0
+                      / SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END))
+                       AS prior
+            FROM documents
+        ),
+        sc AS (
+            SELECT t.doc_id, t.source,
+                   COUNT(*) AS n_tokens,
+                   SUM(ln((c.pos_c + 1.0) / (st.pos_n + st.v))
+                     - ln((c.neg_c + 1.0) / (st.neg_n + st.v))) AS s
+            FROM tok t JOIN cnt c ON t.term = c.term, st
+            GROUP BY t.doc_id, t.source
+        )
+        SELECT doc_id, source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               ROUND(s + pr.prior, 4) AS quality_logodds,
+               (ROUND(s + pr.prior, 4) > 0) AS quality_keep
+        FROM sc, pr
+    """,
+    tags=("curation", "quality", "classifier", "training-data"),
+)
+def cur_quality_classifier(spark, sf_dir):
+    """Classifier-based quality filtering — the GPT-3 / CCNet / LLaMA
+    recipe step: train a multinomial Naive-Bayes two-class model
+    (positive seed = the curated reference source ``src0``, negative =
+    the rest) and score every document's log-odds of being
+    reference-like; keep = rounded log-odds > 0. The identical
+    token-log-ratio dataflow computes DSIR importance weights
+    (target/raw log-probability ratios) — swap the class split for a
+    target-domain split and the plan is unchanged.
+
+    Scale shape: the trained model is VOCABULARY-sized (one row per
+    term with two Laplace-smoothed counts) and broadcasts; scoring is
+    explode -> broadcast join -> per-doc groupBy, i.e. two map-side-
+    combinable shuffles (term, doc_id) and nothing quadratic. At 100 TB
+    a web-scale vocab can outgrow the broadcast hint — drop the hint
+    and let AQE pick the join, or frequency-floor the vocab first; the
+    per-doc reduction is unchanged. Both engines round the float sum to
+    4 decimals before the keep/drop compare so the label can't split on
+    summation order."""
+    from ..operators.curation import nb_quality_scores
+
+    return nb_quality_scores(table(spark, sf_dir, "documents"), pos_source="src0")
+
+
 def _bpe_oracle(steps: int = 3) -> str:
     """Relational replay of the BPE loop over DISTINCT token sequences
     with multiplicity (mirroring the engine's collapse — the doc-level

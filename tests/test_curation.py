@@ -333,3 +333,43 @@ def test_quantize_int8_error_bound_and_zero_vector(spark):
     # zero vector: no div-by-zero, dequantizes to zeros
     assert out[2]["qv"] == [0, 0, 0, 0]
     assert max(out[2]["err"]) == 0.0
+
+
+def test_nb_quality_classifier_separates_seed_tokens(spark):
+    """A doc made of positive-seed-exclusive tokens must score keep;
+    one made of negative-exclusive tokens must score drop; and the
+    log-odds must replay by hand from the Laplace-smoothed counts."""
+    import math
+
+    from bigdatanycdiseasesurveillance_spark.operators.curation import (
+        nb_quality_scores,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "good clean prose good clean", "src0"),
+            (2, "spam junk noise spam junk", "srcX"),
+            (3, "good clean prose", "srcY"),  # pos-like holdout -> keep
+            (4, "spam junk noise", "srcZ"),  # neg-like holdout -> drop
+        ],
+    )
+    rows = {r["doc_id"]: r for r in nb_quality_scores(docs, "src0").collect()}
+    assert rows[3]["quality_keep"] is True
+    assert rows[4]["quality_keep"] is False
+    assert rows[1]["quality_keep"] is True and rows[2]["quality_keep"] is False
+
+    # hand replay for doc 3: vocab v=6, pos_n=5, neg_n=11 occurrences
+    # (docs 2+4 contribute 8 neg, docs 3 contributes 3 neg... doc 3 is
+    # NEGATIVE-class for training (source != src0), so neg counts
+    # include its own tokens: good/clean/prose appear 2 pos + 1 neg.
+    v, pos_n, neg_n = 6, 5, 11
+    prior = math.log(1 / 3)
+    llr = {
+        "good": math.log((2 + 1) / (pos_n + v)) - math.log((1 + 1) / (neg_n + v)),
+        "clean": math.log((2 + 1) / (pos_n + v)) - math.log((1 + 1) / (neg_n + v)),
+        "prose": math.log((1 + 1) / (pos_n + v)) - math.log((1 + 1) / (neg_n + v)),
+    }
+    want = round(prior + llr["good"] + llr["clean"] + llr["prose"], 4)
+    assert rows[3]["quality_logodds"] == want
+    assert rows[3]["n_tokens"] == 3
