@@ -497,6 +497,69 @@ def embedding_cosine_pairs(
     ).filter(F.col("cosine_sim") >= threshold)
 
 
+def embedding_cosine_pairs_gemm(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.35,
+    chunk: int = 4096,
+) -> DataFrame:
+    """embedding_cosine_pairs via per-block numpy GEMM (applyInPandas)
+    — the production kernel; the expression variant above is its
+    verification twin (equality pinned in tests/test_dedup.py, the same
+    device as langid_trigram_fast / knn_per_block_gemm).
+
+    Why: the expression path materializes BOTH 64-dim arrays through
+    the within-block join output and evaluates an interpreted
+    zip_with/aggregate per candidate pair — at sf1 that is ~20M pair
+    rows x 64 elements dominating the audit tail. Here each vector
+    crosses the wire ONCE (Arrow), the pair work is one BLAS matmul per
+    row-chunk, and only >= threshold pairs are emitted (output-sized,
+    not candidate-sized). Same contract: ids sorted so id_a < id_b,
+    cosine rounded to 4 BEFORE the threshold compare.
+
+    Scale: one task per block; chunked GEMM bounds peak memory at
+    chunk x m without changing results. Blocks beyond single-task
+    memory shard through the blocked expression variant.
+    """
+    schema = "id_a long, id_b long, cosine_sim double"
+
+    def pairs_block(pdf):  # closure: executors don't import this repo
+        import numpy as np
+        import pandas as _pd
+
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return _pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        M /= norms
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            S = np.round(M[lo:hi] @ M.T, 4)
+            # strict upper triangle in id order: col index > row index
+            r, c = np.nonzero(S >= threshold)
+            keep = c > (r + lo)
+            r, c = r[keep], c[keep]
+            out_a.extend(ids[r + lo])
+            out_b.extend(ids[c])
+            out_s.extend(S[r, c])
+        return _pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "cosine_sim": out_s}
+        )
+
+    return (
+        emb.select(id_col, block_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(pairs_block, schema)
+    )
+
+
 def minhash_md5_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -387,8 +387,14 @@ def dedup_simhash(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """M3: embedding-cosine near-dup pairs within blocks (label = LSH
-    bucket stand-in). Cosine is a codegen'd zip_with/aggregate — no UDF."""
-    return D.embedding_cosine_pairs(table(spark, sf_dir, "embeddings"), threshold=0.35)
+    bucket stand-in). Production kernel: per-block chunked GEMM over
+    Arrow batches (each vector crosses the wire once; pair work in
+    BLAS; output-sized emission) — the interpreted zip_with/aggregate
+    expression twin stays as its verification surface, equality pinned
+    in tests/test_dedup.py."""
+    return D.embedding_cosine_pairs_gemm(
+        table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
 
 
 @register(

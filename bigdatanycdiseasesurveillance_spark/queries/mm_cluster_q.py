@@ -365,10 +365,14 @@ def dedup_semdedup_profile(spark, sf_dir):
         F.col("embedding")[1].cast("double").alias("y"),
     )
     assigned = C.lloyd_kmeans_2d(pts, k=5, iters=8)
-    from ..operators.dedup import embedding_cosine_pairs
+    from ..operators.dedup import embedding_cosine_pairs_gemm
 
     embc = emb.join(assigned, "vec_id")
-    pairs = embedding_cosine_pairs(
+    # per-cluster chunked-GEMM pairs kernel (each vector crosses the
+    # wire once, pair work in BLAS, output-sized emission); the
+    # zip_with/aggregate expression twin is its pinned verification
+    # surface — tests/test_dedup.py asserts kernel equality
+    pairs = embedding_cosine_pairs_gemm(
         embc, block_col="cluster_id", threshold=_SEMDEDUP_T
     )
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct().withColumn(

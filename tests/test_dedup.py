@@ -61,6 +61,26 @@ def test_embedding_pairs_symmetric_threshold(spark, sf_dir):
     assert all(r["id_a"] < r["id_b"] for r in pairs)
 
 
+def test_embedding_pairs_gemm_equals_expression_twin(spark, sf_dir):
+    """The production GEMM kernel must match the interpreted
+    zip_with/aggregate expression formulation exactly — same pairs,
+    same rounded similarities (the langid fast-vs-DataFrame device).
+    A tiny chunk size forces the chunked-GEMM path across chunk
+    boundaries."""
+    emb = table(spark, sf_dir, "embeddings")
+    expr = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in D.embedding_cosine_pairs(emb, threshold=0.35).collect()
+    }
+    gemm = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in D.embedding_cosine_pairs_gemm(
+            emb, threshold=0.35, chunk=7
+        ).collect()
+    }
+    assert gemm == expr and expr
+
+
 def test_connected_components_known_graph(spark):
     """CC on a hand-built graph: {1-2-3 chain}, {5-6}, isolated 9 (no
     edges -> not labeled)."""

@@ -45,7 +45,7 @@ NOTES = {
     "ann_ivf_search": "reads the prebuilt memoized centroid index (never re-derives); nprobe cell filter prunes the scan",
     "cur_full_pipeline": "one composed DAG: filters/dedup/caps chained without intermediate materialization",
     "dedup_duplicate_groups": "blocked pair edges built once (checkpointed); per-iteration join + map-side-combined min-label agg",
-    "dedup_semdedup_profile": "k-means assignment bounds candidates; cosine pairs only within clusters — never corpus x corpus",
+    "dedup_semdedup_profile": "k-means assignment bounds candidates; cosine pairs only within clusters (per-cluster chunked-GEMM applyInPandas kernel) — never corpus x corpus",
     "graph_bfs_hops": "cached edge build; node-sized frontier per hop with lineage truncation",
     "search_bm25_topk": "postings explode; corpus stats ride as 1-row broadcast; TakeOrdered top-k",
     "stream_surveillance_e2e": "stateless map-side stages + LocalRelation broadcast dims; one tiny complete-mode aggregate",
