@@ -369,3 +369,64 @@ def rp_lsh_multiprobe_pairs(
         .distinct()
     )
     return pairs
+
+
+def quantize_recall_gemm(
+    corpus: DataFrame,
+    q: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-corpus-vector int8-quantization fidelity vs a fixed query
+    vector, as one Arrow-batched numpy pass (mapInPandas) — the kernel
+    behind emb_quantize_recall. `q` is the 1-row broadcast side carrying
+    the query's exact (`qd`) and dequantized (`qdq`) double arrays,
+    produced by the quantize_int8/dequantize COLUMN expressions (so the
+    expression tier stays the production path for the query side and
+    the numeric contract has a single definition point).
+
+    Why: the expression formulation chains quantize -> dequantize ->
+    cosine as interpreted HOFs PER CORPUS ROW (~5 ms/row; the dominant
+    audit-tail entry at sf1). Here each Arrow batch quantizes as one
+    vectorized floor(E/scale + 0.5) and the cosines are two GEMVs.
+    Element-wise steps (cast, scale, floor, multiply) are bit-exact
+    reproductions of the column expressions — pinned by
+    tests/test_curation.py — and the dot/norm summation-order drift is
+    absorbed by the same round-to-4 the oracle applies.
+    """
+    schema = (
+        f"{id_col} long, {label_col} int, cos_exact double, "
+        "cos_quant double, abs_err double"
+    )
+    joined = corpus.select(id_col, label_col, vec_col).crossJoin(F.broadcast(q))
+
+    def batches(it):  # closure: executors don't import this repo
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qd = np.asarray(pdf["qd"].iloc[0], dtype=np.float64)
+            qdq = np.asarray(pdf["qdq"].iloc[0], dtype=np.float64)
+            scales = np.maximum(np.abs(E).max(axis=1) / 127.0, 1e-30)[:, None]
+            Edq = np.floor(E / scales + 0.5) * scales
+            ce = (E @ qd) / (np.linalg.norm(E, axis=1) * np.linalg.norm(qd))
+            cq = (Edq @ qdq) / (
+                np.linalg.norm(Edq, axis=1) * np.linalg.norm(qdq)
+            )
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    label_col: pdf[label_col].to_numpy(),
+                    # + 0.0 collapses IEEE -0.0 (same device as the
+                    # expression formulation)
+                    "cos_exact": np.round(ce, 4) + 0.0,
+                    "cos_quant": np.round(cq, 4) + 0.0,
+                    "abs_err": np.round(np.abs(ce - cq), 4) + 0.0,
+                }
+            )
+
+    return joined.mapInPandas(batches, schema)

@@ -279,8 +279,18 @@ def emb_quantize_recall(spark, sf_dir):
     """Int8 embedding quantization fidelity: exact vs dequantized
     cosine against a fixed query vector, per corpus vector. The
     quantized index is 4x smaller — the scale path for ANN at 100 TB —
-    and this query is the measurable recall contract for it."""
-    from ..functions.vectors import as_double, cosine, dequantize, quantize_int8
+    and this query is the measurable recall contract for it.
+
+    Kernel: the query side quantizes ONCE through the column
+    expressions (quantize_int8/dequantize — the numeric definition
+    point); the per-corpus-vector work runs as an Arrow-batched numpy
+    pass (quantize = one vectorized floor(E/scale + 0.5) per batch,
+    cosines = two GEMVs) — see quantize_recall_gemm. The former
+    per-row interpreted-HOF chain was the dominant sf1 audit-tail
+    entry (~483 s); element-wise numpy steps are bit-exact twins of
+    the expressions (pinned in tests/test_curation.py)."""
+    from ..functions.vectors import as_double, dequantize, quantize_int8
+    from ..operators.similarity import quantize_recall_gemm
 
     e = table(spark, sf_dir, "embeddings")
     # both query-vector forms project ON the 1-row broadcast side —
@@ -290,21 +300,7 @@ def emb_quantize_recall(spark, sf_dir):
         as_double(F.col("embedding")).alias("qd"),
         dequantize(quantize_int8(F.col("embedding"))).alias("qdq"),
     )
-    ce = cosine(as_double(F.col("embedding")), F.col("qd"))
-    cq = cosine(dequantize(quantize_int8(F.col("embedding"))), F.col("qdq"))
-    return (
-        e.filter(F.col("vec_id") != _QVEC_ID)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            "label",
-            # + 0.0 collapses IEEE -0.0 (sign of a ~1e-18 cosine is
-            # summation-grouping-dependent; comparators sort by repr)
-            (F.round(ce, 4) + F.lit(0.0)).alias("cos_exact"),
-            (F.round(cq, 4) + F.lit(0.0)).alias("cos_quant"),
-            (F.round(F.abs(ce - cq), 4) + F.lit(0.0)).alias("abs_err"),
-        )
-    )
+    return quantize_recall_gemm(e.filter(F.col("vec_id") != _QVEC_ID), q)
 
 
 _GAP_HOURS = 24

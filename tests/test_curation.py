@@ -373,3 +373,31 @@ def test_nb_quality_classifier_separates_seed_tokens(spark):
     want = round(prior + llr["good"] + llr["clean"] + llr["prose"], 4)
     assert rows[3]["quality_logodds"] == want
     assert rows[3]["n_tokens"] == 3
+
+
+def test_quantize_gemm_kernel_bitexact_vs_expressions(spark, sf_dir):
+    """The numpy quantize step inside quantize_recall_gemm must be a
+    BIT-EXACT twin of the dequantize(quantize_int8(...)) column
+    expressions — cast, scale, floor, multiply are all element-wise
+    IEEE ops with no summation, so equality is exact, not rounded."""
+    import numpy as np
+
+    from bigdatanycdiseasesurveillance_spark.functions.vectors import (
+        dequantize,
+        quantize_int8,
+    )
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").limit(50)
+    rows = emb.select(
+        "vec_id",
+        "embedding",
+        dequantize(quantize_int8(F.col("embedding"))).alias("edq"),
+    ).collect()
+    assert rows
+    for r in rows:
+        E = np.asarray(r["embedding"], dtype=np.float64)[None, :]
+        scales = np.maximum(np.abs(E).max(axis=1) / 127.0, 1e-30)[:, None]
+        got = (np.floor(E / scales + 0.5) * scales)[0]
+        want = np.asarray(r["edq"], dtype=np.float64)
+        assert got.tolist() == want.tolist(), r["vec_id"]
