@@ -137,3 +137,42 @@ def test_masked_neighborhood_covers_every_hamming_le2_pair(base, data):
         stars = [i for i, ch in enumerate(m) if ch == "*"]
         d = sum(1 for i in range(n) if base[i] != other[i])
         assert d <= len(stars)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), VEC),
+        min_size=2,
+        max_size=24,
+        unique_by=lambda t: (t[0], tuple(t[1])),
+    )
+)
+def test_gemm_pairs_equal_expression_pairs_any_vectors(spark, rows):
+    """For ANY block layout and float32 vectors, the chunked-GEMM pairs
+    kernel and the zip_with/aggregate expression formulation must emit
+    the same (id_a, id_b, rounded-cosine) set — including across chunk
+    boundaries (chunk=3) and degenerate 1-member blocks."""
+    from bigdatanycdiseasesurveillance_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_gemm,
+    )
+
+    data = [(i, blk, v) for i, (blk, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "vec_id long, label int, embedding array<float>"
+    )
+    expr = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in embedding_cosine_pairs(df, threshold=-2.0).collect()
+    }
+    gemm = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in embedding_cosine_pairs_gemm(df, threshold=-2.0, chunk=3).collect()
+    }
+    assert set(gemm) == set(expr)
+    for k, v in gemm.items():
+        # both sides round to 4; tolerate ONE rounding step for the
+        # (theoretical) case where summation-order drift straddles a
+        # rounding boundary — a kernel bug shows up orders larger
+        assert abs(v - expr[k]) <= 1.0001e-4, (k, v, expr[k])
