@@ -604,18 +604,16 @@ def _md5_bands(df, text_col, id_col, n_hashes, bands):
         F.col(id_col).alias("id"), distinct_tokens(F.col(text_col)).alias("tok")
     )
     tok_rows = toks.select("id", F.explode("tok").alias("t"))
-    hashed = tok_rows.select(
-        "id",
-        *[
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{s}:"), F.col("t"))), 1, 15),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias(f"h{s}")
-            for s in range(n_hashes)
-        ],
+    # vocab-sized hashing: each (seed, token) md5 computed once over the
+    # distinct vocabulary and joined back — not once per (doc, token)
+    # row (see setsim.md5_token_vocab_hashes; bit-identical values)
+    from .setsim import md5_token_vocab_hashes
+
+    hashed = tok_rows.join(
+        md5_token_vocab_hashes(
+            tok_rows, "t", [(f"h{s}", f"{s}:") for s in range(n_hashes)]
+        ),
+        "t",
     )
     sig = hashed.groupBy("id").agg(
         *[F.min(f"h{s}").alias(f"mh{s}") for s in range(n_hashes)]
@@ -719,14 +717,13 @@ def simhash_md5_pairs(
         F.col(id_col).alias("id"), distinct_tokens(F.col(text_col)).alias("tok")
     )
     tok_rows = toks.select("id", F.explode("tok").alias("t"))
-    h = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("sim:"), F.col("t"))), 1, 15), 16, 10
-        )
-        .cast("long")
-        .alias("h")
-    )
-    hashed = tok_rows.select("id", h)
+    # vocab-sized hashing: the "sim:" md5 runs once per distinct token,
+    # joined back to the occurrence rows (bit-identical values)
+    from .setsim import md5_token_vocab_hashes
+
+    hashed = tok_rows.join(
+        md5_token_vocab_hashes(tok_rows, "t", [("h", "sim:")]), "t"
+    ).select("id", "h")
     votes = hashed.groupBy("id").agg(
         F.count("*").alias("n"),
         *[

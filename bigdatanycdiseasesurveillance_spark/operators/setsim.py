@@ -358,16 +358,13 @@ def minhash_md5_pair_stats(
     gt = g.join(toks, g["rep"] == toks["id"]).select(
         "mask", F.explode("tok").alias("t")
     )
-    hashed = gt.select(
-        "mask",
-        *[
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{s}:"), F.col("t"))), 1, 15), 16, 10
-            )
-            .cast("long")
-            .alias(f"h{s}")
-            for s in range(n_hashes)
-        ],
+    # vocab-sized hashing: each (seed, token) md5 computed once and
+    # joined back (md5_token_vocab_hashes), never once per set-token row
+    hashed = gt.join(
+        md5_token_vocab_hashes(
+            gt, "t", [(f"h{s}", f"{s}:") for s in range(n_hashes)]
+        ),
+        "t",
     )
     sig = hashed.groupBy("mask").agg(
         *[F.min(f"h{s}").alias(f"mh{s}") for s in range(n_hashes)]
@@ -439,6 +436,44 @@ def mask_token_rows(g: DataFrame, toks: DataFrame) -> DataFrame:
     )
 
 
+def md5_token_vocab_hashes(
+    tok_rows: DataFrame, tok_col: str = "t", prefixes=None
+) -> DataFrame:
+    """Seeded md5 token hashes computed over the DISTINCT token
+    vocabulary, not the token stream: one row per distinct token with
+    one hash column per (alias, prefix) pair — join back to the token
+    rows to attach them. "Hash the vocabulary, not the stream": md5
+    depends only on (prefix, token), so hashing per (carrier, token)
+    row repeats every hash once per occurrence; this computes each
+    exactly once (vocab-sized work) and lets AQE broadcast the vocab
+    table when it is small. Bit-identical values to the inline
+    formulation by construction. Honest measurement: on the synthetic
+    corpus (31-token vocabulary, set-collapsed carriers) the end-to-end
+    sf1 effect is ~-20% on dedup_minhash_md5 / source_overlap and
+    within run noise elsewhere — banding and verify dominate there; the
+    structural win (occurrences x seeds -> vocab x seeds hash calls) is
+    what matters at web-scale vocab-to-occurrence ratios.
+
+    prefixes: list of (column_alias, literal_prefix); defaults to the
+    16-seed MinHash family ("0:".."15:")."""
+    if prefixes is None:
+        prefixes = [(f"h{s}", f"{s}:") for s in range(16)]
+    vocab = tok_rows.select(tok_col).distinct()
+    return vocab.select(
+        tok_col,
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(p), F.col(tok_col))), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias(a)
+            for a, p in prefixes
+        ],
+    )
+
+
 def minhash_md5_set_bands(
     mask_toks: DataFrame, n_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
@@ -447,18 +482,13 @@ def minhash_md5_set_bands(
     carrying that set (same seeds, same concat format), so doc-level
     oracles and set-level contracts agree exactly."""
     rows_per_band = n_hashes // bands
-    hashed = mask_toks.select(
-        "mask",
-        *[
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{s}:"), F.col("t"))), 1, 15),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias(f"h{s}")
-            for s in range(n_hashes)
-        ],
+    # vocab-sized hashing (md5_token_vocab_hashes): bit-identical, but
+    # each (seed, token) md5 runs once, not once per set-token row
+    hashed = mask_toks.join(
+        md5_token_vocab_hashes(
+            mask_toks, "t", [(f"h{s}", f"{s}:") for s in range(n_hashes)]
+        ),
+        "t",
     )
     sig = hashed.groupBy("mask").agg(
         *[F.min(f"h{s}").alias(f"mh{s}") for s in range(n_hashes)]
