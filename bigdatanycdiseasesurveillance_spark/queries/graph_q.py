@@ -8,14 +8,11 @@ Scale notes: the classic hazard is wedge work exploding on hub
 vertices (sum of degree^2). Orienting every edge from its
 lower-(degree, id) endpoint to the higher one bounds each vertex's
 out-degree by O(sqrt(|E|)) — the standard compact-forward guarantee —
-so the per-edge adjacency intersection is |E|^1.5 worst case instead
+so the oriented wedge join is linear-ish in |E|^1.5 worst case instead
 of sum-of-squares, and every triangle is counted exactly once (unique
-lowest endpoint in the orientation order). The close itself ships each
-sorted out-neighbor list once per incident oriented edge and
-intersects in-row — no wedge-sized shuffle ever materializes. The
-oracle runs the naive id-oriented 3-way self-join: orientation choice
-never changes the count, which is precisely what makes the scale trick
-safely testable.
+lowest endpoint in the orientation order). The oracle runs the naive
+id-oriented 3-way self-join: orientation choice never changes the
+count, which is precisely what makes the scale trick safely testable.
 """
 
 from __future__ import annotations
@@ -63,9 +60,8 @@ def graph_triangle_count(spark, sf_dir):
     """Triangles in the part co-purchase graph (parts sharing an
     order). Engine plan: distinct edges -> degree table (vertex-count
     rows, broadcast) -> orient each edge low-(degree,id) to high ->
-    compact-forward close: per oriented edge, |adj(src) ∩ adj(dst)|
-    over sorted out-neighbor lists (arrays bounded O(sqrt|E|) by the
-    orientation), summed. Global clustering coefficient emitted as
+    wedge equi-join on the middle vertex -> left-semi close against
+    the oriented edge set. Global clustering coefficient emitted as
     the raw (3T)/wedges division — exact integers into IEEE division,
     bit-identical across engines. The oracle's naive 3-way self-join
     proves orientation-invariance of the count."""
@@ -73,7 +69,7 @@ def graph_triangle_count(spark, sf_dir):
     a = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
     b = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
     # e feeds the degree table, the orientation join, and the edge
-    # count; o feeds the adjacency build and both sides of the close —
+    # count; o feeds both wedge sides and the closing semi-join —
     # without checkpoints each consumer re-runs the fact self-join
     # (the dominant cost), tripling the plan
     e = (
@@ -101,25 +97,21 @@ def graph_triangle_count(spark, sf_dir):
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
     ).localCheckpoint(eager=False)
 
-    # compact-forward close: per oriented edge (a,b), triangles through
-    # it = |adj(a) ∩ adj(b)| over sorted out-neighbor lists. This
-    # replaces the wedge-materializing equi-join + 320M-row semi-join
-    # shuffle (the former dominant stage) with two edge-sized joins
-    # carrying one bounded array each — orientation caps every
-    # adjacency list at O(sqrt|E|) — and an in-row array_intersect.
-    # Measured at sf1: 109s -> 58s for the close, same count.
-    adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nb"))
-    tri = (
-        o.join(
-            adj.select(F.col("src").alias("a2"), F.col("nb").alias("na")),
-            F.col("src") == F.col("a2"),
-        )
-        .join(
-            adj.select(F.col("src").alias("b2"), F.col("nb").alias("nbb")),
-            F.col("dst") == F.col("b2"),
-        )
-        .select(F.size(F.array_intersect("na", "nbb")).alias("c"))
-        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t"))
+    # Close via the oriented wedge equi-join + left-semi against the
+    # edge set. An adjacency-intersect close (collect sorted
+    # out-neighbor lists, |adj(a) ∩ adj(b)| per edge) was A/B-tested at
+    # sf1 IN-ROUND (r9): it wins 1.9x with AQE off, but under the
+    # engine session (AQE on, which coalesces the wedge shuffle and
+    # picks the semi-join strategy) the wedge close is ~1.3x FASTER
+    # (60.5s vs 91.6s first-run close at sf1) — array-carrying shuffles
+    # sort/spill worse than the flat (a,c) pairs AQE compacts. Keep the
+    # wedge form; re-evaluate only with a measured win under AQE.
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b")
+    closing = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["a", "c"], "left_semi").agg(
+        F.count("*").alias("t")
     )
 
     stats = deg.agg(
