@@ -81,11 +81,19 @@ def unit(vec: Column) -> Column:
     """Unit-normalized double vector. Pairwise plans should project this
     ONCE per side before the join — cosine then degenerates to a single
     dot() per pair instead of dot + two norms (3x less array work on the
-    O(pairs) hot path, and the cast/norm runs O(n) not O(pairs))."""
+    O(pairs) hot path, and the cast/norm runs O(n) not O(pairs)).
+
+    Zero-norm contract: a zero vector normalizes to itself (the divisor
+    is clamped to 1 when the norm is exactly 0), so any cosine against
+    it is 0.0 — identical to the GEMM kernel's ``norms[norms == 0] = 1``
+    clamp (operators/dedup.py). Without the clamp the expression path
+    emitted NaN, which Spark orders ABOVE all doubles, so a NaN pair
+    silently passed every >= threshold filter the GEMM path dropped."""
     v = as_double(vec)
 
     def _scale(u: Column) -> Column:
         n = F.sqrt(F.aggregate(F.transform(u, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+        n = F.when(n == F.lit(0.0), F.lit(1.0)).otherwise(n)
         return F.transform(u, lambda x: x / n)
 
     # bind v via a one-element transform so the cast doesn't re-run per

@@ -12,7 +12,7 @@ DataFrame plan.
 Scale design:
 - exact tier: hash + groupBy — one shuffle on the 16-byte hash;
 - n-gram Jaccard: blocked self-join (equi-join on block keys, so the
-  pair space is per-block, never全-corpus O(n^2));
+  pair space is per-block, never full-corpus O(n^2));
 - MinHash-LSH: signature = array of per-permutation mins computed as
   column expressions (xxhash64 — JVM-side, no Python); banding turns
   near-dup search into equi-joins on band keys; candidates verified
@@ -117,7 +117,7 @@ def jaccard_pairs_gemm(
     knn_per_block_gemm). Tokenization mirrors functions.text_funcs.tokens
     exactly: lower, split on single spaces, drop empties, distinct.
     """
-    schema = f"id_a long, id_b long, jaccard double"
+    schema = "id_a long, id_b long, jaccard double"
 
     def block_pairs(pdf):  # closure: executors don't import this repo
         import numpy as np
@@ -546,9 +546,11 @@ def embedding_cosine_pairs_gemm(
         for lo in range(0, m, chunk):
             hi = min(lo + chunk, m)
             S = np.round(M[lo:hi] @ M.T, 4)
-            # strict upper triangle in id order: col index > row index
+            # strict upper order by ID, not position: a block holding
+            # duplicate vec_ids must not emit an id_a == id_b pair (the
+            # expression twin's id_a < id_b filter drops those)
             r, c = np.nonzero(S >= threshold)
-            keep = c > (r + lo)
+            keep = ids[c] > ids[r + lo]
             r, c = r[keep], c[keep]
             out_a.extend(ids[r + lo])
             out_b.extend(ids[c])

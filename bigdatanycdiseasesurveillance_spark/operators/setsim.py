@@ -455,7 +455,18 @@ def md5_token_vocab_hashes(
     what matters at web-scale vocab-to-occurrence ratios.
 
     prefixes: list of (column_alias, literal_prefix); defaults to the
-    16-seed MinHash family ("0:".."15:")."""
+    16-seed MinHash family ("0:".."15:").
+
+    Deliberate double-scan: the vocab ``distinct()`` and the caller's
+    join-back both recompute the tok_rows lineage (scan + tokenize +
+    explode), so input work runs twice. A ``localCheckpoint`` on
+    tok_rows would dedupe that, but it materializes the EXPLODED token
+    stream (corpus-scale rows) to executor-local disk — at 100 TB that
+    write dwarfs a second columnar scan with column pruning. A/B at
+    sf0.1 (r10): checkpoint 0.66-1.12s vs plain 0.89s on the signature
+    stage — within noise — while the vocab-sized hashing win it enables
+    is the measured -20% at sf1. Callers with a cheap, narrow tok_rows
+    lineage may checkpoint at the call site; the helper stays lazy."""
     if prefixes is None:
         prefixes = [(f"h{s}", f"{s}:") for s in range(16)]
     vocab = tok_rows.select(tok_col).distinct()

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import math
+
 from bigdatanycdiseasesurveillance_spark.operators import dedup as D
 from bigdatanycdiseasesurveillance_spark.tables import table
 
@@ -78,7 +80,37 @@ def test_embedding_pairs_gemm_equals_expression_twin(spark, sf_dir):
             emb, threshold=0.35, chunk=7
         ).collect()
     }
-    assert gemm == expr and expr
+    # key sets exact; values tolerate ONE 4-decimal rounding step for
+    # summation-order drift straddling a rounding boundary — the same
+    # tolerance the companion property test uses (a kernel bug shows up
+    # orders larger)
+    assert set(gemm) == set(expr) and expr
+    for k, v in gemm.items():
+        assert abs(v - expr[k]) <= 1.0001e-4, (k, v, expr[k])
+
+
+def test_embedding_pairs_gemm_duplicate_ids_and_zero_norms(spark):
+    """Two contract edges the sf fixtures can't reach: (1) a block
+    holding DUPLICATE vec_ids must not emit an id_a == id_b pair (the
+    triangle filter compares ids, not positions); (2) a zero vector
+    yields cosine 0.0 in BOTH kernels (clamped divisor), never a NaN
+    that passes the threshold by Spark's NaN-sorts-last rule."""
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0, 0.0]),
+        (1, 0, [1.0, 0.0, 0.0, 0.0]),  # duplicate id, identical vector
+        (2, 0, [1.0, 0.0, 0.0, 0.0]),
+        (3, 0, [0.0, 0.0, 0.0, 0.0]),  # zero-norm vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    expr = D.embedding_cosine_pairs(df, threshold=0.35).collect()
+    gemm = D.embedding_cosine_pairs_gemm(df, threshold=0.35, chunk=2).collect()
+    for out in (expr, gemm):
+        assert all(r["id_a"] < r["id_b"] for r in out)
+        assert all(not math.isnan(r["cosine_sim"]) for r in out)
+        assert all(3 not in (r["id_a"], r["id_b"]) for r in out)
+    assert {(r["id_a"], r["id_b"], r["cosine_sim"]) for r in expr} == {
+        (r["id_a"], r["id_b"], r["cosine_sim"]) for r in gemm
+    } == {(1, 2, 1.0)}
 
 
 def test_connected_components_known_graph(spark):
