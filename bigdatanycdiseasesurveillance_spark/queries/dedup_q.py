@@ -474,3 +474,104 @@ def dedup_duplicate_groups(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("group_size"))
         .filter(F.col("group_size") > 1)
     )
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   substr({_NORM_SQL}, 1, 12) AS sk,
+                   list_distinct(list_filter(string_split(lower(text), ' '),
+                                             t -> t <> '')) AS tok
+            FROM documents
+        ), ord AS (
+            SELECT doc_id, source, tok,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY sk, doc_id) AS rn
+            FROM toks
+        ), cand AS (
+            SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+                   GREATEST(a.doc_id, b.doc_id) AS id_b,
+                   ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+                         (len(a.tok) + len(b.tok)
+                          - len(list_intersect(a.tok, b.tok))),
+                         4) AS jaccard
+            FROM ord a JOIN ord b
+              ON a.source = b.source
+             AND b.rn BETWEEN a.rn + 1 AND a.rn + 3
+        )
+        SELECT id_a, id_b, jaccard FROM cand WHERE jaccard >= 0.7
+    """,
+    tags=("dedup", "M2", "blocking", "snm"),
+)
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood ER blocking (Hernandez-Stolfo): sort each
+    source partition by a coarse content key (first 12 chars of the
+    normalized text), slide a window of size 4, emit exact-Jaccard-
+    verified pairs among records within the window. The reference's
+    arrival-order dedup cache (compare each record against the last 100
+    seen, reference: src/spark_consumers/deduplication_consumer.py:
+    251-261) IS a degenerate sorted neighborhood whose sort key is
+    arrival time; this is the deterministic, content-keyed form.
+
+    Scale shape: ONE shuffle (the window sort on source) and zero
+    self-join — candidates come from lead() over the sorted partition,
+    so candidate count is exactly (w-1) x n regardless of corpus skew.
+    The token arrays ride the window as lead payloads: bounded (w-1)x
+    duplication inside one stage, vs two extra corpus-wide hash joins
+    to re-attach them per pair (the band joins measured re-attach
+    cheaper, but their candidate multiplicity is unbounded; here it is
+    a small constant, so payload-through-window wins). At 100 TB a
+    single source partition can exceed one task: pre-split the sort key
+    range (range partition on (source, sk)) and overlap boundaries by
+    w-1 rows — the window semantics are unchanged."""
+    from pyspark.sql import Window
+
+    from ..functions.text_funcs import distinct_tokens, word_jaccard
+
+    docs = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " ")),
+        " +",
+        " ",
+    )
+    sel = docs.select(
+        "doc_id",
+        "source",
+        F.substring(norm, 1, 12).alias("sk"),
+        distinct_tokens(F.col("text")).alias("tok"),
+    )
+    w = Window.partitionBy("source").orderBy("sk", "doc_id")
+    # window exprs evaluate in their own Project (generators can't host
+    # them), then ONE explode fans the w-1 neighbors out
+    neighbors = sel.select(
+        "doc_id",
+        "tok",
+        *[F.lead("doc_id", k).over(w).alias(f"nid{k}") for k in (1, 2, 3)],
+        *[F.lead("tok", k).over(w).alias(f"ntok{k}") for k in (1, 2, 3)],
+    )
+    led = neighbors.select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"nid{k}").alias("nid"),
+                        F.col(f"ntok{k}").alias("ntok"),
+                    )
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("c"),
+    ).filter(F.col("c.nid").isNotNull())
+    j = F.round(word_jaccard(F.col("tok"), F.col("c.ntok")), 4)
+    return (
+        led.select(
+            F.least("doc_id", "c.nid").alias("id_a"),
+            F.greatest("doc_id", "c.nid").alias("id_b"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+    )

@@ -322,3 +322,141 @@ def tok_bpe_merges(spark, sf_dir):
     from ..operators.tokenizer import bpe_merge_steps
 
     return bpe_merge_steps(table(spark, sf_dir, "documents"), steps=3)
+
+
+@register(
+    "cur_importance_resampling",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS l
+            FROM documents
+        ), bg AS (
+            SELECT doc_id, source,
+                   unnest(CASE WHEN len(l) >= 2
+                          THEN list_transform(generate_series(1, len(l) - 1),
+                                              i -> l[i] || ' ' || l[i + 1])
+                          ELSE [] END) AS b
+            FROM toks
+        ), feat AS (
+            SELECT doc_id, source,
+                   CAST(('0x' || substr(md5('dsir:' || b), 1, 15)) AS BIGINT)
+                       % 64 AS bkt
+            FROM bg
+        ), stats AS (
+            SELECT bkt,
+                   SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+                   COUNT(*) AS cr
+            FROM feat GROUP BY bkt
+        ), tot AS (
+            SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM stats
+        ), lr AS (
+            SELECT bkt,
+                   ln((ct + 1.0) / (tt + 64)) - ln((cr + 1.0) / (tr + 64))
+                       AS logratio
+            FROM stats, tot
+        ), perdoc AS (
+            SELECT f.doc_id, f.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(SUM(lr.logratio), 4) AS dsir_logweight,
+                   ROUND(SUM(lr.logratio)
+                         - ln(-ln((CAST(('0x' || substr(md5('gum:' ||
+                                 CAST(f.doc_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT) % 1000000 + 0.5) / 1000000.0)),
+                         4) AS sample_key
+            FROM feat f JOIN lr ON f.bkt = lr.bkt
+            GROUP BY f.doc_id, f.source
+        )
+        SELECT doc_id, source, n_bigrams, dsir_logweight, sample_key
+        FROM perdoc
+        ORDER BY sample_key DESC, doc_id
+        LIMIT 200
+    """,
+    tags=("curation", "dsir", "sampling", "training-data"),
+)
+def cur_importance_resampling(spark, sf_dir):
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023):
+    hashed-n-gram importance weights + Gumbel-top-k resample. Features
+    are word bigrams feature-hashed into 64 buckets (md5-derived so the
+    oracle replays the hash bit-for-bit); the target distribution is
+    the curated seed source ``src0``, the raw distribution is the whole
+    corpus; a document's log importance weight is the sum over its
+    bigram occurrences of the Laplace-smoothed bucket log-ratio
+    ln(p_target/p_raw). Resampling keeps the top-k by logweight plus
+    seeded Gumbel noise (-ln(-ln(u)), u md5-derived per doc) — the
+    standard Gumbel-max reformulation of sampling proportional to
+    exp(weight) without replacement, made oracle-replayable.
+
+    The log-ratio dataflow is the same shape proven in
+    cur_quality_classifier; what this entry adds is FEATURE HASHING
+    (fixed 64-bucket model regardless of vocabulary — the piece that
+    makes DSIR web-scale: the model is O(buckets), never O(vocab)) and
+    the deterministic resample. Scale: bucket stats are two map-side-
+    combinable aggs into 64 rows; the totals cross-join broadcasts one
+    row; scoring re-joins on bucket (64-row broadcast); the top-k is a
+    TakeOrderedAndProject. Docs with <2 tokens carry no bigram features
+    and are excluded (no features = no importance evidence)."""
+    docs = table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+
+    def _bigrams(l):
+        n = F.size(l)
+        return F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat(
+                    F.element_at(l, i), F.lit(" "), F.element_at(l, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bg = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.element_at(F.transform(F.array(t), _bigrams), 1)).alias("b"),
+    )
+    feat = bg.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("b"))), 1, 15), 16, 10)
+            .cast("long")
+            % 64
+        ).alias("bkt"),
+    )
+    stats = feat.groupBy("bkt").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    tot = stats.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lr = stats.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("tt") + 64))
+            - F.log((F.col("cr") + 1.0) / (F.col("tr") + 64))
+        ).alias("logratio"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("gum:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+        + 0.5
+    ) / 1000000.0
+    return (
+        feat.join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.sum("logratio"), 4).alias("dsir_logweight"),
+            F.round(F.sum("logratio") - F.log(-F.log(u)), 4).alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(200)
+    )

@@ -215,3 +215,96 @@ def scalar_variant_props(spark, sf_dir):
             F.sum("k").cast("long").alias("k_sum"),
         )
     )
+
+
+@register(
+    "scalar_variant_try_paths",
+    oracle="""
+        WITH mod AS (
+            SELECT event_type,
+                   event_id % 4 AS kind,
+                   json_extract_string(props, '$.k') AS kv,
+                   CASE event_id % 4
+                     WHEN 0 THEN props
+                     WHEN 1 THEN '{"k": {"nested": '
+                                 || json_extract_string(props, '$.k') || '}}'
+                     WHEN 2 THEN '{"k": "lvl'
+                                 || json_extract_string(props, '$.k') || '"}'
+                     ELSE '{"k": "'
+                          || json_extract_string(props, '$.k') || '"}'
+                   END AS mp
+            FROM events
+        ), ext AS (
+            SELECT event_type, kind,
+                   TRY_CAST(json_extract_string(mp, '$.k') AS BIGINT)
+                       AS k_int,
+                   TRY_CAST(json_extract_string(mp, '$.k.nested') AS BIGINT)
+                       AS k_nested,
+                   TRY_CAST(json_extract_string(mp, '$.absent') AS BIGINT)
+                       AS k_absent
+            FROM mod
+        )
+        SELECT event_type, kind,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(COUNT(k_int) AS BIGINT) AS n_int,
+               CAST(COALESCE(SUM(k_int), 0) AS BIGINT) AS sum_int,
+               CAST(COUNT(k_nested) AS BIGINT) AS n_nested,
+               CAST(COALESCE(SUM(k_nested), 0) AS BIGINT) AS sum_nested,
+               CAST(COUNT(k_absent) AS BIGINT) AS n_absent,
+               CASE kind
+                 WHEN 0 THEN 'OBJECT<k: BIGINT>'
+                 WHEN 1 THEN 'OBJECT<k: OBJECT<nested: BIGINT>>'
+                 ELSE 'OBJECT<k: STRING>'
+               END AS variant_schema
+        FROM ext
+        GROUP BY event_type, kind
+    """,
+    tags=("scalar", "variant", "semistructured", "spark4"),
+)
+def scalar_variant_try_paths(spark, sf_dir):
+    """Spark 4 VARIANT graceful-access showcase: heterogeneous JSON
+    (the same key carrying an int, a nested object, or a string,
+    derived deterministically from event_id % 4) parsed ONCE into the
+    binary VARIANT encoding, then probed with try_variant_get — typed
+    access that returns NULL instead of failing when the path is
+    absent, the shape is an object, or the cast can't coerce
+    (numeric strings DO coerce: variant '"33"' as int = 33; 'lvl33'
+    and objects are NULL). schema_of_variant pins the per-shape
+    inferred schema string; the oracle replays the coercion matrix
+    with json_extract + TRY_CAST and the schema strings as literals.
+
+    scalar_variant_props covers the happy-path typed get; this entry
+    is the messy-data contract a 100 TB semi-structured ingest
+    actually needs: one parse per row, then any number of typed probes
+    that can't abort the job on a malformed record."""
+    e = table(spark, sf_dir, "events")
+    kv = F.get_json_object(F.col("props"), "$.k")
+    kind = (F.col("event_id") % 4).cast("bigint")
+    mp = (
+        F.when(kind == 0, F.col("props"))
+        .when(kind == 1, F.concat(F.lit('{"k": {"nested": '), kv, F.lit("}}")))
+        .when(kind == 2, F.concat(F.lit('{"k": "lvl'), kv, F.lit('"}')))
+        .otherwise(F.concat(F.lit('{"k": "'), kv, F.lit('"}')))
+    )
+    parsed = e.select(
+        "event_type",
+        kind.alias("kind"),
+        F.parse_json(mp).alias("v"),
+    )
+    probed = parsed.select(
+        "event_type",
+        "kind",
+        F.try_variant_get("v", "$.k", "bigint").alias("k_int"),
+        F.try_variant_get("v", "$.k.nested", "bigint").alias("k_nested"),
+        F.try_variant_get("v", "$.absent", "bigint").alias("k_absent"),
+        F.schema_of_variant("v").alias("sch"),
+    )
+    return probed.groupBy("event_type", "kind").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.count("k_int").cast("long").alias("n_int"),
+        F.coalesce(F.sum("k_int"), F.lit(0)).cast("long").alias("sum_int"),
+        F.count("k_nested").cast("long").alias("n_nested"),
+        F.coalesce(F.sum("k_nested"), F.lit(0)).cast("long").alias("sum_nested"),
+        F.count("k_absent").cast("long").alias("n_absent"),
+        F.min("sch").alias("variant_schema"),
+    )
