@@ -122,15 +122,18 @@ def frame_sample(decoded: DataFrame, every_k: int = 10) -> DataFrame:
 # Real-codec twin: actual bytes through actual stdlib parsers.
 #
 # The md5-stub decode above is value-checked end to end, but no real
-# bytes are ever decoded. This pair closes that gap with pure-stdlib
-# codecs: a header-only PNG (signature + IHDR + IEND, CRC32-verified)
-# and a canonical 44-byte-header WAV written and re-read by the `wave`
-# module. Every metadata field is a closed-form function of doc_id, so a
+# bytes are ever decoded. This trio closes that gap with pure-stdlib
+# codecs: a header-only PNG (signature + IHDR + IEND, CRC32-verified),
+# a canonical 44-byte-header WAV written and re-read by the `wave`
+# module, and a header-only JPEG (SOI + JFIF APP0 + SOF0 + EOI, parsed
+# by a real marker-segment walk — the dominant web-crawl image format).
+# Every metadata field is a closed-form function of doc_id, so a
 # SQL oracle replays the whole builder->parser round trip — a bug in
 # either side (wrong endianness, wrong struct layout, bad CRC, RIFF size
-# miscount) breaks parity. Reference analog: the embedding consumer's
-# real-model doc assembly (src/spark_consumers/embedding_consumer.py:97-170)
-# — the production kernel whose plumbing the stub could not exercise.
+# miscount, mis-walked marker lengths) breaks parity. Reference analog:
+# the embedding consumer's real-model doc assembly
+# (src/spark_consumers/embedding_consumer.py:97-170) — the production
+# kernel whose plumbing the stub could not exercise.
 # ---------------------------------------------------------------------------
 
 REAL_MEDIA_SCHEMA = "doc_id long, media_type string, payload binary"
@@ -145,17 +148,25 @@ REAL_DECODED_SCHEMA = (
 def _media_params(doc_id: int):
     """Closed-form payload parameters — the single source of truth the
     builder, the parser test, and the SQL oracle all derive from."""
-    if doc_id % 2 == 0:
+    if doc_id % 3 == 0:
         return {
             "media_type": "png",
             "width": 1 + doc_id % 16,
             "height": 1 + (doc_id // 16) % 16,
         }
+    if doc_id % 3 == 1:
+        return {
+            "media_type": "wav",
+            "channels": 1 + doc_id % 2,
+            "sample_rate": 8000 + (doc_id % 4) * 4000,
+            "n_frames": 1 + doc_id % 100,
+        }
     return {
-        "media_type": "wav",
-        "channels": 1 + doc_id % 2,
-        "sample_rate": 8000 + (doc_id % 4) * 4000,
-        "n_frames": 1 + doc_id % 100,
+        "media_type": "jpeg",
+        "width": 1 + doc_id % 300,
+        "height": 1 + (doc_id // 3) % 200,
+        # grayscale (1 component) vs YCbCr (3) both exercised
+        "channels": 1 if doc_id % 2 == 1 else 3,
     }
 
 
@@ -175,15 +186,26 @@ def attach_real_media(docs: DataFrame) -> DataFrame:
         import pandas as _pd
 
         def params(doc_id):
-            if doc_id % 2 == 0:
+            # mirrors _media_params (closure copy: executors don't
+            # import this repo)
+            if doc_id % 3 == 0:
                 return ("png", 1 + doc_id % 16, 1 + (doc_id // 16) % 16, 0, 0, 0)
+            if doc_id % 3 == 1:
+                return (
+                    "wav",
+                    0,
+                    0,
+                    1 + doc_id % 2,
+                    8000 + (doc_id % 4) * 4000,
+                    1 + doc_id % 100,
+                )
             return (
-                "wav",
+                "jpeg",
+                1 + doc_id % 300,
+                1 + (doc_id // 3) % 200,
+                1 if doc_id % 2 == 1 else 3,
                 0,
                 0,
-                1 + doc_id % 2,
-                8000 + (doc_id % 4) * 4000,
-                1 + doc_id % 100,
             )
 
         def build_png(width, height):
@@ -207,12 +229,37 @@ def attach_real_media(docs: DataFrame) -> DataFrame:
                 w.writeframes(b"\x00" * (n_frames * channels * 2))
             return buf.getvalue()
 
+        def build_jpeg(width, height, ncomp):
+            # SOI + JFIF APP0 (16-byte segment) + SOF0 + EOI: a valid
+            # header-only JPEG stream (no scan data needed for header
+            # parsing — exactly what a 100 TB metadata pass reads)
+            app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+                [1, 1, 0]
+            ) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+            comps = b"".join(
+                bytes([i + 1, 0x11, 0]) for i in range(ncomp)
+            )
+            sof0 = (
+                b"\xff\xc0"
+                + struct.pack(">H", 8 + 3 * ncomp)
+                + bytes([8])
+                + struct.pack(">HH", height, width)
+                + bytes([ncomp])
+                + comps
+            )
+            return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
         for pdf in batch_iter:
             rows = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 mt, w, h, ch, sr, nf = params(doc_id)
-                payload = build_png(w, h) if mt == "png" else build_wav(ch, sr, nf)
+                if mt == "png":
+                    payload = build_png(w, h)
+                elif mt == "wav":
+                    payload = build_wav(ch, sr, nf)
+                else:
+                    payload = build_jpeg(w, h, ch)
                 rows.append(
                     {"doc_id": doc_id, "media_type": mt, "payload": payload}
                 )
@@ -226,9 +273,11 @@ def attach_real_media(docs: DataFrame) -> DataFrame:
 def decode_real_headers(media: DataFrame) -> DataFrame:
     """REAL decode: PNG signature + big-endian IHDR struct parse with
     CRC32 verification; WAV via the stdlib `wave` reader plus a RIFF
-    chunk-size integrity check. Same mapInPandas/Arrow shape as the
-    production decode stage — swap the parser bodies for PIL/soundfile
-    and nothing else changes."""
+    chunk-size integrity check; JPEG via a real marker-segment walk
+    (SOI, JFIF APP0 identifier, SOFn frame header for dimensions /
+    precision / component count, EOI terminator). Same mapInPandas/
+    Arrow shape as the production decode stage — swap the parser bodies
+    for PIL/soundfile and nothing else changes."""
 
     def decode_batches(batch_iter):
         import io
@@ -276,6 +325,53 @@ def decode_real_headers(media: DataFrame) -> DataFrame:
                 "header_ok": bool(ok),
             }
 
+        # SOFn markers that carry frame dimensions (all sequential/
+        # progressive/lossless variants; C4/C8/CC are DHT/JPG/DAC)
+        SOF_MARKERS = frozenset(
+            {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        )
+
+        def parse_jpeg(payload):
+            ok = payload[:2] == b"\xff\xd8"
+            width = height = precision = ncomp = 0
+            jfif = eoi = sof = False
+            i = 2
+            while i + 2 <= len(payload):
+                if payload[i] != 0xFF:
+                    ok = False
+                    break
+                marker = payload[i + 1]
+                if marker == 0xD9:  # EOI
+                    eoi = i + 2 == len(payload)
+                    break
+                if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+                    i += 2
+                    continue
+                (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+                seg = payload[i + 4 : i + 2 + seg_len]
+                if len(seg) != seg_len - 2:
+                    ok = False
+                    break
+                if marker == 0xE0 and seg[:5] == b"JFIF\x00":
+                    jfif = True
+                elif marker in SOF_MARKERS:
+                    precision = seg[0]
+                    height, width = struct.unpack(">HH", seg[1:5])
+                    ncomp = seg[5]
+                    sof = True
+                i += 2 + seg_len
+            ok = ok and jfif and sof and eoi
+            return {
+                "width": width,
+                "height": height,
+                "bit_depth": precision,
+                "channels": ncomp,
+                "sample_rate": 0,
+                "n_frames": 0,
+                "header_ok": bool(ok),
+            }
+
         bad = {
             "width": 0,
             "height": 0,
@@ -294,11 +390,12 @@ def decode_real_headers(media: DataFrame) -> DataFrame:
                 # never fail the job: wave.Error / struct.error / short
                 # slices are data conditions, not code bugs
                 try:
-                    meta = (
-                        parse_png(payload)
-                        if r["media_type"] == "png"
-                        else parse_wav(payload)
-                    )
+                    if r["media_type"] == "png":
+                        meta = parse_png(payload)
+                    elif r["media_type"] == "wav":
+                        meta = parse_wav(payload)
+                    else:
+                        meta = parse_jpeg(payload)
                 except Exception:
                     meta = dict(bad)
                 meta.update(

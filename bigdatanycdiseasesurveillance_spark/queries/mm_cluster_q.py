@@ -274,24 +274,33 @@ def mm_decode_pipeline(spark, sf_dir):
     "mm_decode_real_headers",
     # Every field is a closed-form function of doc_id (the builder's
     # parameter derivation), so the oracle replays the ENTIRE real-codec
-    # round trip: build valid PNG/WAV bytes -> stdlib parse -> metadata.
-    # A struct-layout/endianness/CRC/RIFF-size bug on either side breaks
-    # parity. PNG n_bytes = 8 sig + 25 IHDR + 12 IEND = 45; WAV n_bytes
-    # = 44-byte canonical header + frames*channels*2.
+    # round trip: build valid PNG/WAV/JPEG bytes -> stdlib parse ->
+    # metadata. A struct-layout/endianness/CRC/RIFF-size/marker-walk bug
+    # on either side breaks parity. PNG n_bytes = 8 sig + 25 IHDR + 12
+    # IEND = 45; WAV n_bytes = 44-byte canonical header +
+    # frames*channels*2; JPEG n_bytes = 2 SOI + 18 APP0 + (10 + 3*ncomp)
+    # SOF0 + 2 EOI = 32 + 3*ncomp.
     oracle="""
         SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_type,
-               CASE WHEN doc_id % 2 = 0 THEN 45
-                    ELSE 44 + (1 + doc_id % 100) * (1 + doc_id % 2) * 2
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                    ELSE 'jpeg' END AS media_type,
+               CASE doc_id % 3
+                    WHEN 0 THEN 45
+                    WHEN 1 THEN 44 + (1 + doc_id % 100) * (1 + doc_id % 2) * 2
+                    ELSE 32 + 3 * (CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END)
                     END AS n_bytes,
-               CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16 ELSE 0 END AS width,
-               CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 16) % 16 ELSE 0
-                    END AS height,
-               CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bit_depth,
-               CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 + doc_id % 2 END AS channels,
-               CASE WHEN doc_id % 2 = 0 THEN 0
-                    ELSE 8000 + (doc_id % 4) * 4000 END AS sample_rate,
-               CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 + doc_id % 100 END AS n_frames,
+               CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 16 WHEN 1 THEN 0
+                    ELSE 1 + doc_id % 300 END AS width,
+               CASE doc_id % 3 WHEN 0 THEN 1 + (doc_id // 16) % 16 WHEN 1 THEN 0
+                    ELSE 1 + (doc_id // 3) % 200 END AS height,
+               CASE doc_id % 3 WHEN 1 THEN 16 ELSE 8 END AS bit_depth,
+               CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 + doc_id % 2
+                    ELSE CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END
+                    END AS channels,
+               CASE doc_id % 3 WHEN 1 THEN 8000 + (doc_id % 4) * 4000
+                    ELSE 0 END AS sample_rate,
+               CASE doc_id % 3 WHEN 1 THEN 1 + doc_id % 100 ELSE 0
+                    END AS n_frames,
                TRUE AS header_ok
         FROM documents
     """,
@@ -300,11 +309,13 @@ def mm_decode_pipeline(spark, sf_dir):
 def mm_decode_real_headers(spark, sf_dir):
     """Real-codec twin of mm_decode_pipeline: REAL bytes through REAL
     stdlib parsers. Builds a valid header-only PNG (signature + IHDR +
-    IEND) or canonical WAV per doc, then decodes with struct/zlib-CRC32
-    (PNG) and the `wave` module + RIFF size check (WAV) in an
-    Arrow-batched mapInPandas — the production decode shape with the
-    parser bodies swappable for PIL/soundfile. Closes the one Section 2.12
-    family whose tested kernel (md5 stub) differed entirely from the
+    IEND), canonical WAV, or header-only JPEG (SOI + JFIF APP0 + SOF0 +
+    EOI — the dominant web-crawl image format) per doc, then decodes
+    with struct/zlib-CRC32 (PNG), the `wave` module + RIFF size check
+    (WAV), and a marker-segment walk (JPEG) in an Arrow-batched
+    mapInPandas — the production decode shape with the parser bodies
+    swappable for PIL/soundfile. Closes the one Section 2.12 family
+    whose tested kernel (md5 stub) differed entirely from the
     production one."""
     from ..operators import multimodal as MM
 

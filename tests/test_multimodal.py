@@ -43,26 +43,33 @@ def test_real_codec_round_trip(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").limit(64)
     out = MM.decode_real_headers(MM.attach_real_media(docs)).collect()
     assert len(out) == 64
+    seen = set()
     for r in out:
         p = MM._media_params(r["doc_id"])
+        seen.add(p["media_type"])
         assert r["header_ok"] is True, r
         assert r["media_type"] == p["media_type"]
         if p["media_type"] == "png":
             assert (r["width"], r["height"]) == (p["width"], p["height"])
             assert (r["bit_depth"], r["channels"]) == (8, 3)
             assert r["n_bytes"] == 45
-        else:
+        elif p["media_type"] == "wav":
             assert r["sample_rate"] == p["sample_rate"]
             assert r["channels"] == p["channels"]
             assert r["n_frames"] == p["n_frames"]
             assert r["n_bytes"] == 44 + p["n_frames"] * p["channels"] * 2
+        else:
+            assert (r["width"], r["height"]) == (p["width"], p["height"])
+            assert (r["bit_depth"], r["channels"]) == (8, p["channels"])
+            assert r["n_bytes"] == 32 + 3 * p["channels"]
+    assert seen == {"png", "wav", "jpeg"}
 
 
 def test_real_codec_detects_corruption(spark):
     """Flipping one IHDR byte must flip header_ok: the CRC check is
     real, not decorative."""
     media = MM.attach_real_media(
-        spark.range(2).selectExpr("id * 2 AS doc_id")  # two PNG rows
+        spark.range(2).selectExpr("id * 6 AS doc_id")  # two PNG rows
     )
     corrupted = media.select(
         "doc_id",
@@ -76,6 +83,39 @@ def test_real_codec_detects_corruption(spark):
     )
     rows = MM.decode_real_headers(corrupted).collect()
     assert rows and all(r["header_ok"] is False for r in rows)
+
+
+def test_real_codec_jpeg_golden(spark):
+    """Hand-pinned JFIF golden: a byte-exact 640x480 YCbCr header-only
+    JPEG (and a 17x9 grayscale twin) must parse to exactly these
+    dimensions/components via the real marker walk — and structural
+    corruption (truncation, missing EOI, bad marker byte) must flip
+    header_ok without failing the job. JPEG has no checksum, so
+    integrity here means a well-formed marker stream: SOI, JFIF APP0,
+    one SOFn, EOI terminator."""
+    app0 = bytes.fromhex("ffe000104a46494600010100000100010000")
+    sof_color = bytes.fromhex("ffc00011" + "08" + "01e0" + "0280" + "03"
+                              + "011100" + "021100" + "031100")
+    golden_color = b"\xff\xd8" + app0 + sof_color + b"\xff\xd9"
+    sof_gray = bytes.fromhex("ffc0000b" + "08" + "0009" + "0011" + "01"
+                             + "011100")
+    golden_gray = b"\xff\xd8" + app0 + sof_gray + b"\xff\xd9"
+    rows = [
+        (1, "jpeg", golden_color),
+        (2, "jpeg", golden_gray),
+        (3, "jpeg", golden_color[:-2]),            # missing EOI
+        (4, "jpeg", golden_color[:10]),            # truncated mid-APP0
+        (5, "jpeg", b"\xff\xd8\x00\x00\xff\xd9"),  # bad marker byte
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    out = {r["doc_id"]: r for r in MM.decode_real_headers(media).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (640, 480, 3)
+    assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (17, 9, 1)
+    assert out[1]["bit_depth"] == out[2]["bit_depth"] == 8
+    assert out[1]["header_ok"] is True and out[2]["header_ok"] is True
+    assert all(out[i]["header_ok"] is False for i in (3, 4, 5))
 
 
 def test_real_codec_malformed_payload_is_data_not_crash(spark):
