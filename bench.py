@@ -212,6 +212,23 @@ def main() -> None:
                 "tainted": bool(tainted_queries),
                 "tainted_queries": tainted_queries,
                 "load_avg_1m": round(os.getloadavg()[0], 2),
+                # Per-entry measurement evidence IN the driver artifact
+                # (r9 verdict directive #4): a future judge adjudicates a
+                # drift from BENCH_r*.json alone, no sidecar needed.
+                # Packed as fixed-order arrays — not four parallel maps —
+                # because the r5 driver truncated an oversized stdout
+                # line to `parsed: null`; field names live in
+                # per_query_fields once.
+                "per_query_fields": ["warm_s", "spread_abs_s", "load_1m", "n_samples"],
+                "per_query": {
+                    n: [
+                        warm[n],
+                        warm_spread_abs[n],
+                        load_1m[n],
+                        warm_samples_n[n],
+                    ]
+                    for n in warm
+                },
                 "n_errors": len(errors),
                 "errors": errors,
                 "throughput_rec_s": throughput,

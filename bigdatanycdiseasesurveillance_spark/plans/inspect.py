@@ -85,10 +85,25 @@ def plan_invariants(df: DataFrame) -> dict[str, int]:
 
     Counted on the AQE-initial executed plan: join strategies injected
     by a refactor or a Spark version bump show up here before runtime
-    re-planning can disguise them."""
+    re-planning can disguise them.
+
+    ``exchanges`` counts every SHUFFLE boundary (hash / range /
+    single-partition repartitions — BroadcastExchange is deliberately
+    excluded: a broadcast is the cheap alternative TO a shuffle). It is
+    not itself a violation — plans legitimately differ — but the sweep
+    compares it against the per-query pinned budget
+    (plans/shuffle_budget.json) so a refactor or Spark bump that
+    silently adds a shuffle fails CI instead of surfacing as a bench
+    drift two rounds later (r9 verdict directive #3)."""
     plan = executed_plan(df)
     return {
         "cartesian": plan.count("CartesianProduct"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
         "py_row_udf": len(re.findall(r"\bBatchEvalPython\b", plan)),
+        "exchanges": len(
+            re.findall(
+                r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+                plan,
+            )
+        ),
     }

@@ -8,6 +8,9 @@ same loop inside pytest."""
 
 from __future__ import annotations
 
+import json
+import os
+
 from .inspect import plan_invariants
 
 # Every BroadcastNestedLoopJoin the registry is ALLOWED to contain —
@@ -18,6 +21,7 @@ from .inspect import plan_invariants
 BNLJ_ALLOWLIST = {
     # 1-row scalar-stats crossJoins (HashAggregate keys=[] build side):
     "agg_rfm_segments",
+    "cur_importance_resampling",  # 64-bucket stats x 1-row totals (r10)
     "cur_quality_classifier",
     "dq_group_split_leakfree",
     "feat_quantile_binning",
@@ -60,6 +64,24 @@ BNLJ_ALLOWLIST = {
 }
 
 
+_BUDGET_PATH = os.path.join(os.path.dirname(__file__), "shuffle_budget.json")
+
+
+def load_shuffle_budget() -> dict:
+    """The pinned per-query Exchange budget (r9 verdict directive #3).
+
+    {"sf_dir": <dir it was pinned at>, "budget": {name: max_exchanges}}.
+    Shuffle counts are plan facts, but AQE's broadcast decisions read
+    file-size stats, so the pin is only comparable at the sf it was
+    taken at — the sweep enforces it when sf_dir matches and records
+    (but does not judge) the counts otherwise. Regenerate with
+    `python tools/plan_sweep.py --rebaseline` AFTER reviewing each
+    diff: the point is that a shuffle-count change is a reviewed event,
+    never a silent one."""
+    with open(_BUDGET_PATH) as fh:
+        return json.load(fh)
+
+
 def sweep_specs(spark, sf_dir: str, specs: dict):
     """(results, violations, stale_allowlist) over the given specs.
 
@@ -73,6 +95,15 @@ def sweep_specs(spark, sf_dir: str, specs: dict):
     micro-batch plans are not batch-inspectable from here."""
     results: dict[str, dict] = {}
     violations: list[str] = []
+    try:
+        pinned = load_shuffle_budget()
+    except OSError:
+        pinned = None
+    budget = (
+        pinned["budget"]
+        if pinned is not None and pinned.get("sf_dir") == sf_dir
+        else None
+    )
     for name, spec in sorted(specs.items()):
         if "streaming" in spec.tags:
             results[name] = {"skipped": "streaming drain: batch plan is the memory sink"}
@@ -95,9 +126,35 @@ def sweep_specs(spark, sf_dir: str, specs: dict):
             violations.append(
                 f"{name}: {inv['py_row_udf']} row-at-a-time BatchEvalPython node(s)"
             )
+        if budget is not None:
+            if name not in budget:
+                violations.append(
+                    f"{name}: no pinned shuffle budget — rebaseline "
+                    f"(tools/plan_sweep.py --rebaseline) after reviewing its plan"
+                )
+            elif inv["exchanges"] > budget[name]:
+                violations.append(
+                    f"{name}: {inv['exchanges']} Exchange node(s) exceeds the "
+                    f"pinned budget of {budget[name]} — a shuffle was added; "
+                    f"review the plan, then rebaseline if intentional"
+                )
+            elif inv["exchanges"] < budget[name]:
+                violations.append(
+                    f"{name}: {inv['exchanges']} Exchange node(s) is BELOW the "
+                    f"pinned budget of {budget[name]} — the plan improved; "
+                    f"rebaseline so the gain is locked in"
+                )
     # only swept-clean entries count as stale — an errored or skipped
     # row must not suggest deleting a still-valid vetted entry
     stale = sorted(
         n for n in BNLJ_ALLOWLIST if n in results and results[n].get("bnlj") == 0
     )
+    if budget is not None:
+        # budget rows for queries that no longer exist (or went
+        # streaming) must be pruned at the next rebaseline
+        stale += sorted(
+            f"shuffle-budget:{n}"
+            for n in budget
+            if n not in results or "skipped" in results[n]
+        )
     return results, violations, stale

@@ -45,7 +45,51 @@ def test_detector_catches_injected_cartesian(spark):
 
     clean = a.join(F.broadcast(b), a.id == b.id2)
     inv3 = plan_invariants(clean)
-    assert inv3 == {"cartesian": 0, "bnlj": 0, "py_row_udf": 0}
+    assert inv3 == {"cartesian": 0, "bnlj": 0, "py_row_udf": 0, "exchanges": 0}
+
+
+def test_exchange_counter_sees_injected_repartition(spark):
+    """The shuffle-budget tripwire's teeth (r9 verdict directive #3):
+    an injected repartition() must raise the plan's Exchange count, so
+    a pinned budget turns red on exactly that refactor accident. All
+    three shuffle flavors count; a broadcast exchange does not."""
+    a = spark.range(100)
+    base = a.groupBy((F.col("id") % 10).alias("k")).count()
+    assert plan_invariants(base)["exchanges"] == 1
+    bloated = (
+        a.repartition(8, "id")
+        .groupBy((F.col("id") % 10).alias("k"))
+        .count()
+    )
+    assert plan_invariants(bloated)["exchanges"] == 2
+    ranged = base.orderBy("k")  # rangepartitioning exchange
+    assert plan_invariants(ranged)["exchanges"] == 2
+    # broadcast side contributes no shuffle Exchange
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    bj = a.join(F.broadcast(b), a.id == b.id2)
+    assert plan_invariants(bj)["exchanges"] == 0
+
+
+def test_sweep_budget_flags_drift(spark, sf_dir):
+    """Budget enforcement logic: a spec swept against a budget pinned
+    too low (or too high) must produce a violation naming the query."""
+    from bigdatanycdiseasesurveillance_spark.plans import sweep as sweep_mod
+    from bigdatanycdiseasesurveillance_spark.registry import all_specs
+
+    name = "win_anomaly_zscore"
+    spec = all_specs()[name]
+    real = plan_invariants(spec.fn(spark, sf_dir))["exchanges"]
+    orig = sweep_mod.load_shuffle_budget
+    for pin, phrase in ((real - 1, "exceeds"), (real + 1, "BELOW")):
+        sweep_mod.load_shuffle_budget = lambda p=pin: {
+            "sf_dir": sf_dir,
+            "budget": {name: p},
+        }
+        try:
+            _, violations, _ = sweep_mod.sweep_specs(spark, sf_dir, {name: spec})
+        finally:
+            sweep_mod.load_shuffle_budget = orig
+        assert any(name in v and phrase in v for v in violations), (pin, violations)
 
 
 def test_registry_plan_invariants(spark, sf_dir):
