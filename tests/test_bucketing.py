@@ -52,7 +52,13 @@ def test_colocated_join_has_no_exchange(spark, bucketed_pair):
     against bucket i; any Exchange in the plan means the write-time
     shuffle was wasted."""
     li_t, o_t = bucketed_pair
-    # force the join path (no broadcast) so the pin is about bucketing
+    # force the join path (no broadcast) so the pin is about bucketing.
+    # RESTORE the previous value, never unset: unset falls to Spark's
+    # hard 10MB default, not the session factory's 64MB — the leaked
+    # threshold then flips broadcast decisions (and Exchange counts)
+    # in every later plan-pinning test sharing the session (this
+    # exact leak broke the shuffle-budget sweep in the full suite)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         df = colocated_join(
@@ -62,7 +68,7 @@ def test_colocated_join_has_no_exchange(spark, bucketed_pair):
         assert "SortMergeJoin" in plan, plan
         assert "Exchange" not in plan, plan
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_bucketed_aggregation_has_no_exchange(spark, bucketed_pair):

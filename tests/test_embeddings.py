@@ -28,13 +28,14 @@ def test_encode_batch_size_independence(spark, sf_dir):
     """Arrow batch boundaries must not affect output values."""
     docs = table(spark, sf_dir, "documents").limit(40)
     big = {r["doc_id"]: r["embedding"] for r in encode_documents(docs, dim=16).collect()}
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
     try:
         small = {
             r["doc_id"]: r["embedding"] for r in encode_documents(docs, dim=16).collect()
         }
     finally:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     assert big == small
 
 
