@@ -575,3 +575,116 @@ def dedup_sorted_neighborhood(spark, sf_dir):
         )
         .filter(F.col("jaccard") >= 0.7)
     )
+
+
+@register(
+    "dedup_snm_multikey",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   {_NORM_SQL} AS norm,
+                   list_distinct(list_filter(string_split(lower(text), ' '),
+                                             t -> t <> '')) AS tok
+            FROM documents
+        ), ord_f AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY substr(norm, 1, 12), doc_id)
+                       AS rn
+            FROM toks
+        ), ord_r AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY substr(reverse(norm), 1, 12),
+                                               doc_id) AS rn
+            FROM toks
+        ), cand AS (
+            SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+                   GREATEST(a.doc_id, b.doc_id) AS id_b
+            FROM ord_f a JOIN ord_f b
+              ON a.source = b.source AND b.rn BETWEEN a.rn + 1 AND a.rn + 3
+            UNION
+            SELECT LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id)
+            FROM ord_r a JOIN ord_r b
+              ON a.source = b.source AND b.rn BETWEEN a.rn + 1 AND a.rn + 3
+        ), verified AS (
+            SELECT c.id_a, c.id_b,
+                   ROUND(CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
+                         (len(ta.tok) + len(tb.tok)
+                          - len(list_intersect(ta.tok, tb.tok))),
+                         4) AS jaccard
+            FROM cand c
+            JOIN toks ta ON ta.doc_id = c.id_a
+            JOIN toks tb ON tb.doc_id = c.id_b
+        )
+        SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.7
+    """,
+    tags=("dedup", "M2", "blocking", "snm"),
+)
+def dedup_snm_multikey(spark, sf_dir):
+    """Multi-pass sorted neighborhood (the standard recall fix for
+    single-key SNM): pass 1 sorts each source partition by the leading
+    12 chars of normalized text, pass 2 by the leading 12 chars of the
+    REVERSED text — a record whose prefix carries a typo or a reordered
+    lead-in still lands next to its duplicate in the suffix ordering.
+    Candidates are the union of both passes' w=4 windows, deduped at
+    the PAIR level (tiny — bounded by 2(w-1)n), then exact-Jaccard
+    verified ONCE.
+
+    Scale shape: two window sorts (one shuffle each on source), union,
+    a pair-level dropDuplicates on ~6n rows, and one token re-attach
+    join pair — no self-join, candidate count independent of skew.
+    The single-key r10 entry (dedup_sorted_neighborhood) carries token
+    payloads through the window because it verifies inline; here the
+    verify is shared across passes, so candidates travel as bare id
+    pairs and tokens re-attach once (the band-join device)."""
+    from pyspark.sql import Window
+
+    from ..functions.text_funcs import distinct_tokens, word_jaccard
+
+    docs = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " ")),
+        " +",
+        " ",
+    )
+    base = docs.select("doc_id", "source", norm.alias("norm"))
+
+    def snm_pass(key_col):
+        w = Window.partitionBy("source").orderBy("sk", "doc_id")
+        sel = base.select("doc_id", "source", key_col.alias("sk"))
+        led = sel.select(
+            "doc_id",
+            *[F.lead("doc_id", k).over(w).alias(f"nid{k}") for k in (1, 2, 3)],
+        )
+        return (
+            led.select(
+                "doc_id",
+                F.explode(
+                    F.array(*[F.col(f"nid{k}") for k in (1, 2, 3)])
+                ).alias("nid"),
+            )
+            .filter(F.col("nid").isNotNull())
+            .select(
+                F.least("doc_id", "nid").alias("id_a"),
+                F.greatest("doc_id", "nid").alias("id_b"),
+            )
+        )
+
+    cand = (
+        snm_pass(F.substring(F.col("norm"), 1, 12))
+        .unionByName(snm_pass(F.substring(F.reverse(F.col("norm")), 1, 12)))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    tok = docs.select(
+        F.col("doc_id").alias("tid"), distinct_tokens(F.col("text")).alias("tok")
+    )
+    j = F.round(
+        word_jaccard(F.col("tok_a"), F.col("tok_b")), 4
+    )
+    return (
+        cand.join(tok.select(F.col("tid").alias("id_a"), F.col("tok").alias("tok_a")), "id_a")
+        .join(tok.select(F.col("tid").alias("id_b"), F.col("tok").alias("tok_b")), "id_b")
+        .select("id_a", "id_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.7)
+    )

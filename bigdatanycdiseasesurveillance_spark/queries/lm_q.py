@@ -460,3 +460,99 @@ def cur_importance_resampling(spark, sf_dir):
         .orderBy(F.desc("sample_key"), F.asc("doc_id"))
         .limit(200)
     )
+
+
+@register(
+    "cur_perplexity_buckets",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS term
+            FROM documents
+        ), cnt AS (
+            SELECT term, COUNT(*) AS c FROM tok GROUP BY term
+        ), tot AS (
+            SELECT SUM(c) AS n FROM cnt
+        ), lp AS (
+            SELECT term, ln(c * 1.0 / tot.n) AS logprob FROM cnt, tot
+        ), perdoc AS (
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(-AVG(lp.logprob), 4) AS nll
+            FROM tok t JOIN lp ON t.term = lp.term
+            GROUP BY t.doc_id
+        ), ranked AS (
+            SELECT doc_id, n_tokens, nll,
+                   ROW_NUMBER() OVER (ORDER BY nll, doc_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM perdoc
+        )
+        SELECT doc_id, n_tokens, nll,
+               CAST((rn - 1) * 3 // n AS BIGINT) AS ppl_bucket,
+               ((rn - 1) * 3 // n = 1) AS keep
+        FROM ranked
+    """,
+    tags=("curation", "perplexity", "lm", "training-data"),
+)
+def cur_perplexity_buckets(spark, sf_dir):
+    """CCNet-recipe perplexity filtering: score each document by its
+    per-token negative log-likelihood under the corpus unigram LM (the
+    txt_unigram_logprob dataflow), rank the corpus into perplexity
+    terciles, and keep the MIDDLE one — CCNet's observation that the
+    lowest-perplexity tercile is boilerplate/templates and the highest
+    is noise; the middle is where training text lives. Bucket
+    boundaries are integer rank arithmetic ((rn-1)*3 DIV n), never
+    float quantile interpolation, so both engines cut identically.
+
+    Scale shape: the LM is a vocabulary-sized broadcast; scoring is
+    explode -> broadcast join -> per-doc agg (two map-side-combinable
+    shuffles). The global rank uses the bucketed-rank rewrite of
+    win_global_rank_ranged — rows range-bucket by a coarse NLL key,
+    rank locally per bucket, and add prefix-summed bucket offsets (a
+    window over bucket-count rows, not corpus rows) — the oracle IS
+    the naive single-partition window, equal by construction."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count("*").alias("c"))
+    # total token count attached via a window over the vocab-sized
+    # frame (31 rows) — no 1-row crossJoin needed
+    lp = cnt.withColumn(
+        "logprob",
+        F.log(F.col("c") / F.sum("c").over(Window.partitionBy())),
+    ).select("term", "logprob")
+    perdoc = (
+        tok.join(F.broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(-F.avg("logprob"), 4).alias("nll"),
+        )
+    )
+    # bucketed global rank (win_global_rank_ranged device): coarse
+    # ordered range key -> per-bucket counts -> prefix-sum offsets
+    bkey = F.floor(F.col("nll") * 10).cast("long")
+    wd = perdoc.withColumn("bkey", bkey)
+    counts = wd.groupBy("bkey").agg(F.count("*").alias("bn"))
+    woff = Window.orderBy("bkey").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bkey",
+        F.coalesce(F.sum("bn").over(woff), F.lit(0)).alias("offset"),
+        F.sum("bn").over(Window.partitionBy()).alias("n"),
+    )
+    wlocal = Window.partitionBy("bkey").orderBy("nll", "doc_id")
+    ranked = (
+        wd.withColumn("lrank", F.row_number().over(wlocal))
+        .join(F.broadcast(offsets), "bkey")
+        .withColumn("rn", F.col("offset") + F.col("lrank"))
+    )
+    bucket = ((F.col("rn") - 1) * 3 / F.col("n")).cast("long")
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "nll",
+        bucket.alias("ppl_bucket"),
+        (bucket == 1).alias("keep"),
+    )

@@ -171,3 +171,51 @@ def stream_surveillance_e2e(spark, sf_dir):
     complete-mode aggregate. availableNow drain equals the chained
     batch oracle exactly."""
     return P.streaming_surveillance_e2e(spark, sf_dir)
+
+
+@register(
+    "stream_variant_ingest",
+    oracle="""
+        WITH mod AS (
+            SELECT event_type,
+                   CASE event_id % 4
+                     WHEN 0 THEN props
+                     WHEN 1 THEN '{"k": {"nested": '
+                                 || json_extract_string(props, '$.k') || '}}'
+                     WHEN 2 THEN '{"k": "lvl'
+                                 || json_extract_string(props, '$.k') || '"}'
+                     ELSE '{"k": "'
+                          || json_extract_string(props, '$.k') || '"}'
+                   END AS mp
+            FROM events
+        ), ext AS (
+            SELECT event_type,
+                   TRY_CAST(json_extract_string(mp, '$.k') AS BIGINT)
+                       AS k_int,
+                   TRY_CAST(json_extract_string(mp, '$.k.nested') AS BIGINT)
+                       AS k_nested,
+                   TRY_CAST(json_extract_string(mp, '$.absent') AS BIGINT)
+                       AS k_absent
+            FROM mod
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(COUNT(k_int) AS BIGINT) AS n_int,
+               CAST(COALESCE(SUM(k_int), 0) AS BIGINT) AS sum_int,
+               CAST(COUNT(k_nested) AS BIGINT) AS n_nested,
+               CAST(COALESCE(SUM(k_nested), 0) AS BIGINT) AS sum_nested,
+               CAST(COUNT(k_absent) AS BIGINT) AS n_absent
+        FROM ext GROUP BY event_type
+    """,
+    tags=("streaming", "variant", "semistructured", "spark4", "ST4"),
+)
+def stream_variant_ingest(spark, sf_dir):
+    """Streaming VARIANT ingest: heterogeneous JSON parsed once per row
+    into VARIANT inside the micro-batch chain, probed with typed
+    try_variant_get (coercion matrix: ints and numeric strings coerce,
+    objects/non-numeric/absent -> NULL, never an aborted stream), and
+    rolled into an incrementally-maintained per-type aggregate;
+    availableNow drain equals the batch oracle. The batch twin
+    scalar_variant_try_paths pins the per-shape matrix; this entry
+    pins that the VARIANT family composes with Structured Streaming."""
+    return P.streaming_variant_ingest(spark, sf_dir)

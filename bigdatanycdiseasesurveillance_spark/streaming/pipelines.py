@@ -781,3 +781,56 @@ def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"checkpoint"
         )
     return spark.table(name2)
+
+
+def streaming_variant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured streaming ingest on the Spark 4 VARIANT path:
+    heterogeneous JSON flows through the micro-batch chain, is parsed
+    ONCE per row into the binary VARIANT encoding, and typed
+    try_variant_get probes project it without any shape ever aborting
+    the stream — the property a 100 TB semi-structured ingest needs
+    (one malformed record must be a data condition, not a dead
+    pipeline). Shape heterogeneity is synthesized deterministically
+    (event_id % 4: int / nested object / non-numeric string / numeric
+    string) so the batch oracle replays the coercion matrix; the
+    running per-type aggregate maintains itself incrementally
+    (complete-mode, state = event-type rows). The batch twin is
+    scalar_variant_try_paths; this entry proves the VARIANT expression
+    family composes with Structured Streaming micro-batching and the
+    availableNow drain."""
+    src = stream_table(spark, sf_dir, "events")
+    kv = F.get_json_object(F.col("props"), "$.k")
+    kind = (F.col("event_id") % 4).cast("bigint")
+    mp = (
+        F.when(kind == 0, F.col("props"))
+        .when(kind == 1, F.concat(F.lit('{"k": {"nested": '), kv, F.lit("}}")))
+        .when(kind == 2, F.concat(F.lit('{"k": "lvl'), kv, F.lit('"}')))
+        .otherwise(F.concat(F.lit('{"k": "'), kv, F.lit('"}')))
+    )
+    probed = src.select(
+        "event_type",
+        F.parse_json(mp).alias("v"),
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "bigint").alias("k_int"),
+        F.try_variant_get("v", "$.k.nested", "bigint").alias("k_nested"),
+        F.try_variant_get("v", "$.absent", "bigint").alias("k_absent"),
+    )
+    agg = probed.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.count("k_int").alias("n_int"),
+        F.coalesce(F.sum("k_int"), F.lit(0)).alias("sum_int"),
+        F.count("k_nested").alias("n_nested"),
+        F.coalesce(F.sum("k_nested"), F.lit(0)).alias("sum_nested"),
+        F.count("k_absent").alias("n_absent"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("n_int").cast("long").alias("n_int"),
+        F.col("sum_int").cast("long").alias("sum_int"),
+        F.col("n_nested").cast("long").alias("n_nested"),
+        F.col("sum_nested").cast("long").alias("sum_nested"),
+        F.col("n_absent").cast("long").alias("n_absent"),
+    )
