@@ -810,3 +810,149 @@ def cur_decontaminate_spans(spark, sf_dir):
             F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
         )
     )
+
+
+@register(
+    "cur_gopher_rules",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '')
+                       AS tok
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(tok) AS n_words,
+                   CAST(len(list_filter(tok, t -> t IN ('the','a','an','of',
+                        'and','or','to','in','is','on'))) AS BIGINT)
+                       AS stop_cnt,
+                   CAST(len(list_distinct(tok)) AS BIGINT) AS n_uniq,
+                   COALESCE(list_max(list_transform(list_distinct(tok),
+                        t -> len(list_filter(tok, x -> x = t)))), 0)
+                       AS top_cnt,
+                   COALESCE(CAST(list_sum(list_transform(tok,
+                        t -> len(t))) AS BIGINT), 0) AS char_sum
+            FROM d
+        ), rules AS (
+            SELECT 'min_words' AS rule, (n_words >= 50) AS pass FROM m
+            UNION ALL
+            SELECT 'mean_word_len',
+                   n_words > 0 AND char_sum >= 3 * n_words
+                               AND char_sum <= 10 * n_words
+            FROM m
+            UNION ALL
+            SELECT 'stopword_floor', stop_cnt >= 2 FROM m
+            UNION ALL
+            SELECT 'repetition_cap', n_words > 0 AND 5 * top_cnt <= n_words
+            FROM m
+            UNION ALL
+            SELECT 'uniq_floor', n_words > 0 AND 5 * n_uniq >= n_words FROM m
+        )
+        SELECT rule,
+               CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pass,
+               CAST(SUM(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_fail,
+               ROUND(SUM(CASE WHEN pass THEN 1 ELSE 0 END) * 1.0 / COUNT(*),
+                     4) AS pass_rate
+        FROM rules GROUP BY rule
+    """,
+    tags=("curation", "quality", "gopher", "training-data"),
+)
+def cur_gopher_rules(spark, sf_dir):
+    """Gopher-recipe rule-based quality gate (Rae et al. 2021, the
+    pre-classifier filter every big-corpus pipeline runs first): five
+    per-document rules — minimum word count, mean word length within
+    [3, 10], a stopword floor (>= 2 stopwords: gibberish detector),
+    a repetition cap (most frequent token <= 20% of the document), and
+    a unique-token floor — profiled as one row per rule with
+    pass/fail counts and pass rate. Every rule compares in INTEGER
+    arithmetic (char_sum vs 3*n_words, 5*top_cnt vs n_words) so both
+    engines cut identically — no float ratio ever crosses a rounding
+    boundary.
+
+    Scale shape: all five metrics are per-row higher-order array
+    expressions (no explode, no per-doc shuffle — the most-frequent-
+    token count runs over the distinct-token array inside codegen);
+    the rule unpivot is a constant-width stack; the profile is one
+    map-side-combinable aggregate over 5 x n rows. At 100 TB this is
+    a single scan."""
+    from ..functions.text_funcs import STOPWORDS, tokens
+
+    docs = table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS[:10]])
+    m = docs.select(
+        tok.alias("tok"),
+        F.size(tok).cast("long").alias("n_words"),
+        F.size(F.filter(tok, lambda t: F.array_contains(sw, t)))
+        .cast("long")
+        .alias("stop_cnt"),
+        F.size(F.array_distinct(tok)).cast("long").alias("n_uniq"),
+    ).select(
+        "n_words",
+        "stop_cnt",
+        "n_uniq",
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(F.col("tok")),
+                    lambda t: F.size(F.filter(F.col("tok"), lambda x: x == t)),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("top_cnt"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(F.col("tok"), lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+            F.lit(0),
+        ).alias("char_sum"),
+    )
+    rules = m.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("min_words").alias("rule"),
+                    (F.col("n_words") >= 50).alias("pass"),
+                ),
+                F.struct(
+                    F.lit("mean_word_len").alias("rule"),
+                    (
+                        (F.col("n_words") > 0)
+                        & (F.col("char_sum") >= 3 * F.col("n_words"))
+                        & (F.col("char_sum") <= 10 * F.col("n_words"))
+                    ).alias("pass"),
+                ),
+                F.struct(
+                    F.lit("stopword_floor").alias("rule"),
+                    (F.col("stop_cnt") >= 2).alias("pass"),
+                ),
+                F.struct(
+                    F.lit("repetition_cap").alias("rule"),
+                    (
+                        (F.col("n_words") > 0)
+                        & (5 * F.col("top_cnt") <= F.col("n_words"))
+                    ).alias("pass"),
+                ),
+                F.struct(
+                    F.lit("uniq_floor").alias("rule"),
+                    (
+                        (F.col("n_words") > 0)
+                        & (5 * F.col("n_uniq") >= F.col("n_words"))
+                    ).alias("pass"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.rule", "r.pass")
+    return rules.groupBy("rule").agg(
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("long").alias("n_pass"),
+        F.sum(F.when(F.col("pass"), 0).otherwise(1)).cast("long").alias("n_fail"),
+        F.round(
+            F.sum(F.when(F.col("pass"), 1).otherwise(0)) / F.count("*"), 4
+        ).alias("pass_rate"),
+    )
