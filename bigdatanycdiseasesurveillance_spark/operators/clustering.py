@@ -359,3 +359,58 @@ def cellgrid_assign(
         "cx", "cy", "w", F.lit(-1).cast("long").alias("cid")
     )
     return assigned.unionByName(noise)
+
+
+def lloyd_kmeans_nd(
+    points: DataFrame,
+    dim_cols: list[str],
+    k: int = 4,
+    iters: int = 4,
+    id_col: str = "pid",
+):
+    """d-dimensional generalization of lloyd_kmeans_2d with identical
+    SQL-replayable semantics (smallest-id init, nearest-centroid with
+    ties to the smallest cluster id, per-iteration means rounded to 6
+    decimals, fixed iteration count). Returns (assigned, centroids):
+    assigned = (pid, dims..., cluster_id); centroids = the FINAL
+    rounded centroid list [(cid, [v0..vd-1]), ...] — callers compute
+    reconstruction/quantization stats against these exact literals so
+    both engines measure against the same numbers. Scale contract as
+    the 2-D variant: points never leave the cluster; per iteration one
+    k-literal broadcast compare + one k-key groupBy; only k centroid
+    rows cross the control plane."""
+    pts = points.select(
+        F.col(id_col).alias("pid"), *[F.col(c).cast("double").alias(c) for c in dim_cols]
+    ).localCheckpoint(eager=False)
+    init = pts.orderBy("pid").limit(k).collect()
+    centroids = [(i, [float(r[c]) for c in dim_cols]) for i, r in enumerate(init)]
+    assigned = None
+    for _ in range(iters):
+        dists = [
+            (
+                cid,
+                sum(
+                    (F.col(c) - F.lit(v)) * (F.col(c) - F.lit(v))
+                    for c, v in zip(dim_cols, vec)
+                ),
+            )
+            for cid, vec in centroids
+        ]
+        bound = pts.select(
+            "pid", *dim_cols, *[d.alias(f"d{cid}") for cid, d in dists]
+        )
+        m = F.least(*[F.col(f"d{cid}") for cid, _ in dists])
+        pick = None
+        for cid, _ in dists:  # ascending cid -> ties break to smallest id
+            cond = F.col(f"d{cid}") == m
+            pick = F.when(cond, cid) if pick is None else pick.when(cond, cid)
+        assigned = bound.select("pid", *dim_cols, pick.alias("cluster_id"))
+        new_c = (
+            assigned.groupBy("cluster_id")
+            .agg(*[F.round(F.avg(c), 6).alias(c) for c in dim_cols])
+            .collect()
+        )
+        centroids = sorted(
+            (int(r["cluster_id"]), [float(r[c]) for c in dim_cols]) for r in new_c
+        )
+    return assigned, centroids

@@ -470,3 +470,132 @@ def ann_rp_multiprobe_pairs(spark, sf_dir):
     candidates at ~9x probe fan on one side of the same equi-join."""
     emb = table(spark, sf_dir, "embeddings")
     return S.rp_lsh_multiprobe_pairs(emb, _RP_PLANES, threshold=0.3)
+
+
+def _pq_oracle(n_sub: int = 4, sub_dim: int = 16, k: int = 4, iters: int = 4) -> str:
+    """Generated relational replay of the PQ codebook training: per
+    subspace, the d-dim Lloyd chain (smallest-id init, nearest centroid
+    with ties to the smallest cid, means rounded to 6 per iteration,
+    fixed iters), then per-code stats measured against the FINAL
+    rounded centroids — the same literals the engine measures against."""
+    parts = ["WITH "]
+    finals = []
+    for m in range(n_sub):
+        dims = [f"e{j}" for j in range(sub_dim)]
+        cols = ", ".join(
+            f"CAST(embedding[{m * sub_dim + j + 1}] AS DOUBLE) AS e{j}"
+            for j in range(sub_dim)
+        )
+        lead = "" if m == 0 else ", "
+        parts.append(
+            f"{lead}p{m} AS (SELECT vec_id AS pid, {cols} FROM embeddings)"
+        )
+        init_cols = ", ".join(f"{d} AS c{j}" for j, d in enumerate(dims))
+        parts.append(
+            f", c{m}_0 AS (SELECT ROW_NUMBER() OVER (ORDER BY pid) - 1 AS cid,"
+            f" {init_cols} FROM (SELECT * FROM p{m} ORDER BY pid LIMIT {k}))"
+        )
+        for t in range(1, iters + 1):
+            dist = " + ".join(
+                f"(p.e{j} - c.c{j}) * (p.e{j} - c.c{j})" for j in range(sub_dim)
+            )
+            pcols = ", ".join(f"p.e{j}" for j in range(sub_dim))
+            parts.append(
+                f", a{m}_{t} AS (SELECT p.pid, {pcols}, c.cid,"
+                f" ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY {dist}, c.cid)"
+                f" AS rn FROM p{m} p CROSS JOIN c{m}_{t - 1} c)"
+            )
+            scols = ", ".join(f"e{j}" for j in range(sub_dim))
+            parts.append(
+                f", s{m}_{t} AS (SELECT pid, {scols}, cid FROM a{m}_{t} WHERE rn = 1)"
+            )
+            avgs = ", ".join(
+                f"ROUND(AVG(e{j}), 6) AS c{j}" for j in range(sub_dim)
+            )
+            parts.append(
+                f", c{m}_{t} AS (SELECT cid, {avgs} FROM s{m}_{t} GROUP BY cid)"
+            )
+        norm = " + ".join(f"c.c{j} * c.c{j}" for j in range(sub_dim))
+        err = " + ".join(
+            f"(s.e{j} - c.c{j}) * (s.e{j} - c.c{j})" for j in range(sub_dim)
+        )
+        finals.append(
+            f"SELECT CAST({m} AS BIGINT) AS subspace, CAST(s.cid AS BIGINT)"
+            f" AS code, CAST(COUNT(*) AS BIGINT) AS size,"
+            f" ROUND(SQRT({norm}), 4) AS centroid_norm,"
+            f" ROUND(AVG({err}), 4) AS avg_sq_err"
+            f" FROM s{m}_{iters} s JOIN c{m}_{iters} c ON s.cid = c.cid"
+            f" GROUP BY s.cid, {', '.join(f'c.c{j}' for j in range(sub_dim))}"
+        )
+    parts.append(" " + " UNION ALL ".join(finals))
+    return "".join(parts)
+
+
+@register(
+    "emb_pq_codebook",
+    oracle=_pq_oracle(),
+    tags=("similarity", "ann", "pq", "quantization", "training-data"),
+)
+def emb_pq_codebook(spark, sf_dir):
+    """Product-quantization codebook training (Jegou et al. 2011) — the
+    compression step behind IVF-PQ ANN indexes: split each 64-dim
+    embedding into 4 x 16-dim sub-vectors and train an independent
+    k=4-codeword codebook per subspace with the deterministic Lloyd
+    kernel (smallest-id init, rounded-mean updates, fixed 4
+    iterations). Emits per-(subspace, code): member count, the final
+    centroid's L2 norm, and the average squared reconstruction error —
+    measured against the ROUNDED final centroids, so both engines
+    measure against the same literals. A 64-dim float32 vector
+    compresses to 4 bytes (one code per subspace) — at 100 TB of
+    vectors the difference between an index that fits executor memory
+    and one that cannot.
+
+    Scale shape: each subspace's training is the lloyd_kmeans_nd
+    contract — vectors never leave the cluster, one k-literal
+    broadcast compare + one k-key groupBy per iteration, k rows on the
+    control plane; the 4 subspaces share the single localCheckpointed
+    projection scan."""
+    from ..operators.clustering import lloyd_kmeans_nd
+
+    emb = table(spark, sf_dir, "embeddings")
+    n_sub, sub_dim, k, iters = 4, 16, 4, 4
+    out = None
+    for m in range(n_sub):
+        dims = [f"e{j}" for j in range(sub_dim)]
+        pts = emb.select(
+            F.col("vec_id").alias("pid"),
+            *[
+                F.col("embedding")[m * sub_dim + j].cast("double").alias(f"e{j}")
+                for j in range(sub_dim)
+            ],
+        )
+        assigned, centroids = lloyd_kmeans_nd(
+            pts, dims, k=k, iters=iters, id_col="pid"
+        )
+        cent_rows = [(cid, *vec) for cid, vec in centroids]
+        cent_df = spark.createDataFrame(
+            cent_rows,
+            "cluster_id int, " + ", ".join(f"c{j} double" for j in range(sub_dim)),
+        )
+        err = sum(
+            (F.col(f"e{j}") - F.col(f"c{j}")) * (F.col(f"e{j}") - F.col(f"c{j}"))
+            for j in range(sub_dim)
+        )
+        norm = sum(F.col(f"c{j}") * F.col(f"c{j}") for j in range(sub_dim))
+        stats = (
+            assigned.join(F.broadcast(cent_df), "cluster_id")
+            .groupBy("cluster_id", *[f"c{j}" for j in range(sub_dim)])
+            .agg(
+                F.count("*").cast("long").alias("size"),
+                F.round(F.avg(err), 4).alias("avg_sq_err"),
+            )
+            .select(
+                F.lit(m).cast("long").alias("subspace"),
+                F.col("cluster_id").cast("long").alias("code"),
+                "size",
+                F.round(F.sqrt(norm), 4).alias("centroid_norm"),
+                "avg_sq_err",
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
