@@ -688,3 +688,90 @@ def dedup_snm_multikey(spark, sf_dir):
         .select("id_a", "id_b", j.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.7)
     )
+
+
+@register(
+    "dedup_cross_source_snm",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   substr({_NORM_SQL}, 1, 12) AS sk,
+                   list_distinct(list_filter(string_split(lower(text), ' '),
+                                             t -> t <> '')) AS tok
+            FROM documents
+        ), ord AS (
+            SELECT doc_id, tok,
+                   ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS rn
+            FROM toks
+        ), cand AS (
+            SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+                   GREATEST(a.doc_id, b.doc_id) AS id_b,
+                   ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+                         (len(a.tok) + len(b.tok)
+                          - len(list_intersect(a.tok, b.tok))),
+                         4) AS jaccard
+            FROM ord a JOIN ord b
+              ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+        )
+        SELECT id_a, id_b, jaccard FROM cand WHERE jaccard >= 0.7
+    """,
+    tags=("dedup", "M2", "blocking", "snm", "cross-source"),
+)
+def dedup_cross_source_snm(spark, sf_dir):
+    """Cross-source sorted neighborhood: the GLOBAL content-key sort
+    (no source block), so duplicates syndicated across sources — the
+    pairs the per-source windows of dedup_sorted_neighborhood cannot
+    see — land adjacent. The global ordering uses the bucketed-rank
+    rewrite (win_global_rank_ranged device): rows range-bucket by the
+    sort key's 2-char prefix, rank locally per bucket, add
+    prefix-summed bucket offsets — equal to the naive single-partition
+    window by construction (the oracle IS that naive form), and window
+    candidates come from an equi-join on the global rank (each row
+    fans out rn+1..rn+3), which crosses bucket boundaries naturally —
+    no boundary-overlap bookkeeping, no corpus-sized single partition
+    anywhere."""
+    from pyspark.sql import Window
+
+    from ..functions.text_funcs import distinct_tokens, word_jaccard
+
+    docs = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " ")),
+        " +",
+        " ",
+    )
+    sel = docs.select(
+        "doc_id",
+        F.substring(norm, 1, 12).alias("sk"),
+        distinct_tokens(F.col("text")).alias("tok"),
+    )
+    bkey = F.substring(F.col("sk"), 1, 2)
+    wd = sel.withColumn("bkey", bkey)
+    counts = wd.groupBy("bkey").agg(F.count("*").alias("bn"))
+    woff = Window.orderBy("bkey").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bkey", F.coalesce(F.sum("bn").over(woff), F.lit(0)).alias("offset")
+    )
+    wlocal = Window.partitionBy("bkey").orderBy("sk", "doc_id")
+    ranked = (
+        wd.withColumn("lrank", F.row_number().over(wlocal))
+        .join(F.broadcast(offsets), "bkey")
+        .select("doc_id", "tok", (F.col("offset") + F.col("lrank")).alias("rn"))
+    )
+    probes = ranked.select(
+        F.col("doc_id").alias("id_l"),
+        F.col("tok").alias("tok_l"),
+        F.explode(
+            F.array(*[F.col("rn") + k for k in (1, 2, 3)])
+        ).alias("rn"),
+    )
+    j = F.round(word_jaccard(F.col("tok_l"), F.col("tok")), 4)
+    return (
+        probes.join(ranked, "rn")
+        .select(
+            F.least("id_l", "doc_id").alias("id_a"),
+            F.greatest("id_l", "doc_id").alias("id_b"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+    )
