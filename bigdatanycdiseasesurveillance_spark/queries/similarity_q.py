@@ -599,3 +599,154 @@ def emb_pq_codebook(spark, sf_dir):
         )
         out = stats if out is None else out.unionByName(stats)
     return out
+
+
+def _pq_adc_oracle(n_sub: int = 4, sub_dim: int = 16, k: int = 4,
+                   iters: int = 4, topk: int = 10) -> str:
+    """ADC search replay: the PQ training chains (shared generator
+    logic with _pq_oracle), a FINAL-centroid assignment per subspace
+    (codes), the query vector's per-subspace distance table over the
+    same rounded centroids, and the top-k by summed table lookups."""
+    parts = ["WITH "]
+    for m in range(n_sub):
+        cols = ", ".join(
+            f"CAST(embedding[{m * sub_dim + j + 1}] AS DOUBLE) AS e{j}"
+            for j in range(sub_dim)
+        )
+        lead = "" if m == 0 else ", "
+        parts.append(
+            f"{lead}p{m} AS (SELECT vec_id AS pid, {cols} FROM embeddings)"
+        )
+        init_cols = ", ".join(f"e{j} AS c{j}" for j in range(sub_dim))
+        parts.append(
+            f", c{m}_0 AS (SELECT ROW_NUMBER() OVER (ORDER BY pid) - 1 AS cid,"
+            f" {init_cols} FROM (SELECT * FROM p{m} ORDER BY pid LIMIT {k}))"
+        )
+        for t in range(1, iters + 1):
+            dist = " + ".join(
+                f"(p.e{j} - c.c{j}) * (p.e{j} - c.c{j})" for j in range(sub_dim)
+            )
+            pcols = ", ".join(f"p.e{j}" for j in range(sub_dim))
+            parts.append(
+                f", a{m}_{t} AS (SELECT p.pid, {pcols}, c.cid,"
+                f" ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY {dist}, c.cid)"
+                f" AS rn FROM p{m} p CROSS JOIN c{m}_{t - 1} c)"
+            )
+            scols = ", ".join(f"e{j}" for j in range(sub_dim))
+            parts.append(
+                f", s{m}_{t} AS (SELECT pid, {scols}, cid FROM a{m}_{t} WHERE rn = 1)"
+            )
+            avgs = ", ".join(
+                f"ROUND(AVG(e{j}), 6) AS c{j}" for j in range(sub_dim)
+            )
+            parts.append(
+                f", c{m}_{t} AS (SELECT cid, {avgs} FROM s{m}_{t} GROUP BY cid)"
+            )
+        # codes vs FINAL rounded centroids (not the last training assign)
+        dist = " + ".join(
+            f"(p.e{j} - c.c{j}) * (p.e{j} - c.c{j})" for j in range(sub_dim)
+        )
+        parts.append(
+            f", f{m} AS (SELECT pid, cid AS code FROM ("
+            f"SELECT p.pid, c.cid, ROW_NUMBER() OVER (PARTITION BY p.pid"
+            f" ORDER BY {dist}, c.cid) AS rn"
+            f" FROM p{m} p CROSS JOIN c{m}_{iters} c) WHERE rn = 1)"
+        )
+        # query = vec_id 0; per-subspace lookup table over the same
+        # rounded centroids
+        qdist = " + ".join(
+            f"(q.e{j} - c.c{j}) * (q.e{j} - c.c{j})" for j in range(sub_dim)
+        )
+        parts.append(
+            f", t{m} AS (SELECT c.cid, {qdist} AS d"
+            f" FROM (SELECT * FROM p{m} WHERE pid = 0) q"
+            f" CROSS JOIN c{m}_{iters} c)"
+        )
+    joins = " ".join(
+        f"JOIN f{m} ON f{m}.pid = f0.pid JOIN t{m} ON t{m}.cid = f{m}.code"
+        for m in range(1, n_sub)
+    )
+    adc = " + ".join(f"t{m}.d" for m in range(n_sub))
+    parts.append(
+        f" SELECT f0.pid AS vec_id, ROUND({adc}, 4) AS adc_dist"
+        f" FROM f0 JOIN t0 ON t0.cid = f0.code {joins}"
+        f" WHERE f0.pid <> 0"
+        f" ORDER BY adc_dist, vec_id LIMIT {topk}"
+    )
+    return "".join(parts)
+
+
+@register(
+    "emb_pq_adc_search",
+    oracle=_pq_adc_oracle(),
+    tags=("similarity", "ann", "pq", "adc", "training-data"),
+)
+def emb_pq_adc_search(spark, sf_dir):
+    """Asymmetric distance computation over the PQ codes — the search
+    half of IVF-PQ (Jegou et al. 2011): every corpus vector is encoded
+    to 4 codes against the emb_pq_codebook centroids; the query vector
+    (vec_id 0) precomputes ONE 4x4 lookup table of squared distances
+    to every centroid; a candidate's approximate distance is the sum
+    of 4 table lookups — no original vector is touched at query time.
+    Returns the top-10 nearest by ADC distance (full tie-break).
+
+    Scale shape: encoding is the k-literal argmin compare per subspace
+    (map-side, vectors never shuffle); the lookup table is 16 rows
+    broadcast; search is scan + TakeOrderedAndProject. At 100 TB the
+    codes table is 4 bytes/vector — the index fits where the float32
+    corpus cannot — and both sides compute against the same ROUNDED
+    centroid literals, so the oracle replays the entire
+    train->encode->table->search chain."""
+    from ..operators.clustering import lloyd_kmeans_nd
+
+    emb = table(spark, sf_dir, "embeddings")
+    n_sub, sub_dim, k, iters, topk = 4, 16, 4, 4, 10
+    dims = [f"e{j}" for j in range(sub_dim)]
+    per_vec = None
+    for m in range(n_sub):
+        pts = emb.select(
+            F.col("vec_id").alias("pid"),
+            *[
+                F.col("embedding")[m * sub_dim + j].cast("double").alias(f"e{j}")
+                for j in range(sub_dim)
+            ],
+        )
+        _, centroids = lloyd_kmeans_nd(pts, dims, k=k, iters=iters, id_col="pid")
+        # encode vs FINAL rounded centroids: k-literal argmin, map-side
+        dists = [
+            (
+                cid,
+                sum(
+                    (F.col(c) - F.lit(v)) * (F.col(c) - F.lit(v))
+                    for c, v in zip(dims, vec)
+                ),
+            )
+            for cid, vec in centroids
+        ]
+        bound = pts.select("pid", *[d.alias(f"d{cid}") for cid, d in dists])
+        mcol = F.least(*[F.col(f"d{cid}") for cid, _ in dists])
+        pick = None
+        for cid, _ in dists:
+            cond = F.col(f"d{cid}") == mcol
+            pick = F.when(cond, cid) if pick is None else pick.when(cond, cid)
+        codes = bound.select("pid", pick.alias(f"code{m}"))
+        # the query's distance table: k scalars per subspace, computed
+        # driver-side from the SAME rounded centroid literals
+        qrow = pts.filter(F.col("pid") == 0).collect()[0]
+        table_m = {
+            cid: sum((float(qrow[c]) - v) ** 2 for c, v in zip(dims, vec))
+            for cid, vec in centroids
+        }
+        lut = None
+        for cid, d in table_m.items():
+            cond = F.col(f"code{m}") == cid
+            lut = F.when(cond, d) if lut is None else lut.when(cond, d)
+        scored = codes.select("pid", lut.alias(f"adc{m}"))
+        per_vec = scored if per_vec is None else per_vec.join(scored, "pid")
+    adc = sum(F.col(f"adc{m}") for m in range(n_sub))
+    return (
+        per_vec.filter(F.col("pid") != 0)
+        .select(F.col("pid").alias("vec_id"), F.round(adc, 4).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(topk)
+    )
