@@ -93,6 +93,15 @@ def sweep_specs(spark, sf_dir: str, specs: dict):
     (r9 review finding). Their Python/UDF hygiene is covered by the
     repo-wide anti-pattern greps and the streaming pytest pins; their
     micro-batch plans are not batch-inspectable from here."""
+    # Normalize cache-manager state: a query that calls .cache()
+    # (graph_pagerank_nations' normalized-edge table) plans DIFFERENT
+    # Exchange counts depending on whether an equivalent plan is
+    # already materialized in the session cache — measured 40 fresh vs
+    # 64 after a prior executed run in the same session (the shared
+    # pytest session runs the oracle-parity suite first). Clearing
+    # pins every sweep to the fresh-session baseline the rebaseline
+    # measures; other tests' caches are lazy and simply re-materialize.
+    spark.catalog.clearCache()
     results: dict[str, dict] = {}
     violations: list[str] = []
     try:
