@@ -107,7 +107,12 @@ def sweep_specs(spark, sf_dir: str, specs: dict):
     try:
         pinned = load_shuffle_budget()
     except OSError:
+        pinned = None  # no pin yet — counts recorded, not judged
+    except ValueError as exc:  # corrupt/truncated JSON (r10 advisor):
+        # surface as a violation and keep sweeping — a broken pin file
+        # must not silently disable (or abort) budget enforcement
         pinned = None
+        violations.append(f"plan budget file unreadable: {exc}")
     budget = (
         pinned["budget"]
         if pinned is not None and pinned.get("sf_dir") == sf_dir

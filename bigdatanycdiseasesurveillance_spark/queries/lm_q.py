@@ -548,7 +548,10 @@ def cur_perplexity_buckets(spark, sf_dir):
         .join(F.broadcast(offsets), "bkey")
         .withColumn("rn", F.col("offset") + F.col("lrank"))
     )
-    bucket = ((F.col("rn") - 1) * 3 / F.col("n")).cast("long")
+    # TRUE integer division (r10 advisor): float division + cast only
+    # matches DuckDB's // below the ~4.5e15 IEEE threshold; `div` is
+    # exact at any scale, matching the docstring's stated contract
+    bucket = F.expr("CAST(((rn - 1) * 3) div n AS BIGINT)")
     return ranked.select(
         "doc_id",
         "n_tokens",
