@@ -367,6 +367,7 @@ def lloyd_kmeans_nd(
     k: int = 4,
     iters: int = 4,
     id_col: str = "pid",
+    precheckpointed: bool = False,
 ):
     """d-dimensional generalization of lloyd_kmeans_2d with identical
     SQL-replayable semantics (smallest-id init, nearest-centroid with
@@ -378,10 +379,17 @@ def lloyd_kmeans_nd(
     both engines measure against the same numbers. Scale contract as
     the 2-D variant: points never leave the cluster; per iteration one
     k-literal broadcast compare + one k-key groupBy; only k centroid
-    rows cross the control plane."""
+    rows cross the control plane.
+
+    precheckpointed=True skips the internal localCheckpoint — for
+    callers (the PQ family) that train several codebooks as slices of
+    ONE already-checkpointed wide projection: checkpointing each slice
+    separately would materialize the scan once per subspace."""
     pts = points.select(
         F.col(id_col).alias("pid"), *[F.col(c).cast("double").alias(c) for c in dim_cols]
-    ).localCheckpoint(eager=False)
+    )
+    if not precheckpointed:
+        pts = pts.localCheckpoint(eager=False)
     init = pts.orderBy("pid").limit(k).collect()
     centroids = [(i, [float(r[c]) for c in dim_cols]) for i, r in enumerate(init)]
     assigned = None
