@@ -24,38 +24,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .ranking import bucketed_running_sum
+
 
 def pack_concat_chunks(
     df: DataFrame,
     n_tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
     budget: int = 256,
+    bucket=None,
 ) -> DataFrame:
     """Concat-and-chunk accounting: each doc's half-open token span
     [start_tok, end_tok) in the global stream, and the chunk ids it
     touches. A doc spans `last_chunk - first_chunk + 1` sequences.
 
-    Single window over a deterministic total order (id_col). At 100 TB
-    the order key would be (shard, position) so the window partitions
-    by shard and never global-sorts; the global form here matches the
-    oracle exactly.
-    """
-    w = (
-        Window.orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    The global running sum uses the bucketed device
+    (operators/ranking.py, r10 verdict directive #5): rows bucket by
+    4096-id ranges (or a caller-supplied `bucket` column for
+    non-numeric ids), sum locally per bucket, and add prefix-summed
+    bucket offsets computed on the control plane — value-identical to
+    `SUM(n) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING)` (the oracle's
+    form) with no single-partition window. Chunk ids are exact integer
+    `div` arithmetic on the non-negative token offsets."""
+    if bucket is None:
+        bucket = F.expr(f"CAST({id_col} AS BIGINT) div 4096")
+    wd = df.select(id_col, F.col(n_tokens_col).cast("long").alias("n_tokens"))
+    summed = bucketed_running_sum(
+        wd, bucket, [F.asc(id_col)], "n_tokens", out_col="end_tok"
     )
-    end = F.sum(n_tokens_col).over(w).cast("long")
-    start = end - F.col(n_tokens_col)
-    return df.select(
+    return summed.select(
         id_col,
-        F.col(n_tokens_col).cast("long").alias("n_tokens"),
-        start.alias("start_tok"),
-        end.alias("end_tok"),
-        F.floor(start / budget).cast("long").alias("first_chunk"),
-        F.floor((end - 1) / budget).cast("long").alias("last_chunk"),
-        (F.floor((end - 1) / budget) - F.floor(start / budget) + 1)
-        .cast("long")
-        .alias("n_chunks_spanned"),
+        "n_tokens",
+        (F.col("end_tok") - F.col("n_tokens")).alias("start_tok"),
+        "end_tok",
+        F.expr(f"(end_tok - n_tokens) div {budget}").alias("first_chunk"),
+        F.expr(f"(end_tok - 1) div {budget}").alias("last_chunk"),
+        F.expr(
+            f"(end_tok - 1) div {budget} - (end_tok - n_tokens) div {budget} + 1"
+        ).alias("n_chunks_spanned"),
     )
 
 

@@ -247,11 +247,15 @@ def feat_quantile_normalize(spark, sf_dir):
     rank arithmetic, so the mapping can never drift on a float
     boundary. Emitted as min/median/max probes per stratum (the
     transform applied at three pinned ranks). Scale: the per-stratum
-    window shuffles on the stratum key; the GLOBAL ranking here uses a
-    single-partition window for oracle parity, with
-    win_global_rank_ranged's range-bucket offset rewrite as the
-    documented production substitution (identical output by
-    construction)."""
+    window shuffles on the stratum key; the GLOBAL ranking uses the
+    bucketed-rank device (operators/ranking.py, r10 verdict directive
+    #5) — rows range-bucket by floor(value) (bounded by the value
+    range, not the corpus), rank locally, and add control-plane
+    prefix-summed offsets — identical to the oracle's naive
+    `ROW_NUMBER() OVER (ORDER BY value, event_id)` by construction,
+    with no single-partition window in the plan."""
+    from ..operators.ranking import bucketed_global_rank
+
     ev = table(spark, sf_dir, "events")
     wsrc = Window.partitionBy("event_type").orderBy("value", "event_id")
     src = (
@@ -261,12 +265,12 @@ def feat_quantile_normalize(spark, sf_dir):
             "n", F.count("*").over(Window.partitionBy("event_type"))
         )
     )
-    glob = ev.select(
-        F.col("value").alias("gval"),
-        F.row_number()
-        .over(Window.orderBy("value", "event_id"))
-        .alias("grank"),
-    )
+    glob = bucketed_global_rank(
+        ev.select(F.col("value").alias("gval"), "event_id"),
+        F.floor("gval").cast("long"),
+        [F.asc("gval"), F.asc("event_id")],
+        rank_col="grank",
+    ).select("gval", "grank")
     big_n = ev.count()
     # rank arithmetic in BIGINT: row_number() is INT, and
     # (rn-1)*(N-1) overflows int32 once N reaches ~1M rows (sf1 find)
