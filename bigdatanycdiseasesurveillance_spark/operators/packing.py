@@ -21,7 +21,7 @@ training sequences. Two industry-standard strategies:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .ranking import bucketed_running_sum

@@ -64,13 +64,38 @@ BNLJ_ALLOWLIST = {
 }
 
 
+# Every unpartitioned window node (WindowExec with an empty partition
+# spec — `No Partition Defined`, the whole input through ONE task) the
+# registry is ALLOWED to contain (r10 verdict directive #3). A global
+# window is fine iff its INPUT frame is corpus-size independent; each
+# entry below names that bound. Counts are additionally pinned per
+# query in the budget file, so an injected global window in an
+# allowlisted entry still trips the sweep.
+GLOBAL_WINDOW_ALLOWLIST = {
+    # bucketed-rank device internals: the offsets prefix-sum window
+    # runs over the BUCKET-count frame (groupBy output over a coarse
+    # range key), never the input rows:
+    "cur_perplexity_buckets": "4 windows over NLL-band bucket frames",
+    "dedup_cross_source_snm": "2 windows over 2-char-prefix bucket frames",
+    "win_global_rank_ranged": "offsets window over the day-bucket count frame",
+    # dim / spine / stats frames bounded by construction:
+    "join_salted_skew": "row_number over the 5-row distinct event_type dim",
+    "mix_temperature_sampling": "weight normalization over the sources-sized count frame",
+    "skyline_user_activity": "running max over the distinct-n_events group frame",
+    "win_cumulative_distinct": "running sum over the day spine (time-range bounded)",
+    "win_rolling_corr": "4 rolling 7-row frames over the day-grain daily spine",
+}
+
+
 _BUDGET_PATH = os.path.join(os.path.dirname(__file__), "shuffle_budget.json")
 
 
 def load_shuffle_budget() -> dict:
-    """The pinned per-query Exchange budget (r9 verdict directive #3).
+    """The pinned per-query Exchange budget (r9 verdict directive #3)
+    and global-window budget (r10 verdict directive #3).
 
-    {"sf_dir": <dir it was pinned at>, "budget": {name: max_exchanges}}.
+    {"sf_dir": <dir it was pinned at>, "budget": {name: max_exchanges},
+    "window_budget": {name: n_global_windows}}.
     Shuffle counts are plan facts, but AQE's broadcast decisions read
     file-size stats, so the pin is only comparable at the sf it was
     taken at — the sweep enforces it when sf_dir matches and records
@@ -118,6 +143,11 @@ def sweep_specs(spark, sf_dir: str, specs: dict):
         if pinned is not None and pinned.get("sf_dir") == sf_dir
         else None
     )
+    wbudget = (
+        pinned.get("window_budget")
+        if pinned is not None and pinned.get("sf_dir") == sf_dir
+        else None
+    )
     for name, spec in sorted(specs.items()):
         if "streaming" in spec.tags:
             results[name] = {"skipped": "streaming drain: batch plan is the memory sink"}
@@ -140,6 +170,26 @@ def sweep_specs(spark, sf_dir: str, specs: dict):
             violations.append(
                 f"{name}: {inv['py_row_udf']} row-at-a-time BatchEvalPython node(s)"
             )
+        if inv["global_window"] and name not in GLOBAL_WINDOW_ALLOWLIST:
+            violations.append(
+                f"{name}: {inv['global_window']} unpartitioned window "
+                f"node(s) (No Partition Defined) not on the vetted allowlist"
+            )
+        if wbudget is not None:
+            wpin = wbudget.get(name)
+            if wpin is None:
+                violations.append(
+                    f"{name}: no pinned global-window budget — rebaseline "
+                    f"(tools/plan_sweep.py --rebaseline) after reviewing its plan"
+                )
+            elif inv["global_window"] != wpin:
+                drift = "grew" if inv["global_window"] > wpin else "dropped"
+                violations.append(
+                    f"{name}: {inv['global_window']} unpartitioned window "
+                    f"node(s) {drift} from the pinned global-window budget "
+                    f"of {wpin} — review the plan, then rebaseline if "
+                    f"intentional"
+                )
         if budget is not None:
             if name not in budget:
                 violations.append(
@@ -162,6 +212,11 @@ def sweep_specs(spark, sf_dir: str, specs: dict):
     # row must not suggest deleting a still-valid vetted entry
     stale = sorted(
         n for n in BNLJ_ALLOWLIST if n in results and results[n].get("bnlj") == 0
+    )
+    stale += sorted(
+        f"global-window:{n}"
+        for n in GLOBAL_WINDOW_ALLOWLIST
+        if n in results and results[n].get("global_window") == 0
     )
     if budget is not None:
         # budget rows for queries that no longer exist (or went

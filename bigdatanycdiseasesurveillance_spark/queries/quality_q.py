@@ -212,19 +212,24 @@ def feat_quantile_binning(spark, sf_dir):
     """Quantile binning for feature engineering: exact quartile
     cutpoints (min value at or past rank ceil(p*n), fully tie-broken
     so both engines pick the identical data value) then a CASE bin
-    assignment and per-bin profile. The exact path sorts once
-    globally — the oracle-parity shape; at 100 TB swap the cutpoint
-    CTE for approx_percentile (no sort, one pass) and keep the
-    broadcast + CASE assignment unchanged, since cutpoints are a
-    3-value broadcast either way."""
+    assignment and per-bin profile. The exact global ranking uses the
+    bucketed-rank device (operators/ranking.py, r10 verdict directive
+    #3): $1000 price bands + control-plane prefix-summed offsets —
+    value-identical to the oracle's naive ROW_NUMBER() with no
+    single-partition window; at 100 TB the cutpoint CTE can also swap
+    for approx_percentile (no rank at all) and keep the broadcast +
+    CASE assignment unchanged, since cutpoints are a 3-value broadcast
+    either way."""
+    from ..operators.ranking import bucketed_global_rank
+
     orders = table(spark, sf_dir, "orders")
     n = orders.agg(F.count("*").alias("n"))
-    r = orders.select(
-        "o_totalprice",
-        F.row_number()
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("rn"),
-    )
+    r = bucketed_global_rank(
+        orders.select("o_totalprice", "o_orderkey"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long"),
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        rank_col="rn",
+    ).select("o_totalprice", "rn")
     cut = lambda p, name: F.min(  # noqa: E731
         F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("n")), F.col("o_totalprice"))
     ).alias(name)

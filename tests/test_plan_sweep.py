@@ -45,7 +45,73 @@ def test_detector_catches_injected_cartesian(spark):
 
     clean = a.join(F.broadcast(b), a.id == b.id2)
     inv3 = plan_invariants(clean)
-    assert inv3 == {"cartesian": 0, "bnlj": 0, "py_row_udf": 0, "exchanges": 0}
+    assert inv3 == {
+        "cartesian": 0,
+        "bnlj": 0,
+        "py_row_udf": 0,
+        "exchanges": 0,
+        "global_window": 0,
+    }
+
+
+def test_global_window_counter_and_enforcement(spark, sf_dir):
+    """The unpartitioned-window tripwire's teeth (r10 verdict directive
+    #3): an injected global window must register (a partitioned one
+    must not), an unallowlisted nonzero count must violate, and a
+    pinned count drifting in EITHER direction must violate — so
+    agg_rfm_segments' class of regression (three global ntile sorts
+    sailing through the text-grep pins) can never recur silently."""
+    from pyspark.sql import Window
+
+    from bigdatanycdiseasesurveillance_spark.plans import sweep as sweep_mod
+    from bigdatanycdiseasesurveillance_spark.registry import QuerySpec
+
+    a = spark.range(100).withColumn("k", F.col("id") % 7)
+    injected = a.withColumn("rn", F.row_number().over(Window.orderBy("k", "id")))
+    partitioned = a.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    assert plan_invariants(injected)["global_window"] == 1
+    assert plan_invariants(partitioned)["global_window"] == 0
+    # WindowGroupLimit (rank-filter pushdown) counts too when global
+    limited = injected.filter(F.col("rn") <= 3)
+    assert plan_invariants(limited)["global_window"] >= 1
+
+    spec = QuerySpec("fake_global_window", lambda s, d: injected, None, "", ())
+    orig = sweep_mod.load_shuffle_budget
+    # no pin: unallowlisted nonzero count is violation-grade on its own
+    sweep_mod.load_shuffle_budget = lambda: {"sf_dir": sf_dir, "budget": {}}
+    try:
+        _, violations, _ = sweep_mod.sweep_specs(
+            spark, sf_dir, {"fake_global_window": spec}
+        )
+    finally:
+        sweep_mod.load_shuffle_budget = orig
+    assert any(
+        "fake_global_window" in v and "unpartitioned window" in v
+        for v in violations
+    ), violations
+    # pinned drift in either direction is red, even for allowlisted
+    # names (simulate by allowlisting the fake entry)
+    sweep_mod.GLOBAL_WINDOW_ALLOWLIST["fake_global_window"] = "test shim"
+    try:
+        for pin, phrase in ((0, "grew"), (2, "dropped")):
+            sweep_mod.load_shuffle_budget = lambda p=pin: {
+                "sf_dir": sf_dir,
+                "budget": {},
+                "window_budget": {"fake_global_window": p},
+            }
+            try:
+                _, violations, _ = sweep_mod.sweep_specs(
+                    spark, sf_dir, {"fake_global_window": spec}
+                )
+            finally:
+                sweep_mod.load_shuffle_budget = orig
+            assert any(
+                "fake_global_window" in v and phrase in v for v in violations
+            ), (pin, violations)
+    finally:
+        del sweep_mod.GLOBAL_WINDOW_ALLOWLIST["fake_global_window"]
 
 
 def test_exchange_counter_sees_injected_repartition(spark):

@@ -34,17 +34,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     results, violations, stale = sweep_specs(spark, sf_dir, all_specs())
     if rebaseline:
-        # pin the CURRENT per-query Exchange counts as the budget; every
-        # later run fails on any drift (up OR down) until re-reviewed
+        # pin the CURRENT per-query Exchange and global-window counts as
+        # the budget; every later run fails on any drift (up OR down)
+        # until re-reviewed
         budget = {
             n: r["exchanges"]
             for n, r in sorted(results.items())
             if "exchanges" in r
         }
+        window_budget = {
+            n: r["global_window"]
+            for n, r in sorted(results.items())
+            if "global_window" in r
+        }
         with open(sweep_mod._BUDGET_PATH, "w") as fh:
-            json.dump({"sf_dir": sf_dir, "budget": budget}, fh, indent=1, sort_keys=True)
+            json.dump(
+                {"sf_dir": sf_dir, "budget": budget, "window_budget": window_budget},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
             fh.write("\n")
-        print(f"pinned shuffle budget for {len(budget)} plans -> {sweep_mod._BUDGET_PATH}")
+        print(
+            f"pinned shuffle + global-window budget for {len(budget)} plans "
+            f"-> {sweep_mod._BUDGET_PATH}"
+        )
         # the fresh pin equals the measured counts, so budget-drift
         # findings from the pre-pin sweep are resolved by construction
         # (a second full sweep would re-execute every control-plane
