@@ -956,3 +956,137 @@ def cur_gopher_rules(spark, sf_dir):
             F.sum(F.when(F.col("pass"), 1).otherwise(0)) / F.count("*"), 4
         ).alias("pass_rate"),
     )
+
+
+_CONTAM_BENCH_CUT = (1 << 60) // 10  # 10% deterministic benchmark split
+_CONTAM_THRESHOLDS = (0.0, 0.2, 0.4, 0.6, 0.8)
+
+
+def _contam_oracle() -> str:
+    from ..operators.sampling import deviate_sql
+
+    th = ", ".join(str(t) for t in _CONTAM_THRESHOLDS)
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   {deviate_sql("doc_id", "contam_bench")} < {_CONTAM_BENCH_CUT}
+                       AS is_bench,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+                       AS tok
+            FROM documents
+        ), g0 AS (
+            SELECT doc_id, is_bench,
+                   unnest(CASE WHEN len(tok) >= 3
+                          THEN list_transform(range(len(tok) - 2),
+                               i -> array_to_string(
+                                        list_slice(tok, i + 1, i + 3), ' '))
+                          ELSE [] END) AS g
+            FROM t
+        ), gd AS (
+            SELECT DISTINCT doc_id, is_bench,
+                   {deviate_sql("g", "cgram")} AS gh
+            FROM g0
+        ), bench AS (
+            SELECT DISTINCT gh FROM gd WHERE is_bench
+        ), perdoc AS (
+            SELECT gd.doc_id, COUNT(*) AS n_grams,
+                   SUM(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS hits
+            FROM gd LEFT JOIN bench b ON gd.gh = b.gh
+            WHERE NOT gd.is_bench GROUP BY 1
+        ), fr AS (
+            SELECT doc_id, hits / n_grams AS frac FROM perdoc
+        ), th AS (SELECT CAST(unnest([{th}]) AS DOUBLE) AS threshold)
+        SELECT th.threshold,
+               CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+               CAST(SUM(CASE WHEN fr.frac >= th.threshold THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged,
+               ROUND(SUM(CASE WHEN fr.frac >= th.threshold THEN 1 ELSE 0 END)
+                     / COUNT(*), 6) AS flag_rate,
+               ROUND(AVG(CASE WHEN fr.frac >= th.threshold THEN fr.frac END),
+                     4) AS mean_flagged_overlap
+        FROM fr CROSS JOIN th
+        GROUP BY 1
+    """
+
+
+@register(
+    "cur_contamination_ngram_overlap",
+    oracle=_contam_oracle(),
+    tags=("curation", "decontamination", "ngram", "training-data"),
+)
+def cur_contamination_ngram_overlap(spark, sf_dir):
+    """Eval-set decontamination by hashed n-gram overlap FRACTION (the
+    gap cur_decontaminate's span-hit test leaves: a doc that shares ONE
+    shingle with the benchmark is a span hit, but removal decisions in
+    practice threshold on the contaminated fraction — GPT-3 appendix C
+    / PaLM-style 13-gram overlap ratios, here 3-grams so sf-scale docs
+    produce grams). A deterministic 10% md5 split of `documents` plays
+    the held-out benchmark; every TRAIN doc scores
+    |distinct 3-grams ∩ benchmark grams| / |distinct 3-grams|, and the
+    output is the threshold-sweep profile (n/flag-rate/mean overlap at
+    cut >= 0.0/0.2/0.4/0.6/0.8) a curation run uses to pick the cut.
+
+    Scale shape: grams are md5-hashed to 8-byte keys before the
+    membership join, so the shuffle carries hashes, not strings; the
+    join is a plain shuffled equi-join on the gram hash (benchmark side
+    is corpus-proportional — never broadcast); per-doc scoring is one
+    map-side-combinable groupBy; the 5-threshold profile explodes a
+    literal array (no join) and aggregates on 5 keys. Reference
+    analogue: the reference dedups/filters informal docs before
+    analysis (deduplication_consumer.py) but has no eval-overlap gate —
+    this is a first-class LLM-pipeline addition."""
+    from ..functions.text_funcs import tokens
+    from ..operators.sampling import hash_deviate
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        (hash_deviate(F.col("doc_id"), "contam_bench") < _CONTAM_BENCH_CUT).alias(
+            "is_bench"
+        ),
+        tokens(F.col("text")).alias("tok"),
+    )
+    grams = tok.select(
+        "doc_id",
+        "is_bench",
+        F.explode(
+            F.when(
+                F.size("tok") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tok") - 3),
+                    lambda i: F.array_join(F.slice("tok", i + 1, 3), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    gd = grams.select(
+        "doc_id", "is_bench", hash_deviate(F.col("g"), "cgram").alias("gh")
+    ).distinct()
+    bench = gd.filter(F.col("is_bench")).select("gh").distinct()
+    perdoc = (
+        gd.filter(~F.col("is_bench"))
+        .join(bench.withColumn("hit", F.lit(1)), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
+        )
+    )
+    fr = perdoc.select((F.col("hits") / F.col("n_grams")).alias("frac"))
+    prof = fr.select(
+        F.explode(
+            F.array(*[F.lit(t) for t in _CONTAM_THRESHOLDS])
+        ).alias("threshold"),
+        "frac",
+    )
+    flagged = F.col("frac") >= F.col("threshold")
+    return prof.groupBy("threshold").agg(
+        F.count("*").cast("long").alias("n_train_docs"),
+        F.sum(F.when(flagged, 1).otherwise(0)).cast("long").alias("n_flagged"),
+        F.round(
+            F.sum(F.when(flagged, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("flag_rate"),
+        F.round(F.avg(F.when(flagged, F.col("frac"))), 4).alias(
+            "mean_flagged_overlap"
+        ),
+    )

@@ -413,3 +413,222 @@ def sketch_histogram_quantiles(spark, sf_dir):
         F.round(F.abs(F.round(est, 6) - F.round(F.col("ex"), 6)), 6).alias("abs_err"),
         F.round(F.col("width"), 6).alias("bin_width"),
     )
+
+
+_THETA_K = 64
+_THETA_SCALE = 1 << 60  # deviate range (operators/sampling.py)
+
+
+def _theta_oracle() -> str:
+    from ..operators.sampling import deviate_sql
+
+    dev = deviate_sql("user_id", "theta")
+    k, scale = _THETA_K, _THETA_SCALE
+    kf = f"{float(k - 1) * scale:.1f}"  # (k-1)*2^60, exact in double
+    return f"""
+        WITH dv AS (SELECT DISTINCT event_type, user_id FROM events),
+        dd AS (SELECT event_type, user_id, {dev} AS d FROM dv),
+        rk AS (SELECT event_type, user_id, d,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY d, user_id) AS rn
+               FROM dd),
+        st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+                      COALESCE(MAX(CASE WHEN rn = {k} THEN d END), {scale})
+                          AS theta
+               FROM rk GROUP BY 1),
+        pdv AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+                FROM events),
+        pdd AS (SELECT event_type, day, user_id, {dev} AS d FROM pdv),
+        prk AS (SELECT event_type, day, user_id, d,
+                       ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                          ORDER BY d, user_id) AS prn
+                FROM pdd),
+        pk AS (SELECT DISTINCT event_type, user_id, d
+               FROM prk WHERE prn <= {k}),
+        mrk AS (SELECT event_type, user_id, d,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY d, user_id) AS mrn
+                FROM pk),
+        mst AS (SELECT event_type,
+                       COALESCE(MAX(CASE WHEN mrn = {k} THEN d END), {scale})
+                           AS mtheta
+                FROM mrk GROUP BY 1),
+        stats AS (SELECT st.event_type, st.n_users, st.theta,
+                         (st.theta = mst.mtheta) AS merge_exact
+                  FROM st JOIN mst USING (event_type)),
+        ret AS (SELECT r.event_type, r.user_id, r.d
+                FROM rk r JOIN stats s USING (event_type)
+                WHERE r.d < s.theta),
+        spine AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                         a.n_users AS n_a, b.n_users AS n_b,
+                         a.theta AS theta_a, b.theta AS theta_b,
+                         a.merge_exact AS merge_exact_a,
+                         LEAST(a.theta, b.theta) AS theta_ab
+                  FROM stats a JOIN stats b ON a.event_type <> b.event_type),
+        diffs AS (SELECT s.type_a, s.type_b, CAST(COUNT(*) AS BIGINT)
+                             AS diff_cnt
+                  FROM spine s
+                  JOIN ret r ON r.event_type = s.type_a AND r.d < s.theta_ab
+                  LEFT JOIN ret rb ON rb.event_type = s.type_b
+                                  AND rb.user_id = r.user_id
+                  WHERE rb.user_id IS NULL
+                  GROUP BY 1, 2)
+        SELECT s.type_a, s.type_b,
+               ROUND(CASE WHEN s.n_a >= {k} THEN {kf} / s.theta_a
+                          ELSE CAST(s.n_a AS DOUBLE) END, 4) AS est_users_a,
+               ROUND(CASE WHEN s.n_b >= {k} THEN {kf} / s.theta_b
+                          ELSE CAST(s.n_b AS DOUBLE) END, 4) AS est_users_b,
+               ROUND(COALESCE(d.diff_cnt, 0) * {scale}.0 / s.theta_ab, 4)
+                   AS est_a_not_b,
+               s.merge_exact_a
+        FROM spine s LEFT JOIN diffs d
+          ON d.type_a = s.type_a AND d.type_b = s.type_b
+    """
+
+
+@register(
+    "win_theta_sketch_partial",
+    oracle=_theta_oracle(),
+    tags=("sketch", "theta", "kmv", "set-difference", "training-data"),
+)
+def win_theta_sketch_partial(spark, sf_dir):
+    """Mergeable KMV theta-sketch distinct partials WITH set-difference
+    (the capability agg_hll_partial_merge's HLL cannot offer: HLL
+    unions but never subtracts). The sketch of a user set is its k=64
+    smallest md5 deviates; theta = the k-th smallest (2^60 when the
+    set is smaller than k, i.e. exact mode); est = (k-1)*2^60/theta.
+    Because the k smallest of a union equal the k smallest of the
+    per-day k-smallest partials, the partial-merge path is EXACTLY the
+    direct sketch — `merge_exact_a` pins that equality per type (a
+    real KMV-algebra assertion, not a tolerance). Set difference a\\b
+    uses the theta-sketch a-not-b rule: under theta_ab =
+    min(theta_a, theta_b), a retained sample of A is in B iff it is in
+    B's retained sample set (exact, since d < theta_ab <= theta_b), so
+    the 20 pairwise difference estimates touch ONLY sketch rows (<= 63
+    per type), never the raw sets. Everything is md5-deterministic, so
+    the DuckDB oracle replays estimates bit-for-bit — no tolerance
+    band anywhere.
+
+    Scale shape: the production path is the partial one — per
+    (type, day) groups are bounded, partials are <= k rows each, and
+    merging is a rank over sketch-sized unions; the direct whole-set
+    rank (a 5-partition window over distinct users) is the
+    verification twin that makes merge_exact a two-sided proof, the
+    same audit-twin pattern as the DBSCAN cellgrid rows. The per-type
+    summary (one row per type) and the retained samples (<= k-1 rows
+    per type) are bounded BY CONSTRUCTION — that is the KMV promise —
+    so they cross the control plane once (the lloyd_kmeans_nd
+    k-centroid idiom); the pairwise set-difference math then touches
+    only literal dims and the checkpointed sketch rows."""
+    from ..operators.sampling import hash_deviate
+
+    k = _THETA_K
+    ev = table(spark, sf_dir, "events")
+    dv = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn("d", hash_deviate(F.col("user_id"), "theta"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("d", "user_id")
+    rk = dv.withColumn("rn", F.row_number().over(wr))
+    st = rk.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k, F.col("d"))), F.lit(_THETA_SCALE)
+        ).alias("theta"),
+    )
+    pdv = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .withColumn("d", hash_deviate(F.col("user_id"), "theta"))
+    )
+    wp = Window.partitionBy("event_type", "day").orderBy("d", "user_id")
+    pk = (
+        pdv.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= k)
+        .select("event_type", "user_id", "d")
+        .distinct()
+    )
+    wm = Window.partitionBy("event_type").orderBy("d", "user_id")
+    mst = (
+        pk.withColumn("mrn", F.row_number().over(wm))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("mrn") == k, F.col("d"))),
+                F.lit(_THETA_SCALE),
+            ).alias("mtheta")
+        )
+    )
+    # the sketch summary IS bounded by construction (one row per type):
+    # collect it once — lloyd_kmeans_nd's k-centroid contract — so the
+    # six downstream consumers read a literal dim instead of re-planning
+    # the whole distinct+window subtree each (35 static Exchange nodes
+    # in the fully-lazy form)
+    srows = sorted(
+        st.join(mst, "event_type").collect(), key=lambda r: r["event_type"]
+    )
+    spine_rows = [
+        (
+            ra["event_type"],
+            rb["event_type"],
+            ra["n_users"],
+            rb["n_users"],
+            ra["theta"],
+            rb["theta"],
+            min(ra["theta"], rb["theta"]),
+            ra["theta"] == ra["mtheta"],
+        )
+        for ra in srows
+        for rb in srows
+        if ra["event_type"] != rb["event_type"]
+    ]
+    spine = spark.createDataFrame(
+        spine_rows,
+        "type_a string, type_b string, n_a long, n_b long, theta_a long,"
+        " theta_b long, theta_ab long, merge_exact_a boolean",
+    )
+    theta_dim = spark.createDataFrame(
+        [(r["event_type"], r["theta"]) for r in srows],
+        "event_type string, theta long",
+    )
+    # retained samples: <= k-1 rows per type (the sketch itself);
+    # eager-checkpointed because two consumers (candidates + the
+    # membership side) would otherwise re-run the global rank twice
+    ret = (
+        rk.join(F.broadcast(theta_dim), "event_type")
+        .filter(F.col("d") < F.col("theta"))
+        .select("event_type", "user_id", "d")
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        ret.withColumnRenamed("event_type", "type_a")
+        .join(
+            F.broadcast(spine.select("type_a", "type_b", "theta_ab")), "type_a"
+        )
+        .filter(F.col("d") < F.col("theta_ab"))
+    )
+    retb = ret.select(F.col("event_type").alias("type_b"), "user_id")
+    diffs = (
+        cand.join(F.broadcast(retb), ["type_b", "user_id"], "left_anti")
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("diff_cnt"))
+    )
+    kf = F.lit(float(k - 1) * _THETA_SCALE)
+    est_a = F.when(
+        F.col("n_a") >= k, kf / F.col("theta_a")
+    ).otherwise(F.col("n_a").cast("double"))
+    est_b = F.when(
+        F.col("n_b") >= k, kf / F.col("theta_b")
+    ).otherwise(F.col("n_b").cast("double"))
+    est_diff = (
+        F.coalesce(F.col("diff_cnt"), F.lit(0)) * F.lit(float(_THETA_SCALE))
+    ) / F.col("theta_ab")
+    return spine.join(diffs, ["type_a", "type_b"], "left").select(
+        "type_a",
+        "type_b",
+        F.round(est_a, 4).alias("est_users_a"),
+        F.round(est_b, 4).alias("est_users_b"),
+        F.round(est_diff, 4).alias("est_a_not_b"),
+        "merge_exact_a",
+    )
