@@ -144,6 +144,21 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} ERROR {errors[name]}", file=sys.stderr)
 
+    # Calibration AGAIN after the query loop (r10 verdict directive
+    # #7): the single up-front calibration cannot see contention that
+    # arrives mid-run — r10's driver run calibrated FASTER than the
+    # quiet-box sidecar while its queries ran ~29% slower, and
+    # converged per-entry spreads alone did not flag it. If pre/post
+    # calibration disagree by >20%, the whole run is tainted
+    # regardless of spread convergence, and the drift is a recorded
+    # field so a future judge adjudicates from the artifact alone.
+    cal_post_runs = [run_calibration() for _ in range(3)]
+    cal_post = round(min(cal_post_runs), 4)
+    cal_drift = round(abs(cal_post - cal_warm) / cal_warm, 3)
+    drift_tainted = cal_drift > 0.20
+    if drift_tainted and "calibration_drift" not in tainted_queries:
+        tainted_queries.append("calibration_drift")
+
     total = round(sum(timings.values()), 4)
 
     # Stage throughputs in records/sec for direct comparison against the
@@ -187,6 +202,11 @@ def main() -> None:
             "cold": cal_cold,
             "warm": cal_warm,
             "spread": cal_spread,
+            # post = the same min-of-3 AFTER the query loop; drift =
+            # |post-warm|/warm; >0.20 taints the run (r10 directive #7)
+            "post": cal_post,
+            "drift": cal_drift,
+            "drift_tainted": drift_tainted,
             "workload": "range(30M,64p) % 100k groupBy-agg -> %97 groupBy-agg, noop sink",
         },
         "queries_warm_calibrated": {
@@ -209,6 +229,10 @@ def main() -> None:
                 "queries": timings,
                 "total_warm": round(sum(warm.values()), 4),
                 "calibration_warm": cal_warm,
+                # pre/post calibration drift rule (r10 directive #7):
+                # drift > 0.20 -> tainted, independent of spreads
+                "calibration_post": cal_post,
+                "calibration_drift": cal_drift,
                 "tainted": bool(tainted_queries),
                 "tainted_queries": tainted_queries,
                 "load_avg_1m": round(os.getloadavg()[0], 2),

@@ -287,8 +287,75 @@ def twin_cluster_geo_pipeline(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def twin_dedup_levenshtein_pairs(spark, sf_dir: str) -> DataFrame:
+    """Independent plan for dedup_levenshtein_pairs (r10 verdict
+    directive #6: its sf1 audit row has said ORACLE-TIMEOUT since r8 —
+    DuckDB's unthresholded levenshtein cannot clear the blocked pair
+    set inside the cap, while the engine finishes in ~54s).
+
+    Same semantics — pairs within (source, 20-char length bucket)
+    blocks with edit distance <= 5 — recomputed by an ALGORITHMICALLY
+    DISTINCT route, so registry-vs-twin equality at sf1 is a dual-plan
+    value proof:
+
+    - prune: character-frequency L1 lower bound instead of the
+      production length residual. Every single edit changes per-char
+      counts by at most 2 L1 units (substitution: one char -1, another
+      +1; insert/delete: 1), and dropping characters outside the
+      counted alphabet only shrinks the distance, so over ANY char set
+      sum|cnt_a - cnt_b| > 2k implies edit distance > k — lossless;
+    - kernel: the UNBOUNDED two-arg levenshtein (full O(L^2) DP, no
+      early-abandon threshold path) filtered to <= 5 afterwards.
+    """
+    from bigdatanycdiseasesurveillance_spark.queries.ir_q import _LEV_MAX
+
+    chars = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [" "]
+    cf = F.array(
+        *[
+            (
+                F.length("text") - F.length(F.expr(f"replace(text, '{c}', '')"))
+            ).cast("long")
+            for c in chars
+        ]
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        "text",
+        (F.col("n_chars") / 20).cast("long").alias("lb"),
+        cf.alias("cf"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("s_a"),
+        F.col("text").alias("t_a"), F.col("lb").alias("lb_a"),
+        F.col("cf").alias("cf_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("s_b"),
+        F.col("text").alias("t_b"), F.col("lb").alias("lb_b"),
+        F.col("cf").alias("cf_b"),
+    )
+    l1 = F.expr(
+        "aggregate(zip_with(cf_a, cf_b, (x, y) -> abs(x - y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("s_a") == F.col("s_b"))
+            & (F.col("lb_a") == F.col("lb_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(l1 <= 2 * _LEV_MAX)
+        .withColumn("edit_distance", F.levenshtein("t_a", "t_b").cast("long"))
+        .filter(F.col("edit_distance") <= _LEV_MAX)
+        .select("id_a", "id_b", "edit_distance")
+    )
+
+
 ALT_TWINS = {
     "cluster_grid_dbscan": twin_cluster_grid_dbscan,
     "cluster_dbscan_jittered": twin_cluster_dbscan_jittered,
     "cluster_geo_pipeline": twin_cluster_geo_pipeline,
+    "dedup_levenshtein_pairs": twin_dedup_levenshtein_pairs,
 }
