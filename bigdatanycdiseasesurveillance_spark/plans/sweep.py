@@ -20,7 +20,6 @@ from .inspect import plan_invariants
 # instead of rotting.
 BNLJ_ALLOWLIST = {
     # 1-row scalar-stats crossJoins (HashAggregate keys=[] build side):
-    "agg_rfm_segments",
     "cur_importance_resampling",  # 64-bucket stats x 1-row totals (r10)
     "cur_quality_classifier",
     "dq_group_split_leakfree",

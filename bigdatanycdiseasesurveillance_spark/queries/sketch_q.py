@@ -632,3 +632,194 @@ def win_theta_sketch_partial(spark, sf_dir):
         F.round(est_diff, 4).alias("est_a_not_b"),
         "merge_exact_a",
     )
+
+
+_BLOOM_BITS = 4096  # m: filter width (128 x 32-bit words in BIGINTs —
+# 32, not 64, so no set bit ever needs 1<<63, which overflows DuckDB's
+# checked BIGINT shift)
+_BLOOM_HASHES = 3  # h: md5-derived positions per key
+_BLOOM_WORD = 32
+
+
+def _bloom_oracle() -> str:
+    from ..operators.sampling import deviate_sql
+
+    m, ws = _BLOOM_BITS, _BLOOM_WORD
+    pos = [
+        f"({deviate_sql('user_id', f'bloom{j}')} % {m})"
+        for j in range(1, _BLOOM_HASHES + 1)
+    ]
+    mb = " UNION ALL ".join(f"SELECT {p} AS pos FROM mem" for p in pos)
+    pb = " UNION ALL ".join(f"SELECT day, {p} AS pos FROM pmem" for p in pos)
+    passes = " AND ".join(
+        f"(d{j}.bits >> CAST(p.p{j} % {ws} AS INTEGER)) & 1 = 1"
+        for j in range(1, _BLOOM_HASHES + 1)
+    )
+    djoins = " ".join(
+        f"LEFT JOIN direct d{j} ON d{j}.word = p.p{j} // {ws}"
+        for j in range(1, _BLOOM_HASHES + 1)
+    )
+    pcols = ", ".join(
+        f"{p} AS p{j}" for j, p in enumerate(pos, start=1)
+    )
+    return f"""
+        WITH mem AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        ), mb AS ({mb}
+        ), direct AS (
+            SELECT pos // {ws} AS word,
+                   bit_or(1::BIGINT << CAST(pos % {ws} AS INTEGER)) AS bits
+            FROM mb GROUP BY 1
+        ), pmem AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events WHERE event_type = 'purchase'
+        ), pb AS ({pb}
+        ), pday AS (
+            SELECT day, pos // {ws} AS word,
+                   bit_or(1::BIGINT << CAST(pos % {ws} AS INTEGER)) AS bits
+            FROM pb GROUP BY 1, 2
+        ), merged AS (
+            SELECT word, bit_or(bits) AS bits FROM pday GROUP BY 1
+        ), mex AS (
+            SELECT ((SELECT COUNT(*) FROM direct d JOIN merged m
+                     ON d.word = m.word AND d.bits = m.bits)
+                    = (SELECT COUNT(*) FROM direct))
+               AND ((SELECT COUNT(*) FROM direct)
+                    = (SELECT COUNT(*) FROM merged)) AS merge_exact
+        ), pr AS (
+            SELECT DISTINCT event_type, user_id
+            FROM events WHERE event_type <> 'purchase'
+        ), pp AS (
+            SELECT event_type, user_id, {pcols} FROM pr
+        ), chk AS (
+            SELECT p.event_type,
+                   CASE WHEN {passes} THEN 1 ELSE 0 END AS pass,
+                   CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_m
+            FROM pp p {djoins}
+            LEFT JOIN mem m ON m.user_id = p.user_id
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_probe_users,
+               CAST(SUM(pass) AS BIGINT) AS n_pass_filter,
+               CAST(SUM(is_m) AS BIGINT) AS n_true_members,
+               CAST(SUM(CASE WHEN pass = 1 AND is_m = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_positives,
+               ROUND(CASE WHEN COUNT(*) - SUM(is_m) > 0 THEN
+                     SUM(CASE WHEN pass = 1 AND is_m = 0 THEN 1 ELSE 0 END)
+                     / (COUNT(*) - SUM(is_m)) END, 6) AS false_positive_rate,
+               (SELECT merge_exact FROM mex) AS merge_exact
+        FROM chk GROUP BY 1
+    """
+
+
+@register(
+    "sketch_bloom_join_prune",
+    oracle=_bloom_oracle(),
+    tags=("sketch", "bloom", "join-prune", "training-data"),
+)
+def sketch_bloom_join_prune(spark, sf_dir):
+    """Deterministic Bloom-filter semi-join pruning — the sketch behind
+    Spark's own runtime bloom-filter join pushdown
+    (spark.sql.optimizer.runtime.bloomFilter.enabled), rebuilt as an
+    engine-checkable dataflow: build a 4096-bit / 3-hash filter over
+    the purchase-user set, probe every other event type's distinct
+    users through it, and profile exactly what a 100 TB prune would do
+    — pass counts, true members, false positives, and the realized FPR
+    per probe type. Bit positions are md5-derived (operators/sampling
+    deviates mod m), so filter words, pass sets, and FPR replay
+    bit-for-bit in the DuckDB oracle — no tolerance band.
+
+    Mergeability is pinned the theta-sketch way: per-day partial
+    filters OR-merge (bit_or is associative/commutative) into exactly
+    the direct whole-set filter — `merge_exact` asserts 128-word
+    equality, the property that lets partials build map-side at 100 TB
+    and merge as 512-byte states. The built filter is bounded BY
+    CONSTRUCTION (64 longs), so it crosses the control plane once and
+    probes evaluate map-side against a literal array — scan ->
+    project -> aggregate, no shuffle of the probe side beyond its
+    distinct."""
+    from ..operators.sampling import hash_deviate
+
+    m, ws, h = _BLOOM_BITS, _BLOOM_WORD, _BLOOM_HASHES
+    ev = table(spark, sf_dir, "events")
+    pos_arr = F.array(
+        *[
+            (hash_deviate(F.col("user_id"), f"bloom{j}") % m)
+            for j in range(1, h + 1)
+        ]
+    )
+    mem = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    word = F.expr(f"pos div {ws}").alias("word")
+    setbit = F.expr(f"bit_or(shiftleft(1L, cast(pos % {ws} as int)))").alias(
+        "bits"
+    )
+    direct = (
+        mem.select(F.explode(pos_arr).alias("pos")).groupBy(word).agg(setbit)
+    )
+    pmem = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    pday = (
+        pmem.select("day", F.explode(pos_arr).alias("pos"))
+        .groupBy("day", word)
+        .agg(setbit)
+    )
+    merged = pday.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+    # the filter is m/32 = 128 words BY CONSTRUCTION -> control plane, once
+    dwords = {r["word"]: r["bits"] for r in direct.collect()}
+    mwords = {r["word"]: r["bits"] for r in merged.collect()}
+    merge_exact = dwords == mwords
+    flt = F.array(
+        *[F.lit(int(dwords.get(w, 0))).cast("long") for w in range(m // ws)]
+    )
+    probes = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    p = probes
+    for j in range(1, h + 1):
+        p = p.withColumn(
+            f"p{j}", hash_deviate(F.col("user_id"), f"bloom{j}") % m
+        )
+    p = p.withColumn("flt", flt)
+    passc = None
+    for j in range(1, h + 1):
+        c = F.expr(
+            f"(shiftright(element_at(flt, cast(p{j} div {ws} as int) + 1),"
+            f" cast(p{j} % {ws} as int)) & 1) = 1"
+        )
+        passc = c if passc is None else (passc & c)
+    p = p.withColumn("pass", passc).join(
+        mem.withColumn("is_m", F.lit(1)), "user_id", "left"
+    )
+    agg = p.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_probe_users"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass_filter"),
+        F.sum(F.coalesce(F.col("is_m"), F.lit(0)))
+        .cast("long")
+        .alias("n_true_members"),
+        F.sum(F.when(F.col("pass") & F.col("is_m").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positives"),
+    )
+    denom = F.col("n_probe_users") - F.col("n_true_members")
+    return agg.select(
+        "event_type",
+        "n_probe_users",
+        "n_pass_filter",
+        "n_true_members",
+        "n_false_positives",
+        F.round(
+            F.when(denom > 0, F.col("n_false_positives") / denom), 6
+        ).alias("false_positive_rate"),
+        F.lit(bool(merge_exact)).alias("merge_exact"),
+    )

@@ -515,3 +515,88 @@ def win_rolling_corr(spark, sf_dir):
             "rolling_corr"
         ),
     )
+
+
+@register(
+    "ts_stl_decompose",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ), t AS (
+            SELECT event_type, day, cnt,
+                   SUM(cnt) OVER w AS trend7,
+                   COUNT(*) OVER w AS nwin
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ), seas AS (
+            SELECT event_type, dayofweek(day) + 1 AS dow,
+                   SUM(7 * cnt - trend7) / (7.0 * COUNT(*)) AS seasonal
+            FROM t WHERE nwin = 7 GROUP BY 1, 2
+        )
+        SELECT t.event_type, t.day, t.cnt,
+               ROUND(CASE WHEN t.nwin = 7 THEN t.trend7 / 7.0 END, 6)
+                   AS trend,
+               ROUND(s.seasonal, 6) AS seasonal,
+               CASE WHEN t.nwin = 7 THEN
+                    ROUND(t.cnt - t.trend7 / 7.0 - s.seasonal, 6) END
+                   AS residual
+        FROM t LEFT JOIN seas s
+          ON s.event_type = t.event_type AND s.dow = dayofweek(t.day) + 1
+    """,
+    tags=("timeseries", "decomposition", "seasonal"),
+)
+def ts_stl_decompose(spark, sf_dir):
+    """Additive trend/seasonal/residual decomposition of the per-type
+    daily series (the classical-decomposition simplification of STL:
+    centered 7-observation moving-average trend, day-of-week means of
+    the detrended series as the seasonal component, the rest residual)
+    — the series triage behind ts_seasonal_strength's single strength
+    number: WHICH days carry the season and how big the irregular term
+    is. Cross-engine float discipline: the trend is an integer 7-day
+    sum divided ONCE; the detrended series is kept scaled by 7
+    (7*cnt - trend7, pure integers) so the day-of-week mean is an
+    exact-integer sum with ONE division — no order-dependent double
+    accumulation anywhere, so both engines emit identical bits before
+    the final round. Edge days (incomplete window) carry null
+    trend/residual, matching the oracle's CASE.
+
+    Scale shape: one day-grain aggregation (map-side combinable); the
+    windows run over the daily spine partitioned by type; the seasonal
+    dim is type x 7 rows broadcast back."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    t = daily.withColumn("trend7", F.sum("cnt").over(w7)).withColumn(
+        "nwin", F.count("*").over(w7)
+    )
+    seas = (
+        t.filter(F.col("nwin") == 7)
+        .groupBy("event_type", F.dayofweek("day").alias("dow"))
+        .agg(
+            (
+                F.sum(F.lit(7) * F.col("cnt") - F.col("trend7"))
+                / (F.lit(7.0) * F.count("*"))
+            ).alias("seasonal")
+        )
+    )
+    trend = F.col("trend7") / F.lit(7.0)
+    return (
+        t.withColumn("dow", F.dayofweek("day"))
+        .join(F.broadcast(seas), ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            F.round(F.when(F.col("nwin") == 7, trend), 6).alias("trend"),
+            F.round(F.col("seasonal"), 6).alias("seasonal"),
+            F.when(
+                F.col("nwin") == 7,
+                F.round(F.col("cnt") - trend - F.col("seasonal"), 6),
+            ).alias("residual"),
+        )
+    )
