@@ -158,6 +158,33 @@ def test_sweep_budget_flags_drift(spark, sf_dir):
         assert any(name in v and phrase in v for v in violations), (pin, violations)
 
 
+def test_corrupt_budget_file_is_a_violation_not_an_abort(spark, sf_dir):
+    """A truncated/corrupt shuffle_budget.json must surface as a
+    'budget file unreadable' violation while the sweep still produces
+    results (r10 advisor: JSONDecodeError used to abort the sweep)."""
+    import json
+
+    from bigdatanycdiseasesurveillance_spark.plans import sweep as sweep_mod
+    from bigdatanycdiseasesurveillance_spark.registry import QuerySpec
+
+    def corrupt():
+        raise json.JSONDecodeError("boom", "{", 0)  # a ValueError
+
+    spec = QuerySpec(
+        "tiny_ok", lambda s, d: s.range(5).groupBy("id").count(), None, "", ()
+    )
+    orig = sweep_mod.load_shuffle_budget
+    sweep_mod.load_shuffle_budget = corrupt
+    try:
+        results, violations, _ = sweep_mod.sweep_specs(
+            spark, sf_dir, {"tiny_ok": spec}
+        )
+    finally:
+        sweep_mod.load_shuffle_budget = orig
+    assert "tiny_ok" in results and "exchanges" in results["tiny_ok"]
+    assert any("unreadable" in v for v in violations), violations
+
+
 def test_registry_plan_invariants(spark, sf_dir):
     """Sweep all ~230 registry plans. Any cartesian, any unvetted BNLJ,
     any BatchEvalPython, or any build failure is a violation; stale

@@ -54,6 +54,12 @@ NOTES = {
     "dedup_minhash_md5": "same mask collapse; md5 band signatures; band equi-join candidates; 1-row stats out",
     "tok_bpe_merges": "per-iteration pair-count partial agg + 1-row argmax broadcast + array-fold merge; corpus never moves",
     "mm_decode_real_headers": "mapInPandas build + mapInPandas stdlib parse — two Arrow stages, no shuffle",
+    # round-11 plan-shape flagships
+    "agg_rfm_segments": "three bucketed global ranks (control-plane offsets, broadcast literal dims) + integer-div NTILE; zero unpartitioned windows, one pinned exchange",
+    "emb_pq_adc_search": "ONE scan of the shared checkpointed projection; codes + ADC lookups fused into a literal when-chain projection; 0 joins, 0 exchanges, TakeOrderedAndProject",
+    "win_theta_sketch_partial": "sketch summary + retained samples are bounded BY CONSTRUCTION -> control plane once; pairwise set-difference over literal dims, 2 exchanges",
+    "sketch_bloom_join_prune": "filter words collected once (128 longs); probes test bits map-side against a literal array; merge-equals-direct pinned",
+    "cur_contamination_ngram_overlap": "gram hashes (8-byte keys) shuffle, never strings; benchmark side stays a shuffled equi-join (corpus-proportional, never broadcast); 5-key profile agg",
 }
 
 
@@ -78,6 +84,14 @@ def main() -> None:
         "dedup_minhash_md5",
         "tok_bpe_merges",
         "mm_decode_real_headers",
+        # round-11 plan-shape flagships (the r10 verdict's two weak
+        # entries after their rewrites, plus the new bounded-summary
+        # sketches and the decontamination join)
+        "agg_rfm_segments",
+        "emb_pq_adc_search",
+        "win_theta_sketch_partial",
+        "sketch_bloom_join_prune",
+        "cur_contamination_ngram_overlap",
     ]
     bench_names = sorted(n for n, s in specs.items() if s.bench)
     names = bench_names + [n for n in extras if n not in bench_names]
