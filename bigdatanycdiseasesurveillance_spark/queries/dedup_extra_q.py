@@ -1098,3 +1098,115 @@ def inc_groups_compacted(spark, sf_dir):
                         f"compaction left {n_files} files in {vdir}"
                     )
     return _group_contract(labels)
+
+
+_SUB_K = 20  # substring gram width (chars)
+_SUB_STRIDE = 5  # sample every 5th start position
+_SUB_HEAVY = 0.5  # a doc is substring-heavy past this duplicated fraction
+
+
+def _substring_oracle() -> str:
+    from ..operators.sampling import deviate_sql
+
+    k, st = _SUB_K, _SUB_STRIDE
+    return f"""
+        WITH pos AS (
+            SELECT doc_id, source,
+                   unnest(CASE WHEN length(text) >= {k}
+                          THEN list_transform(
+                               range(1, length(text) - {k} + 2, {st}),
+                               i -> substring(text, i, {k}))
+                          ELSE [] END) AS g
+            FROM documents
+        ), gd AS (
+            SELECT DISTINCT doc_id, source,
+                   {deviate_sql("g", "sgram")} AS gh
+            FROM pos
+        ), freq AS (
+            SELECT gh FROM gd GROUP BY gh HAVING COUNT(*) >= 2
+        ), perdoc AS (
+            SELECT gd.doc_id, gd.source, COUNT(*) AS n_grams,
+                   SUM(CASE WHEN f.gh IS NOT NULL THEN 1 ELSE 0 END) AS dup
+            FROM gd LEFT JOIN freq f ON gd.gh = f.gh
+            GROUP BY 1, 2
+        ), fr AS (
+            SELECT source, dup / n_grams AS frac FROM perdoc
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(frac), 4) AS avg_dup_frac,
+               CAST(SUM(CASE WHEN frac >= {_SUB_HEAVY} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_heavy,
+               ROUND(SUM(CASE WHEN frac >= {_SUB_HEAVY} THEN 1 ELSE 0 END)
+                     / COUNT(*), 6) AS heavy_rate
+        FROM fr GROUP BY source
+    """
+
+
+@register(
+    "dedup_repeated_substrings",
+    oracle=_substring_oracle(),
+    tags=("dedup", "substring", "llm-prep", "training-data"),
+)
+def dedup_repeated_substrings(spark, sf_dir):
+    """SUBSTRING-level exact-duplication profile (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") — the
+    tier token shingles cannot see: boilerplate banners, licence
+    blocks, and templated sentences repeat as CHARACTER runs across
+    documents whose token SETS differ. Stride-sampled char-20-grams
+    (every 5th start position — the paper's suffix-array pass
+    approximated as a sampled gram lattice: any repeated run of >= 24
+    chars is guaranteed to contribute at least one sampled gram on
+    both sides) are md5-hashed; a gram is corpus-repeated when it
+    occurs in >= 2 distinct documents; each doc scores the fraction of
+    its distinct sampled grams that are corpus-repeated, profiled per
+    source (mean duplicated fraction, heavy-doc count past 0.5).
+
+    Scale shape: grams hash to 8-byte keys before any shuffle (the
+    stride caps gram volume at ~len/5 per doc); corpus-frequent grams
+    are one map-side-combinable count; per-doc scoring is a shuffled
+    equi-join on the gram hash (the frequent-gram side is
+    corpus-proportional — never broadcast) + one doc-keyed aggregate.
+    The same dataflow as cur_contamination_ngram_overlap with the
+    benchmark split replaced by the corpus itself."""
+    from ..operators.sampling import hash_deviate
+
+    k, st = _SUB_K, _SUB_STRIDE
+    docs = table(spark, sf_dir, "documents")
+    seq = F.sequence(
+        F.lit(1), F.length("text") - F.lit(k - 1), F.lit(st)
+    )
+    pos = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.length("text") >= k,
+                F.transform(seq, lambda i: F.col("text").substr(i, F.lit(k))),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    gd = pos.select(
+        "doc_id", "source", hash_deviate(F.col("g"), "sgram").alias("gh")
+    ).distinct()
+    freq = gd.groupBy("gh").agg(F.count("*").alias("c")).filter(
+        F.col("c") >= 2
+    ).select("gh")
+    perdoc = (
+        gd.join(freq.withColumn("hit", F.lit(1)), "gh", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("dup"),
+        )
+    )
+    frac = F.col("dup") / F.col("n_grams")
+    heavy = frac >= _SUB_HEAVY
+    return perdoc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg(frac), 4).alias("avg_dup_frac"),
+        F.sum(F.when(heavy, 1).otherwise(0)).cast("long").alias("n_heavy"),
+        F.round(
+            F.sum(F.when(heavy, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("heavy_rate"),
+    )

@@ -559,3 +559,77 @@ def cur_perplexity_buckets(spark, sf_dir):
         bucket.alias("ppl_bucket"),
         (bucket == 1).alias("keep"),
     )
+
+
+def _fertility_oracle() -> str:
+    from .text_features_q import _BPE_PAT
+
+    pat = _BPE_PAT.replace("'", "''")
+    return f"""
+        WITH d AS (
+            SELECT lang,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+                       AS n_pretokens,
+                   n_chars
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_words,
+               CAST(SUM(n_pretokens) AS BIGINT) AS n_pretokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               ROUND(CAST(SUM(n_pretokens) AS DOUBLE) / SUM(n_words), 6)
+                   AS fertility,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_pretokens), 6)
+                   AS chars_per_token
+        FROM d GROUP BY lang
+    """
+
+
+@register(
+    "cur_tokenizer_fertility",
+    oracle=_fertility_oracle(),
+    tags=("curation", "tokenizer", "multilingual", "training-data"),
+)
+def cur_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility profile — the multilingual
+    mix-design stat (how many subword units a language's word costs
+    decides its effective token budget; high-fertility languages burn
+    budget faster, the standard argument for per-language sampling
+    temperatures): whitespace words, GPT-2-style pretokens (the same
+    Java/RE2-identical _BPE_PAT as txt_bpe_pretoken_stats, here over
+    the DOCUMENTS corpus, keyed by its lang column), corpus chars, and
+    the two ratios that matter — pretokens per word (fertility) and
+    chars per pretoken (compression). All sums are exact integers;
+    each ratio is ONE division, so both engines emit identical bits
+    before the round.
+
+    Scale shape: per-row regexp_extract_all + size inside whole-stage
+    codegen (no explode — counting needs no token rows), then one
+    map-side-combinable aggregate on the lang key. At 100 TB this is a
+    single scan with a 5-key shuffle."""
+    from .text_features_q import _BPE_PAT
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_words"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))
+        ).cast("long").alias("n_pretokens"),
+        "n_chars",
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_pretokens").cast("long").alias("n_pretokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            F.sum("n_pretokens").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_pretokens"), 6
+        ).alias("chars_per_token"),
+    )
