@@ -154,10 +154,16 @@ def main() -> None:
     # field so a future judge adjudicates from the artifact alone.
     cal_post_runs = [run_calibration() for _ in range(3)]
     cal_post = round(min(cal_post_runs), 4)
-    cal_drift = round(abs(cal_post - cal_warm) / cal_warm, 3)
-    drift_tainted = cal_drift > 0.20
-    if drift_tainted and "calibration_drift" not in tainted_queries:
-        tainted_queries.append("calibration_drift")
+    # Guard the division (r11 advisor): a degenerate near-zero warm
+    # calibration (would take a broken workload, but then the ratio is
+    # meaningless anyway) must not ZeroDivisionError the whole bench.
+    # Drift taint is its own boolean field — never a pseudo-entry in
+    # tainted_queries, which holds real registry names only.
+    if cal_warm > 0.01:
+        cal_drift = round(abs(cal_post - cal_warm) / cal_warm, 3)
+    else:
+        cal_drift = -1.0  # sentinel: calibration itself is broken
+    drift_tainted = cal_drift > 0.20 or cal_drift < 0
 
     total = round(sum(timings.values()), 4)
 
@@ -183,7 +189,17 @@ def main() -> None:
     # driver's tail-capture buffer (r5 verdict finding #4). The final
     # stdout line stays compact: totals, throughputs, and the cold
     # per-query map only (the driver contract requires `queries`).
+    # Artifact split (r11 verdict directive #3): the driver bench used
+    # to overwrite BENCH_DETAIL.json, clobbering the committed quiet-box
+    # sidecar that separates contention from regression. Run kind is an
+    # env knob: default "driver" -> BENCH_DETAIL.json (what the round
+    # driver records), "quiet" -> BENCH_QUIET.json (the builder's
+    # quiet-box reference, taken right after a round's changes land).
+    bench_kind = os.environ.get("SPARK_GRAFT_BENCH_KIND", "driver")
+    detail_name = "BENCH_QUIET.json" if bench_kind == "quiet" else "BENCH_DETAIL.json"
+
     detail = {
+        "run_kind": bench_kind,
         "queries_cold": timings,
         "queries_warm": warm,
         # warm_spread is the pure (max-min)/min ratio over the 3 fastest
@@ -194,7 +210,7 @@ def main() -> None:
         "warm_spread_abs": warm_spread_abs,
         "warm_samples": warm_samples_n,
         "load_avg_1m": load_1m,
-        "tainted": bool(tainted_queries),
+        "tainted": bool(tainted_queries) or drift_tainted,
         "tainted_queries": tainted_queries,
         # box-weather normalization: divide any round's warm time by its
         # calibration_warm before comparing across rounds
@@ -209,15 +225,17 @@ def main() -> None:
             "drift_tainted": drift_tainted,
             "workload": "range(30M,64p) % 100k groupBy-agg -> %97 groupBy-agg, noop sink",
         },
-        "queries_warm_calibrated": {
-            n: round(t / cal_warm, 3) for n, t in warm.items()
-        },
+        "queries_warm_calibrated": (
+            {n: round(t / cal_warm, 3) for n, t in warm.items()}
+            if cal_warm > 0.01
+            else {}
+        ),
         "errors": errors,
         "throughput_rec_s": throughput,
         "sf": sf,
         "n_queries": len(timings),
     }
-    with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as fh:
+    with open(os.path.join(REPO_DIR, detail_name), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
     print(
@@ -233,7 +251,8 @@ def main() -> None:
                 # drift > 0.20 -> tainted, independent of spreads
                 "calibration_post": cal_post,
                 "calibration_drift": cal_drift,
-                "tainted": bool(tainted_queries),
+                "drift_tainted": drift_tainted,
+                "tainted": bool(tainted_queries) or drift_tainted,
                 "tainted_queries": tainted_queries,
                 "load_avg_1m": round(os.getloadavg()[0], 2),
                 # Per-entry measurement evidence IN the driver artifact

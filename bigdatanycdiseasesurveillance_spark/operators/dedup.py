@@ -775,10 +775,20 @@ def simhash_md5_pairs(
         "c", "chunk", F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # Hamming filter BEFORE the pair dedup (r12 sf1 profile): the
+    # filter is map-side xor+popcount while dropDuplicates is a shuffle
+    # of every candidate, so filter-first never loses and wins big when
+    # most candidates fail the cut. Value-identical: duplicate
+    # candidate rows of a pair carry identical sigs, so dedup-then-
+    # filter == filter-then-dedup. (On THIS corpus 97% of candidates
+    # pass — 260.4M of 268.6M at sf1 — so the A/B was a tie, 89.9s vs
+    # 90.1s warm; the reorder is kept for the general corpus where the
+    # Hamming cut, not blocking, does the work. Stage table: SCALE.md
+    # "dedup_simhash_md5 measured floor".)
     return (
         a.join(b, ["c", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .filter(ham <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
     )

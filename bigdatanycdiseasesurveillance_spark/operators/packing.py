@@ -47,6 +47,23 @@ def pack_concat_chunks(
     form) with no single-partition window. Chunk ids are exact integer
     `div` arithmetic on the non-negative token offsets."""
     if bucket is None:
+        # The default bucket assumes a numeric id: under non-ANSI configs
+        # a non-numeric id casts to NULL and the rank join would silently
+        # drop rows (ANSI mode throws instead, masking the hazard). Gate
+        # on the schema type so the failure is loud and identical on all
+        # configs; callers with string/uuid ids supply `bucket=`.
+        dtype = df.schema[id_col].dataType.simpleString()
+        if dtype not in (
+            "tinyint",
+            "smallint",
+            "int",
+            "bigint",
+        ) and not dtype.startswith("decimal"):
+            raise ValueError(
+                f"pack_concat_chunks: default bucketing needs an integer "
+                f"id column, got {id_col}:{dtype}; pass an explicit "
+                f"bucket= expression (non-decreasing along {id_col})"
+            )
         bucket = F.expr(f"CAST({id_col} AS BIGINT) div 4096")
     wd = df.select(id_col, F.col(n_tokens_col).cast("long").alias("n_tokens"))
     summed = bucketed_running_sum(

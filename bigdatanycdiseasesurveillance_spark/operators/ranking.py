@@ -64,6 +64,20 @@ def _offset_dim(bucketed: DataFrame, agg: Column):
             f"bucketed rank: {len(rows)} buckets exceeds MAX_BUCKETS="
             f"{MAX_BUCKETS}; pick a coarser bucket key"
         )
+    if any(r[_B] is None for r in rows):
+        # A NULL bucket key would crash the Python sort below on mixed
+        # types, and — worse — silently drop every null-bucket row at the
+        # equi-join in the caller. The naive global window the device
+        # replaces ranks NULL order keys deterministically, so a silent
+        # drop is a wrong answer, not a degenerate one. Fail loudly and
+        # tell the caller to pre-coalesce (e.g. bucket over
+        # coalesce(value, sentinel) ordered like the window's null
+        # ordering).
+        raise ValueError(
+            "bucketed rank: bucket key is NULL for some rows; coalesce "
+            "the bucket expression to a sentinel that sorts like the "
+            "window's null ordering (NULLS FIRST -> lowest bucket)"
+        )
     rows.sort(key=lambda r: r[_B])
     offsets, acc = [], 0
     for r in rows:
@@ -123,6 +137,54 @@ def bucketed_running_sum(
         .withColumn(out_col, (F.col(_OFF) + F.col(_LOCAL)).cast("long"))
         .drop(_B, _LOCAL, _OFF)
     )
+
+
+def grouped_histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: dict[str, tuple[int, int]],
+) -> DataFrame:
+    """Per-group EXACT order-statistic quantiles via the histogram
+    specialization of the bucketed-rank device (bucket == the value
+    itself): one map-side-combinable groupBy collapses the corpus to a
+    (group x distinct-value) histogram, a cumulative sum PARTITIONED BY
+    group runs over that histogram frame, and the p-quantile is the
+    least value whose cumulative count reaches ceil(p*n) — the
+    inverse-CDF / lower order statistic, identical to selecting rank
+    ceil(p*n) from a fully ranked sort but with the corpus never passing
+    through any window at all (ranking a 100 TB corpus to read 3 order
+    statistics is the anti-pattern this replaces).
+
+    `quantiles` maps output column name -> (num, den) with the position
+    computed as ceil(num*n/den) in pure integer arithmetic
+    ((num*n + den - 1) div den), so engine parity is exact. Contract:
+    the value column must have bounded per-group cardinality (lengths,
+    counts, bands — histogram-sized), which is also what makes the
+    cumsum frame corpus-size independent. Also emits n_<group rows> as
+    `n_values` and the group max as `max_value`."""
+    hist = df.groupBy(*group_cols, value_col).agg(F.count("*").alias("__hc"))
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("__cw", F.sum("__hc").over(wcum)).withColumn(
+        "__n", F.sum("__hc").over(wall)
+    )
+    aggs = [
+        F.sum("__hc").cast("long").alias("n_values"),
+        F.max(value_col).cast("long").alias("max_value"),
+    ]
+    for out_name, (num, den) in quantiles.items():
+        pos = F.expr(f"({num} * __n + {den - 1}) div {den}")
+        aggs.append(
+            F.min(F.when(F.col("__cw") >= pos, F.col(value_col)))
+            .cast("long")
+            .alias(out_name)
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
 
 
 def ntile_from_rank(rank_sql: str, n_sql: str, k: int) -> Column:

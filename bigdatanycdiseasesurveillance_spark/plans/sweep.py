@@ -20,6 +20,7 @@ from .inspect import plan_invariants
 # instead of rotting.
 BNLJ_ALLOWLIST = {
     # 1-row scalar-stats crossJoins (HashAggregate keys=[] build side):
+    "cur_dedup_aware_mixing",  # sources frame x 1-row total/extra (r12)
     "cur_importance_resampling",  # 64-bucket stats x 1-row totals (r10)
     "cur_quality_classifier",
     "dq_group_split_leakfree",
@@ -28,6 +29,7 @@ BNLJ_ALLOWLIST = {
     "mix_temperature_sampling",
     "pack_greedy_ffd_profile",
     "risk_composite",
+    "samp_neyman_allocation",  # sources-sized strata x 1-row total/extra (r12)
     "sql_dashboard_severity",
     "tpch_q11_important_stock",
     "tpch_q22_dormant_balance",
@@ -80,6 +82,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # dim / spine / stats frames bounded by construction:
     "join_salted_skew": "row_number over the 5-row distinct event_type dim",
     "mix_temperature_sampling": "weight normalization over the sources-sized count frame",
+    "samp_neyman_allocation": "largest-remainder rank over the sources-sized strata frame",
+    "cur_dedup_aware_mixing": "largest-remainder rank over the sources-sized mass frame",
     "skyline_user_activity": "running max over the distinct-n_events group frame",
     "win_cumulative_distinct": "running sum over the day spine (time-range bounded)",
     "win_rolling_corr": "4 rolling 7-row frames over the day-grain daily spine",

@@ -48,4 +48,6 @@ from . import (  # noqa: F401
     lm_q,
     # round-4 modules
     corpus_export_q,
+    # round-12 modules
+    sampling_design_q,
 )

@@ -1,0 +1,493 @@
+"""Round-12 sampling-design + doc-structure queries: the SURVEY
+round-12 queue (Neyman allocation, sentence segmentation profile) plus
+the round-13 queue pulled forward (systematic sampling, paragraph
+structure, dedup-aware mixing).
+
+Reference analogue: the reference sizes its per-borough surveillance
+samples with ad-hoc driver-side proportions (`app_upgraded.py`
+dashboard sampling) and never computes segment structure at all; these
+are the engine-grade versions a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.allocation import largest_remainder_allocation
+from ..operators.ranking import grouped_histogram_quantiles
+from ..registry import register
+from ..tables import table
+
+# --- Neyman allocation -------------------------------------------------
+
+_NEYMAN_BUDGET = 100_000
+_W_SCALE = 1_000_000  # weight quantization: floor(w * 1e6) -> BIGINT
+
+
+@register(
+    "samp_neyman_allocation",
+    oracle=f"""
+        WITH m AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   SUM(CAST(n_chars AS HUGEINT)) AS s1,
+                   SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+            FROM documents GROUP BY source
+        ), w AS (
+            SELECT source, n_docs,
+                   CAST(FLOOR(SQRT(CAST(n_docs * s2 - s1 * s1 AS DOUBLE))
+                              * {_W_SCALE}.0) AS BIGINT) AS wq
+            FROM m
+        ), t AS (
+            SELECT SUM(wq) AS tw FROM w
+        ), b AS (
+            SELECT source, n_docs, wq,
+                   ({_NEYMAN_BUDGET} * wq) // tw AS base,
+                   ({_NEYMAN_BUDGET} * wq) % tw AS rem
+            FROM w, t
+        ), e AS (
+            SELECT {_NEYMAN_BUDGET} - SUM(base) AS extra FROM b
+        ), r AS (
+            SELECT b.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+            FROM b
+        )
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               wq AS neyman_weight,
+               CAST(base AS BIGINT) AS alloc_base,
+               CAST(base + CASE WHEN rk <= (SELECT extra FROM e)
+                                THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM r
+    """,
+    tags=("sampling", "design", "training-data"),
+)
+def samp_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified-sample allocation over sources:
+    n_h proportional to N_h * s_h, integer allocations that sum EXACTLY
+    to the budget via the largest-remainder method.
+
+    The algebra that keeps both engines bit-identical: the Neyman
+    weight N_h * s_h collapses to sqrt(N_h * sum(v^2) - sum(v)^2) — the
+    square root of an EXACT integer (population variance numerator via
+    sum / sum-of-squares, products carried in DECIMAL(38,0) /
+    HUGEINT so nothing wraps), and IEEE-754 sqrt of the same double is
+    correctly rounded in both engines. The weight is then quantized
+    (floor(w * 1e6) -> BIGINT) so every downstream step — total,
+    proportional floor share (`div`), remainder (%), and the
+    largest-remainder +1 ranks — is pure integer arithmetic with no
+    float sum whose accumulation order could differ across engines.
+
+    Scale shape: ONE map-side-combinable groupBy over the corpus
+    (count/sum/sum-of-squares per stratum); everything after runs on
+    the sources-sized strata frame — two 1-row broadcast crossJoins
+    (grand total, leftover budget) and one rank window over ~20 rows
+    (GLOBAL_WINDOW_ALLOWLIST: the frame is corpus-size independent).
+    At 100 TB the corpus crosses the wire as k partial aggregates."""
+    docs = table(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.expr("CAST(n_chars AS DECIMAL(19,0)) * n_chars")).alias("s2"),
+    )
+    w = m.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(CAST(n_docs AS DECIMAL(38,0)) * s2"
+            f" - s1 * s1 AS DOUBLE)) * {_W_SCALE}.0) AS BIGINT)"
+        ).alias("wq"),
+    )
+    alloc = largest_remainder_allocation(
+        w, "wq", _NEYMAN_BUDGET, order_col="source"
+    )
+    return alloc.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("wq").alias("neyman_weight"),
+        "alloc_base",
+        "alloc",
+    )
+
+
+# --- Sentence segmentation profile --------------------------------------
+
+# The synthetic corpus is punctuation-free, so the profile first injects
+# a deterministic period after every 10th word — the same both-engines
+# text-injection device the PII redaction oracle uses — and then runs
+# the REAL regex splitter. Both patterns are valid and semantically
+# identical in Java regex (Spark) and RE2 (DuckDB): non-overlapping
+# leftmost matches, scan resumes after each replacement.
+_SENT_INJECT = r"((?:\S+ ){9}\S+) "
+_SENT_SPLIT = r"\.\s+"
+
+
+@register(
+    "txt_sentence_segmentation_profile",
+    oracle=rf"""
+        WITH s AS (
+            SELECT lang,
+                   unnest(string_split_regex(
+                       regexp_replace(text, '{_SENT_INJECT}', '\1. ', 'g'),
+                       '{_SENT_SPLIT}')) AS sent
+            FROM documents
+        ), sw AS (
+            SELECT lang,
+                   len(list_filter(string_split(sent, ' '), x -> x <> ''))
+                       AS words
+            FROM s
+        ), h AS (
+            SELECT lang, words, COUNT(*) AS c
+            FROM sw WHERE words > 0 GROUP BY 1, 2
+        ), cum AS (
+            SELECT lang, words, c,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY words) AS cw,
+                   SUM(c) OVER (PARTITION BY lang) AS n
+            FROM h
+        ), q AS (
+            SELECT lang,
+                   CAST(SUM(c) AS BIGINT) AS n_sentences,
+                   CAST(MAX(words) AS BIGINT) AS max_words,
+                   CAST(MIN(CASE WHEN cw >= (1 * n + 3) // 4
+                            THEN words END) AS BIGINT) AS q1_words,
+                   CAST(MIN(CASE WHEN cw >= (1 * n + 1) // 2
+                            THEN words END) AS BIGINT) AS med_words,
+                   CAST(MIN(CASE WHEN cw >= (3 * n + 3) // 4
+                            THEN words END) AS BIGINT) AS q3_words
+            FROM cum GROUP BY lang
+        ), d AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        )
+        SELECT d.lang, n_docs, n_sentences, q1_words, med_words, q3_words,
+               max_words
+        FROM d JOIN q USING (lang)
+    """,
+    tags=("text", "structure", "training-data"),
+)
+def txt_sentence_segmentation_profile(spark, sf_dir):
+    """Regex sentence-segmentation profile per language: sentence
+    counts and sentence-length (in words) quartiles — the doc-structure
+    statistic packing and chunking recipes key on (mean/median sentence
+    length decides chunk stride; the q3/max tail decides whether
+    sentences can be boundary-respected at all).
+
+    Quartiles are EXACT order statistics (inverse CDF at ceil(p*n),
+    all-integer positions) computed by the histogram specialization of
+    the bucketed-rank device (operators/ranking.py
+    grouped_histogram_quantiles): the corpus collapses to a
+    (lang x sentence-length) histogram in one map-side-combinable
+    groupBy, and the cumulative-count window runs PARTITIONED BY lang
+    over that bounded histogram frame — no corpus-sized window, no
+    global window at all, no per-language skew (the heavy lifting is
+    the histogram groupBy on the composite key).
+
+    Scan economics at 100 TB: the text column is read ONCE (the
+    sentence pass); the n_docs branch re-scans only the pruned `lang`
+    column (ReadSchema shows the single column)."""
+    docs = table(spark, sf_dir, "documents")
+    sent = docs.select(
+        "lang",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.col("text"), _SENT_INJECT, "$1. "),
+                _SENT_SPLIT,
+            )
+        ).alias("sent"),
+    ).select(
+        "lang",
+        F.size(F.filter(F.split(F.col("sent"), " "), lambda x: x != "")).alias(
+            "words"
+        ),
+    ).filter(F.col("words") > 0)
+    q = grouped_histogram_quantiles(
+        sent,
+        ["lang"],
+        "words",
+        {"q1_words": (1, 4), "med_words": (1, 2), "q3_words": (3, 4)},
+    ).select(
+        "lang",
+        F.col("n_values").alias("n_sentences"),
+        "q1_words",
+        "med_words",
+        "q3_words",
+        F.col("max_value").alias("max_words"),
+    )
+    d = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    return d.join(q, "lang").select(
+        "lang",
+        "n_docs",
+        "n_sentences",
+        "q1_words",
+        "med_words",
+        "q3_words",
+        "max_words",
+    )
+
+
+# --- Systematic sampling (r13 queue, pulled forward) ---------------------
+
+_SYS_BUDGET = 2_000
+_SYS_SALT = "sysint"
+
+
+def _sys_oracle() -> str:
+    from ..operators.sampling import deviate_sql
+
+    return f"""
+        WITH dev AS (
+            SELECT doc_id, source, n_chars,
+                   {deviate_sql("doc_id", _SYS_SALT)} AS d
+            FROM documents
+        ), r AS (
+            SELECT source, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY d, doc_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM dev
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM r
+        WHERE (rn - 1) % GREATEST(1, n // {_SYS_BUDGET}) = 0
+        GROUP BY source
+    """
+
+
+@register(
+    "samp_systematic_interval",
+    oracle=_sys_oracle(),
+    tags=("sampling", "design", "training-data"),
+)
+def samp_systematic_interval(spark, sf_dir):
+    """Systematic (every k-th) sampling on the md5-deviate order — the
+    third classical design next to stratified
+    (`sample_stratified_sources`) and Neyman (`samp_neyman_allocation`):
+    order rows by a deterministic uniform deviate of the key, take every
+    k-th with stride k = max(1, N div budget). Ordering by the HASH
+    rather than any natural key is what makes the systematic sample
+    unbiased w.r.t. ingestion order, and makes membership a pure
+    function of the data (layout/cluster-shape independent — the oracle
+    replays it row-for-row).
+
+    The global rank comes from the bucketed-rank device
+    (operators/ranking.py): the deviate is uniform on [0, 2^60), so
+    `d div 2^44` buckets it into <= 65,536 uniform ranges — the offsets
+    dim is bounded BY CONSTRUCTION at any corpus size, and no
+    single-partition window exists in the plan. N rides along as the
+    device's total_col, so the stride needs no extra join."""
+    from ..operators.ranking import bucketed_global_rank
+    from ..operators.sampling import hash_deviate
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        hash_deviate(F.col("doc_id"), _SYS_SALT).alias("d"),
+    )
+    ranked = bucketed_global_rank(
+        docs,
+        F.expr("d div 17592186044416"),  # 2^44: <= 2^16 uniform buckets
+        [F.asc("d"), F.asc("doc_id")],
+        rank_col="rn",
+        total_col="n",
+    )
+    return (
+        ranked.filter(
+            F.expr(f"(rn - 1) % greatest(1, n div {_SYS_BUDGET}) = 0")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+# --- Paragraph structure profile (r13 queue, pulled forward) -------------
+
+_PARA_SENTS = 4  # paragraph = 4 consecutive sentences
+
+
+@register(
+    "txt_paragraph_structure_profile",
+    oracle=rf"""
+        WITH s AS (
+            SELECT doc_id, source,
+                   string_split_regex(
+                       regexp_replace(text, '{_SENT_INJECT}', '\1. ', 'g'),
+                       '{_SENT_SPLIT}') AS sents
+            FROM documents
+        ), idx AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(len(sents)),
+                       i -> {{'i': i,
+                             'w': len(list_filter(
+                                      string_split(sents[i + 1], ' '),
+                                      x -> x <> ''))}})) AS e
+            FROM s
+        ), para AS (
+            SELECT doc_id, source, e.i // {_PARA_SENTS} AS para_id,
+                   CAST(SUM(e.w) AS BIGINT) AS para_words
+            FROM idx GROUP BY 1, 2, 3
+        ), h AS (
+            SELECT source, para_words, COUNT(*) AS c
+            FROM para WHERE para_words > 0 GROUP BY 1, 2
+        ), cum AS (
+            SELECT source, para_words, c,
+                   SUM(c) OVER (PARTITION BY source ORDER BY para_words)
+                       AS cw,
+                   SUM(c) OVER (PARTITION BY source) AS n
+            FROM h
+        )
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_paragraphs,
+               CAST(MIN(CASE WHEN cw >= (1 * n + 3) // 4
+                        THEN para_words END) AS BIGINT) AS q1_words,
+               CAST(MIN(CASE WHEN cw >= (1 * n + 1) // 2
+                        THEN para_words END) AS BIGINT) AS med_words,
+               CAST(MIN(CASE WHEN cw >= (3 * n + 3) // 4
+                        THEN para_words END) AS BIGINT) AS q3_words,
+               CAST(MAX(para_words) AS BIGINT) AS max_words
+        FROM cum GROUP BY source
+    """,
+    tags=("text", "structure", "training-data"),
+)
+def txt_paragraph_structure_profile(spark, sf_dir):
+    """Paragraph-structure profile per source — the layout-aware
+    companion to the sentence profile: segment (same deterministic
+    injection + real regex splitter), group every 4 consecutive
+    sentences into a paragraph (integer-div on the sentence ordinal),
+    and profile paragraph word counts with exact quartiles via the
+    histogram quantile device. This is the stat a packing recipe keys
+    on when sequences must respect PARAGRAPH boundaries (instruction
+    tuning) rather than sentence boundaries (RAG chunking).
+
+    Scale shape: posexplode keeps the sentence ordinal without any
+    window; the (doc, paragraph) rollup shuffles on the composite key;
+    quartiles run on the (source x para-length) histogram. The text
+    column is read once."""
+    docs = table(spark, sf_dir, "documents")
+    sent = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.split(
+                F.regexp_replace(F.col("text"), _SENT_INJECT, "$1. "),
+                _SENT_SPLIT,
+            )
+        ).alias("i", "sent"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(f"i div {_PARA_SENTS}").alias("para_id"),
+        F.size(F.filter(F.split(F.col("sent"), " "), lambda x: x != "")).alias(
+            "w"
+        ),
+    )
+    para = (
+        sent.groupBy("doc_id", "source", "para_id")
+        .agg(F.sum("w").cast("long").alias("para_words"))
+        .filter(F.col("para_words") > 0)
+    )
+    return grouped_histogram_quantiles(
+        para.select("source", "para_words"),
+        ["source"],
+        "para_words",
+        {"q1_words": (1, 4), "med_words": (1, 2), "q3_words": (3, 4)},
+    ).select(
+        "source",
+        F.col("n_values").alias("n_paragraphs"),
+        "q1_words",
+        "med_words",
+        "q3_words",
+        F.col("max_value").alias("max_words"),
+    )
+
+
+# --- Dedup-aware mixing (r13 queue, pulled forward) ----------------------
+
+_MIX_BUDGET = 1_000_000
+
+
+@register(
+    "cur_dedup_aware_mixing",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tok,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ), m AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+                   CAST(SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END)
+                        AS BIGINT) AS dedup_tokens
+            FROM t GROUP BY source
+        ), tw AS (
+            SELECT SUM(dedup_tokens) AS w FROM m
+        ), b AS (
+            SELECT m.*, ({_MIX_BUDGET} * dedup_tokens) // w AS base,
+                   ({_MIX_BUDGET} * dedup_tokens) % w AS rem
+            FROM m, tw
+        ), e AS (
+            SELECT {_MIX_BUDGET} - SUM(base) AS extra FROM b
+        ), r AS (
+            SELECT b.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+            FROM b
+        )
+        SELECT source, n_docs, n_kept, raw_tokens, dedup_tokens,
+               CAST(base + CASE WHEN rk <= (SELECT extra FROM e)
+                                THEN 1 ELSE 0 END AS BIGINT)
+                   AS token_budget
+        FROM r
+    """,
+    tags=("curation", "mixing", "dedup", "training-data"),
+)
+def cur_dedup_aware_mixing(spark, sf_dir):
+    """Source mixing weights recomputed AFTER dedup: naive mixing sizes
+    each source by its RAW token mass, which double-counts template
+    duplicates (the exact failure mode Lee et al. 2022 measure —
+    duplicated text trains like upweighted text). Here each source's
+    mass is its token count over exact-dedup SURVIVORS (first doc per
+    md5(text), the same keep rule as dedup_exact), and a 1M-token
+    budget is split by the largest-remainder integer device
+    (operators/allocation.py) — allocations sum exactly to the budget.
+
+    Scale shape: the keep flag is a window partitioned by the text
+    HASH (md5 evaluates map-side; the shuffle carries the 32-char hash,
+    not the text); one groupBy folds the corpus to the sources frame;
+    the allocation runs entirely on that dim (strata-sized crossJoins +
+    rank — allowlisted)."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tok"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    keyed = docs.withColumn(
+        "rn", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+    )
+    m = keyed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("raw_tokens"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("dedup_tokens"),
+    )
+    alloc = largest_remainder_allocation(
+        m, "dedup_tokens", _MIX_BUDGET, order_col="source", out_col="token_budget"
+    )
+    return alloc.select(
+        "source", "n_docs", "n_kept", "raw_tokens", "dedup_tokens", "token_budget"
+    )

@@ -411,3 +411,42 @@ def test_ivf_search_uses_prebuilt_index(spark, sf_dir):
     plan = executed_plan(df)
     assert "Generate" not in plan, plan
     assert plan.count("embeddings.parquet") == 1, plan
+
+
+def test_sentence_profile_text_read_once(spark, sf_dir):
+    """r12 scan-economics pin: the sentence pass reads the text column
+    once; the n_docs branch re-scans only the pruned lang column. A
+    regression that drags `text` into the count branch doubles the
+    expensive column's IO at 100 TB."""
+    df = q("txt_sentence_segmentation_profile", spark, sf_dir)
+    plan = formatted_plan(df)
+    import re
+
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    with_text = [s for s in schemas if "text" in s]
+    assert len(schemas) == 2 and len(with_text) == 1, schemas
+    # the cumsum windows run on the histogram frame partitioned by lang
+    assert "No Partition Defined" not in executed_plan(df)
+
+
+def test_systematic_sample_no_global_window(spark, sf_dir):
+    """r12: the global rank must come from the bucketed device — no
+    single-partition window over corpus rows (the WARN string Spark
+    emits for one is absent), and the offsets dim joins back broadcast."""
+    df = q("samp_systematic_interval", spark, sf_dir)
+    plan = executed_plan(df)
+    assert "No Partition Defined" not in plan, plan
+    assert broadcast_join_count(df) >= 1, plan
+
+
+def test_dedup_aware_mixing_allocation_on_dim_only(spark, sf_dir):
+    """r12: the corpus fold happens ONCE behind the shared checkpoint;
+    the final plan (total, leftover, remainder rank) must touch no
+    parquet at all — it runs entirely on the sources-sized frame. The
+    md5-before-exchange property of the keep-flag window is structural
+    (the hash is a projected column below Window.partitionBy) and the
+    corpus-side shape is pinned by the sweep's exchange budget."""
+    df = q("cur_dedup_aware_mixing", spark, sf_dir)
+    plan = executed_plan(df)
+    assert "FileScan" not in plan, plan
+    assert "text" not in plan, plan

@@ -28,14 +28,17 @@ def test_gopher_rules_empty_and_tiny_docs(spark, sf_dir, monkeypatch):
     out = {r["rule"]: (r["n_pass"], r["n_fail"]) for r in
            cur_gopher_rules(spark, sf_dir).collect()}
     assert set(out) == {
-        "min_words", "mean_word_len", "stopword_floor", "repetition_cap",
-        "uniq_floor",
+        "min_words", "max_words", "mean_word_len", "stopword_floor",
+        "repetition_cap", "uniq_floor",
     }
     assert all(p + f == 4 for p, f in out.values())
     # doc 3+4 have >= 50 words; 1+2 have zero
     assert out["min_words"] == (2, 2)
+    # nothing here approaches the 100k upper gate
+    assert out["max_words"] == (4, 0)
     # repetition: doc 3 most-common token is 30/60 > 20% -> fail;
-    # doc 4 max count 1/62 -> pass; empty docs fail the n_words>0 guard
+    # doc 4 max count 1/62 -> pass; empty docs fail the word-count
+    # gate the expensive expression is now guarded behind (r11 #2)
     assert out["repetition_cap"] == (1, 3)
     # stopwords: doc 3 has 60, doc 4 has 2 -> both pass
     assert out["stopword_floor"] == (2, 2)

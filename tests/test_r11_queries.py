@@ -24,19 +24,20 @@ def test_theta_sketch_invariants(spark, sf_dir):
     # row that shares it
     assert all(len(v) == 1 for v in by_a.values())
     # at sf0.001 every type has < k=64 users -> exact mode: estimates
-    # ARE the exact distinct counts (integers)
+    # ARE the exact distinct counts (true countDistinct, not approx)
     if sf_dir.endswith("sf0.001"):
+        from pyspark.sql import functions as F
+
         exact = {
             r["event_type"]: r["n"]
             for r in spark.read.parquet(f"{sf_dir}/events.parquet")
             .groupBy("event_type")
-            .agg({"user_id": "approx_count_distinct"})
-            .withColumnRenamed("approx_count_distinct(user_id)", "n")
+            .agg(F.countDistinct("user_id").alias("n"))
             .collect()
         }
         for t, ests in by_a.items():
             est = next(iter(ests))
-            assert est == float(int(est))  # integer-valued in exact mode
+            assert est == float(exact[t]), (t, est, exact[t])
 
 
 def test_contamination_profile_monotone(spark, sf_dir):

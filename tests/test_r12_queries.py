@@ -1,0 +1,178 @@
+"""Round-12 registry additions: semantic invariants beyond the
+oracle-parity gate (the gate proves engine==DuckDB; these pin the
+properties that make each operator CORRECT, so a bug that breaks both
+engines identically still turns red)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bigdatanycdiseasesurveillance_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def test_neyman_allocation_invariants(spark, sf_dir):
+    rows = SPECS["samp_neyman_allocation"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20  # one row per source stratum
+    # the largest-remainder contract: allocations sum EXACTLY to the
+    # budget, and every stratum gets its floor share or floor + 1
+    assert sum(r["alloc"] for r in rows) == 100_000
+    assert all(r["alloc"] - r["alloc_base"] in (0, 1) for r in rows)
+    # base shares are monotone in the quantized Neyman weight
+    by_w = sorted(rows, key=lambda r: r["neyman_weight"])
+    bases = [r["alloc_base"] for r in by_w]
+    assert bases == sorted(bases)
+    # weight re-derivation: wq == floor(sqrt(N*sum(v^2) - sum(v)^2)*1e6)
+    # recomputed independently in Python for one stratum
+    src = rows[0]["source"]
+    vals = [
+        r["n_chars"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("source") == src)
+        .select("n_chars")
+        .collect()
+    ]
+    n, s1, s2 = len(vals), sum(vals), sum(v * v for v in vals)
+    expect = math.floor(math.sqrt(n * s2 - s1 * s1) * 1_000_000)
+    assert rows[0]["neyman_weight"] == expect
+
+
+def test_sentence_profile_invariants(spark, sf_dir):
+    rows = SPECS["txt_sentence_segmentation_profile"].fn(spark, sf_dir).collect()
+    langs = {r["lang"] for r in rows}
+    assert langs == {"en", "de", "zh", "fr", "es"}
+    for r in rows:
+        # quartiles are order statistics of the same distribution
+        assert 1 <= r["q1_words"] <= r["med_words"] <= r["q3_words"] <= r["max_words"]
+        # the injector caps every non-final sentence at 10 words; the
+        # final fragment is <= 10 words too, so nothing exceeds 10
+        assert r["max_words"] <= 10
+        assert r["n_sentences"] >= r["n_docs"] >= 1
+
+
+def test_grouped_histogram_quantiles_exact():
+    """The device's inverse-CDF positions vs a hand-sorted list."""
+    from bigdatanycdiseasesurveillance_spark.session import get_spark
+    from bigdatanycdiseasesurveillance_spark.operators.ranking import (
+        grouped_histogram_quantiles,
+    )
+
+    spark = get_spark("bdnds-tests")
+    data = [("g", v) for v in [5, 1, 3, 3, 9, 2, 8]] + [("h", 4)]
+    df = spark.createDataFrame(data, "grp string, v long")
+    out = {
+        r["grp"]: r
+        for r in grouped_histogram_quantiles(
+            df, ["grp"], "v", {"q1": (1, 4), "med": (1, 2), "q3": (3, 4)}
+        ).collect()
+    }
+    # g sorted: [1,2,3,3,5,8,9], n=7 -> pos ceil(7/4)=2, ceil(7/2)=4,
+    # ceil(21/4)=6 -> values 2, 3, 8
+    assert (out["g"]["q1"], out["g"]["med"], out["g"]["q3"]) == (2, 3, 8)
+    assert out["g"]["n_values"] == 7 and out["g"]["max_value"] == 9
+    # singleton group: every quantile is the single value
+    assert (out["h"]["q1"], out["h"]["med"], out["h"]["q3"]) == (4, 4, 4)
+
+
+def test_largest_remainder_allocation_exact():
+    """Hand-checkable shares: proportional weights split exactly; a
+    non-divisible split tops up the largest remainders, ties broken by
+    the order column ascending."""
+    from bigdatanycdiseasesurveillance_spark.operators.allocation import (
+        largest_remainder_allocation,
+    )
+    from bigdatanycdiseasesurveillance_spark.session import get_spark
+
+    spark = get_spark("bdnds-tests")
+    exact = {
+        r["k"]: r["alloc"]
+        for r in largest_remainder_allocation(
+            spark.createDataFrame(
+                [("a", 5), ("b", 3), ("c", 2)], "k string, w long"
+            ),
+            "w",
+            10,
+            order_col="k",
+        ).collect()
+    }
+    assert exact == {"a": 5, "b": 3, "c": 2}
+    # equal weights, budget 10 over 3: bases are 3 each, remainders tie
+    # -> the +1 goes to the lowest order key
+    tie = {
+        r["k"]: r["alloc"]
+        for r in largest_remainder_allocation(
+            spark.createDataFrame(
+                [("a", 1), ("b", 1), ("c", 1)], "k string, w long"
+            ),
+            "w",
+            10,
+            order_col="k",
+        ).collect()
+    }
+    assert tie == {"a": 4, "b": 3, "c": 3}
+    assert sum(tie.values()) == 10
+
+
+def test_systematic_sample_stride(spark, sf_dir):
+    """At sf0.001 N=500 < budget -> stride clamps to 1 and the sample
+    is exhaustive; the invariant that matters at every sf: the total
+    selected equals ceil(N / k) with k = max(1, N div 2000)."""
+    rows = SPECS["samp_systematic_interval"].fn(spark, sf_dir).collect()
+    n = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    k = max(1, n // 2000)
+    assert sum(r["n_sampled"] for r in rows) == (n + k - 1) // k
+
+
+def test_paragraph_profile_invariants(spark, sf_dir):
+    rows = SPECS["txt_paragraph_structure_profile"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20  # per source
+    for r in rows:
+        assert 1 <= r["q1_words"] <= r["med_words"] <= r["q3_words"] <= r["max_words"]
+        # a paragraph is <= 4 sentences x <= 10 words
+        assert r["max_words"] <= 40
+        assert r["n_paragraphs"] >= 1
+
+
+def test_dedup_aware_mixing_budget(spark, sf_dir):
+    rows = SPECS["cur_dedup_aware_mixing"].fn(spark, sf_dir).collect()
+    assert sum(r["token_budget"] for r in rows) == 1_000_000
+    for r in rows:
+        assert r["n_kept"] <= r["n_docs"]
+        assert r["dedup_tokens"] <= r["raw_tokens"]
+
+
+def test_bucketed_rank_null_bucket_fails_loudly(spark):
+    """r11 advisor: a NULL bucket key must raise, not crash the sort or
+    silently drop rows at the offsets join."""
+    import pytest
+
+    from bigdatanycdiseasesurveillance_spark.operators.ranking import (
+        bucketed_global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, v int"
+    )
+    with pytest.raises(ValueError, match="bucket key is NULL"):
+        bucketed_global_rank(df, F.col("v"), [F.asc("id")]).collect()
+
+
+def test_pack_concat_chunks_rejects_non_numeric_id(spark):
+    """r11 advisor: a string id under the default bucketing silently
+    casts to NULL on non-ANSI configs — must fail loudly instead."""
+    import pytest
+
+    from bigdatanycdiseasesurveillance_spark.operators.packing import (
+        pack_concat_chunks,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 7)], "doc_id string, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="integer id column"):
+        pack_concat_chunks(df)

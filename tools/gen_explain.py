@@ -60,6 +60,11 @@ NOTES = {
     "win_theta_sketch_partial": "sketch summary + retained samples are bounded BY CONSTRUCTION -> control plane once; pairwise set-difference over literal dims, 2 exchanges",
     "sketch_bloom_join_prune": "filter words collected once (128 longs); probes test bits map-side against a literal array; merge-equals-direct pinned",
     "cur_contamination_ngram_overlap": "gram hashes (8-byte keys) shuffle, never strings; benchmark side stays a shuffled equi-join (corpus-proportional, never broadcast); 5-key profile agg",
+    # round-12 flagships
+    "samp_neyman_allocation": "ONE map-side-combinable strata aggregate (count/sum/sum-of-squares); allocation entirely on the checkpointed sources frame — 1-row broadcast crossJoins + allowlisted strata-sized rank",
+    "txt_sentence_segmentation_profile": "text column read ONCE; (lang x length) histogram partial-agg; cumsum windows PARTITIONED by lang over the bounded histogram frame; n_docs branch scans only the pruned lang column",
+    "samp_systematic_interval": "deviate bucketing (<= 2^16 uniform ranges by construction) -> control-plane offsets -> per-bucket window; stride rides as the device's total_col — no extra join, no global window",
+    "cur_dedup_aware_mixing": "keep-flag window partitioned by md5(text) (shuffle carries the 32-char hash, not the text); sources-frame fold; largest-remainder allocation on the dim only",
 }
 
 
@@ -92,6 +97,11 @@ def main() -> None:
         "win_theta_sketch_partial",
         "sketch_bloom_join_prune",
         "cur_contamination_ngram_overlap",
+        # round-12 flagships (sampling design + doc structure)
+        "samp_neyman_allocation",
+        "txt_sentence_segmentation_profile",
+        "samp_systematic_interval",
+        "cur_dedup_aware_mixing",
     ]
     bench_names = sorted(n for n, s in specs.items() if s.bench)
     names = bench_names + [n for n in extras if n not in bench_names]
