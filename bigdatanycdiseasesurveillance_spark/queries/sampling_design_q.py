@@ -491,3 +491,339 @@ def cur_dedup_aware_mixing(spark, sf_dir):
     return alloc.select(
         "source", "n_docs", "n_kept", "raw_tokens", "dedup_tokens", "token_budget"
     )
+
+
+# --- PPS Poisson sampling (r13 queue, pulled forward) --------------------
+
+_PPS_K = 1_000  # expected sample size
+_PPS_SCALE = 1 << 60
+
+
+def _pps_oracle() -> str:
+    from ..operators.sampling import deviate_sql
+
+    dev = deviate_sql("doc_id", "pps")
+    return f"""
+        WITH t AS (
+            SELECT SUM(CAST(n_chars AS HUGEINT)) AS tot FROM documents
+        ), d AS (
+            SELECT source, n_chars,
+                   CAST({dev} AS HUGEINT) * tot
+                       < CAST({_PPS_K} AS HUGEINT) * n_chars
+                         * CAST({_PPS_SCALE} AS HUGEINT) AS in_sample,
+                   CAST({_PPS_K} AS HUGEINT) * n_chars >= tot AS capped,
+                   tot
+            FROM documents, t
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sampled,
+               CAST(SUM(CASE WHEN in_sample AND capped THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_capped,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(CASE WHEN in_sample AND NOT capped THEN tot
+                             WHEN in_sample AND capped
+                                  THEN {_PPS_K} * CAST(n_chars AS HUGEINT)
+                             ELSE 0 END) AS BIGINT) AS ht_chars_num
+        FROM d GROUP BY source
+    """
+
+
+@register(
+    "samp_poisson_pps",
+    oracle=_pps_oracle(),
+    tags=("sampling", "design", "training-data"),
+)
+def samp_poisson_pps(spark, sf_dir):
+    """Probability-proportional-to-size Poisson sampling with exact
+    Horvitz-Thompson accounting — the weighted design the classical
+    trio (stratified / Neyman / systematic) doesn't cover: doc i enters
+    the sample independently with pi_i = min(1, k * size_i / T), so big
+    documents are (almost) always kept and the HT estimator
+    sum(size_i / pi_i) is unbiased for the total.
+
+    Every comparison and the HT estimate are EXACT integers: membership
+    tests `deviate * T < k * size * 2^60` with both sides carried in
+    DECIMAL(38,0) / HUGEINT (no float pi ever exists), and the HT
+    numerator uses the identity size/pi = T/k for uncapped docs — so
+    per source it is `n_uncapped * T + k * sum(capped sizes)` over a
+    fixed denominator k, emitted as `ht_chars_num` (estimate =
+    num / k). Engine parity is bit-exact by construction.
+
+    Scale shape: ONE corpus aggregate for T (1-row broadcast
+    crossJoin, allowlisted), then a single scan pass — membership is a
+    map-side predicate, the profile a map-side-combinable groupBy."""
+    docs = table(spark, sf_dir, "documents")
+    from ..operators.sampling import hash_deviate
+
+    tot = docs.agg(F.sum("n_chars").cast("decimal(38,0)").alias("tot"))
+    d = docs.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_chars",
+        "tot",
+        (
+            hash_deviate(F.col("doc_id"), "pps").cast("decimal(38,0)")
+            * F.col("tot")
+            < F.expr(
+                f"CAST({_PPS_K} AS DECIMAL(38,0)) * n_chars * {_PPS_SCALE}"
+            )
+        ).alias("in_sample"),
+        F.expr(f"CAST({_PPS_K} AS DECIMAL(38,0)) * n_chars >= tot").alias(
+            "capped"
+        ),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sampled"),
+        F.sum(F.when(F.col("in_sample") & F.col("capped"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_capped"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(
+            F.when(
+                F.col("in_sample") & ~F.col("capped"), F.col("tot")
+            ).otherwise(
+                F.when(
+                    F.col("in_sample") & F.col("capped"),
+                    F.expr(f"CAST({_PPS_K} AS DECIMAL(38,0)) * n_chars"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            )
+        )
+        .cast("long")
+        .alias("ht_chars_num"),
+    )
+
+
+# --- Readability profile (r13 queue, pulled forward) ----------------------
+
+
+@register(
+    "txt_readability_profile",
+    oracle=rf"""
+        WITH s AS (
+            SELECT doc_id, source, text,
+                   string_split_regex(
+                       regexp_replace(text, '{_SENT_INJECT}', '\1. ', 'g'),
+                       '{_SENT_SPLIT}') AS sents
+            FROM documents
+        ), per AS (
+            SELECT source,
+                   CAST(len(list_filter(sents, x -> trim(x) <> ''))
+                        AS BIGINT) AS n_sents,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_words,
+                   CAST(COALESCE(list_sum(list_transform(
+                            list_filter(string_split(text, ' '),
+                                        x -> x <> ''),
+                            w -> len(w))), 0) AS BIGINT) AS n_wchars
+            FROM s
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_sents) AS BIGINT) AS n_sentences,
+               CAST(SUM(n_words) AS BIGINT) AS n_words,
+               CAST(SUM(n_wchars) AS BIGINT) AS n_word_chars,
+               ROUND(CAST(SUM(n_words) AS DOUBLE) / SUM(n_sents), 4)
+                   AS words_per_sentence,
+               ROUND(CAST(SUM(n_wchars) AS DOUBLE) / SUM(n_words), 4)
+                   AS chars_per_word,
+               ROUND(4.71 * (CAST(SUM(n_wchars) AS DOUBLE) / SUM(n_words))
+                     + 0.5 * (CAST(SUM(n_words) AS DOUBLE) / SUM(n_sents))
+                     - 21.43, 4) AS ari
+        FROM per GROUP BY source
+    """,
+    tags=("text", "quality", "training-data"),
+)
+def txt_readability_profile(spark, sf_dir):
+    """Readability signals per source from the same deterministic
+    segmentation device: words per sentence, chars per word, and the
+    Automated Readability Index (Senter & Smith 1967) — the
+    quality-mixing covariate corpus recipes report next to perplexity.
+
+    Parity discipline: all sums are integers; each ratio is ONE
+    division from the same integer sums, and the ARI expression tree is
+    written identically in both engines (literal coefficients, two
+    divisions, fixed addition order) before a single round(4) — no
+    order-dependent float accumulation exists.
+
+    Scale shape: one text-reading scan, per-row array expressions, one
+    map-side-combinable groupBy on source."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.col("text"), _SENT_INJECT, "$1. "),
+                    _SENT_SPLIT,
+                ),
+                lambda x: F.trim(x) != F.lit(""),
+            )
+        )
+        .cast("long")
+        .alias("n_sents"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(
+                    F.filter(F.split(F.col("text"), " "), lambda x: x != ""),
+                    lambda w: F.length(w).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+            F.lit(0),
+        ).alias("n_wchars"),
+    )
+    g = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_sents").cast("long").alias("n_sentences"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_wchars").cast("long").alias("n_word_chars"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    cpw = F.col("n_word_chars").cast("double") / F.col("n_words")
+    return g.select(
+        "source",
+        "n_docs",
+        "n_sentences",
+        "n_words",
+        "n_word_chars",
+        F.round(wps, 4).alias("words_per_sentence"),
+        F.round(cpw, 4).alias("chars_per_word"),
+        F.round(F.lit(4.71) * cpw + F.lit(0.5) * wps - F.lit(21.43), 4).alias(
+            "ari"
+        ),
+    )
+
+
+# --- Allocation drift monitor (r13 queue, pulled forward) -----------------
+
+_DRIFT_BUDGET = 100_000
+_DRIFT_HALF = _PPS_SCALE // 2  # deviate < 2^59 -> half A
+
+
+def _drift_alloc_sql(mass_cte: str, out: str) -> str:
+    """The largest-remainder allocation chain over a mass CTE."""
+    return f"""
+        {out}_t AS (SELECT SUM(mass) AS w FROM {mass_cte}),
+        {out}_b AS (
+            SELECT source, ({_DRIFT_BUDGET} * mass) // w AS base,
+                   ({_DRIFT_BUDGET} * mass) % w AS rem
+            FROM {mass_cte}, {out}_t
+        ),
+        {out}_e AS (
+            SELECT {_DRIFT_BUDGET} - SUM(base) AS extra FROM {out}_b
+        ),
+        {out}_r AS (
+            SELECT b.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+            FROM {out}_b b
+        ),
+        {out} AS (
+            SELECT source,
+                   CAST(base + CASE WHEN rk <= (SELECT extra FROM {out}_e)
+                                    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+            FROM {out}_r
+        )
+    """
+
+
+def _drift_oracle() -> str:
+    from ..operators.sampling import deviate_sql
+
+    dev = deviate_sql("doc_id", "driftsplit")
+    return f"""
+        WITH dv AS (
+            SELECT source,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS ntok,
+                   {dev} < {_DRIFT_HALF} AS in_half
+            FROM documents
+        ),
+        m AS (
+            -- one grouped CTE carrying BOTH masses: a source with no
+            -- docs in the half-split must still appear (mass 0), as it
+            -- does on the engine side
+            SELECT source,
+                   CAST(SUM(ntok) AS BIGINT) AS mass_full,
+                   CAST(SUM(CASE WHEN in_half THEN ntok ELSE 0 END)
+                        AS BIGINT) AS mass_half
+            FROM dv GROUP BY source
+        ),
+        mf AS (SELECT source, mass_full AS mass FROM m),
+        mh AS (SELECT source, mass_half AS mass FROM m),
+        {_drift_alloc_sql("mf", "af")},
+        {_drift_alloc_sql("mh", "ah")}
+        SELECT af.source,
+               af.alloc AS alloc_full,
+               ah.alloc AS alloc_half,
+               CAST(ABS(af.alloc - ah.alloc) AS BIGINT) AS abs_drift
+        FROM af JOIN ah USING (source)
+    """
+
+
+@register(
+    "dq_allocation_drift",
+    oracle=_drift_oracle(),
+    tags=("dq", "sampling", "mixing", "training-data"),
+)
+def dq_allocation_drift(spark, sf_dir):
+    """Allocation stability monitor: recompute the largest-remainder
+    token budgets over a deterministic md5 half-split of the corpus and
+    report each source's absolute budget drift vs the full-corpus
+    allocation — the check a mixing recipe runs before committing
+    budgets (a large drift means the mass estimates, hence the mix, are
+    sample-sensitive; a stable allocation survives data growth).
+
+    Both allocations run the shared integer device
+    (operators/allocation.py); the half-split membership is the same
+    hash-deviate contract as every sampler here, so the oracle replays
+    the split row-for-row. Scale shape: token mass folds map-side per
+    (split-membership x source) in one scan; everything after runs on
+    two sources-sized frames."""
+    from ..operators.sampling import hash_deviate
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tok"),
+        (hash_deviate(F.col("doc_id"), "driftsplit") < _DRIFT_HALF).alias(
+            "in_half"
+        ),
+    )
+    # one scan: fold mass per (source, in_half); full = A + B, half = A
+    m = docs.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("mass_full"),
+        F.sum(F.when(F.col("in_half"), F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("mass_half"),
+    )
+    m = m.localCheckpoint(eager=False)  # shared by both allocation runs
+    af = largest_remainder_allocation(
+        m.select("source", F.col("mass_full").alias("mass")),
+        "mass",
+        _DRIFT_BUDGET,
+        order_col="source",
+        out_col="alloc_full",
+    ).select("source", "alloc_full")
+    ah = largest_remainder_allocation(
+        m.select("source", F.col("mass_half").alias("mass")),
+        "mass",
+        _DRIFT_BUDGET,
+        order_col="source",
+        out_col="alloc_half",
+    ).select("source", "alloc_half")
+    return af.join(ah, "source").select(
+        "source",
+        "alloc_full",
+        "alloc_half",
+        F.abs(F.col("alloc_full") - F.col("alloc_half"))
+        .cast("long")
+        .alias("abs_drift"),
+    )

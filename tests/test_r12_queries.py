@@ -146,6 +146,78 @@ def test_dedup_aware_mixing_budget(spark, sf_dir):
         assert r["dedup_tokens"] <= r["raw_tokens"]
 
 
+def test_poisson_pps_full_python_replication(spark, sf_dir):
+    """Replicate the PPS design end-to-end in Python at sf0.001 (500
+    docs): membership (deviate * T < k * size * 2^60), the capped set,
+    and the exact HT numerator identity
+    n_uncapped_sampled * T + k * sum(capped sampled sizes)."""
+    import hashlib
+
+    K, SCALE = 1_000, 1 << 60
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    T = sum(r["n_chars"] for r in rows)
+    want: dict = {}
+    for r in rows:
+        dev = int(
+            hashlib.md5(f"pps:{r['doc_id']}".encode()).hexdigest()[:15], 16
+        )
+        capped = K * r["n_chars"] >= T
+        in_sample = dev * T < K * r["n_chars"] * SCALE
+        w = want.setdefault(
+            r["source"], {"n": 0, "s": 0, "cap": 0, "chars": 0, "ht": 0}
+        )
+        w["n"] += 1
+        w["chars"] += r["n_chars"]
+        if in_sample:
+            w["s"] += 1
+            if capped:
+                w["cap"] += 1
+                w["ht"] += K * r["n_chars"]
+            else:
+                w["ht"] += T
+    got = {
+        r["source"]: r
+        for r in SPECS["samp_poisson_pps"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for src, w in want.items():
+        g = got[src]
+        assert (
+            g["n_docs"],
+            g["n_sampled"],
+            g["n_capped"],
+            g["sum_chars"],
+            g["ht_chars_num"],
+        ) == (w["n"], w["s"], w["cap"], w["chars"], w["ht"]), src
+
+
+def test_readability_profile_identities(spark, sf_dir):
+    rows = SPECS["txt_readability_profile"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        wps = r["n_words"] / r["n_sentences"]
+        cpw = r["n_word_chars"] / r["n_words"]
+        assert abs(r["words_per_sentence"] - wps) < 1e-3
+        assert abs(r["chars_per_word"] - cpw) < 1e-3
+        assert abs(r["ari"] - (4.71 * cpw + 0.5 * wps - 21.43)) < 1e-3
+        # every sentence has >= 1 word; every word >= 1 char
+        assert r["n_words"] >= r["n_sentences"]
+        assert r["n_word_chars"] >= r["n_words"]
+
+
+def test_allocation_drift_budgets(spark, sf_dir):
+    rows = SPECS["dq_allocation_drift"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert sum(r["alloc_full"] for r in rows) == 100_000
+    assert sum(r["alloc_half"] for r in rows) == 100_000
+    for r in rows:
+        assert r["abs_drift"] == abs(r["alloc_full"] - r["alloc_half"])
+
+
 def test_bucketed_rank_null_bucket_fails_loudly(spark):
     """r11 advisor: a NULL bucket key must raise, not crash the sort or
     silently drop rows at the offsets join."""
