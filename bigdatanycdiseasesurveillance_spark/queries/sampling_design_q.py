@@ -827,3 +827,290 @@ def dq_allocation_drift(spark, sf_dir):
         .cast("long")
         .alias("abs_drift"),
     )
+
+
+# --- Balanced halves (r13 queue, third batch) -----------------------------
+
+
+@register(
+    "samp_balanced_halves",
+    oracle="""
+        WITH r AS (
+            SELECT source, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) % 2
+                       AS grp
+            FROM documents
+        )
+        SELECT source,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(SUM(CASE WHEN grp = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS chars_a,
+               CAST(SUM(CASE WHEN grp = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS chars_b
+        FROM r GROUP BY source
+    """,
+    tags=("sampling", "design", "training-data"),
+)
+def samp_balanced_halves(spark, sf_dir):
+    """Deterministic balanced halving — greedy alternation down the
+    size-sorted order (rank by n_chars DESC, alternate A/B), the
+    anti-clustered split a paired eval/ablation design needs: unlike a
+    Bernoulli half-split, the two halves' total masses differ by at
+    most the largest single document within every size prefix.
+
+    The global rank comes from the bucketed device with bucket =
+    -n_chars (non-decreasing along the descending size order; bucket
+    cardinality = distinct sizes, bounded by the size domain, not the
+    corpus). Parity is pure integer (rank mod 2)."""
+    from ..operators.ranking import bucketed_global_rank
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ranked = bucketed_global_rank(
+        docs,
+        (-F.col("n_chars")).cast("long"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        rank_col="rn",
+    )
+    g = ranked.withColumn("grp", F.col("rn") % 2)
+    return g.groupBy("source").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_b"),
+    )
+
+
+# --- Vocabulary growth (Heaps law) profile (r13 queue, third batch) -------
+
+_VG_DECILE = _PPS_SCALE // 10
+
+
+def _vocab_growth_oracle() -> str:
+    from ..operators.sampling import deviate_sql
+
+    dev = deviate_sql("doc_id", "vocabgrow")
+    return f"""
+        WITH d AS (
+            SELECT lang,
+                   CAST({dev} // {_VG_DECILE} AS BIGINT) AS dec,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS t
+            FROM documents
+        ), tok_min AS (
+            SELECT lang, t, MIN(dec) AS m FROM d GROUP BY lang, t
+        ), vocab_h AS (
+            SELECT lang, m AS dec, CAST(COUNT(*) AS BIGINT) AS v
+            FROM tok_min GROUP BY lang, m
+        ), occ_h AS (
+            SELECT lang, dec, CAST(COUNT(*) AS BIGINT) AS o
+            FROM d GROUP BY lang, dec
+        ), spine AS (
+            SELECT DISTINCT lang, s.dec
+            FROM d, (SELECT unnest(range(10)) AS dec) s
+        )
+        SELECT spine.lang,
+               CAST(spine.dec + 1 AS BIGINT) AS decile,
+               CAST(SUM(COALESCE(o.o, 0)) OVER (
+                    PARTITION BY spine.lang ORDER BY spine.dec) AS BIGINT)
+                   AS tokens_cum,
+               CAST(SUM(COALESCE(v.v, 0)) OVER (
+                    PARTITION BY spine.lang ORDER BY spine.dec) AS BIGINT)
+                   AS vocab_cum
+        FROM spine
+        LEFT JOIN vocab_h v ON spine.lang = v.lang AND spine.dec = v.dec
+        LEFT JOIN occ_h o ON spine.lang = o.lang AND spine.dec = o.dec
+    """
+
+
+@register(
+    "txt_vocab_growth_profile",
+    oracle=_vocab_growth_oracle(),
+    tags=("text", "tokenizer", "training-data"),
+)
+def txt_vocab_growth_profile(spark, sf_dir):
+    """Heaps-law vocabulary growth per language: distinct-token and
+    total-token counts at 10 deterministic corpus prefixes (md5-deviate
+    deciles) — the stat that sizes a tokenizer's vocabulary budget and
+    predicts how much new data still grows the vocab.
+
+    The trick that makes 10 nested prefixes ONE pass: a token's vocab
+    contribution at decile k is `min(decile over its docs) < k`, so one
+    explode → (lang, token) min-decile → a 10-row-per-lang histogram,
+    and the cumulative sums run over the (lang x 10) spine — the corpus
+    never replays per prefix, and every window is partitioned by lang
+    over a 10-row frame."""
+    from pyspark.sql import Window as W
+
+    from ..operators.sampling import hash_deviate
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        hash_deviate(F.col("doc_id"), "vocabgrow").alias("__dev"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+            )
+        ).alias("t"),
+    ).select(
+        "lang",
+        # TRUE integer div: the deviate exceeds 2^53, so a double
+        # division could flip a decile boundary DuckDB's // keeps exact
+        F.expr(f"__dev div {_VG_DECILE}").alias("dec"),
+        "t",
+    )
+    tok_min = d.groupBy("lang", "t").agg(F.min("dec").alias("m"))
+    vocab_h = tok_min.groupBy("lang", F.col("m").alias("dec")).agg(
+        F.count("*").cast("long").alias("v")
+    )
+    occ_h = d.groupBy("lang", "dec").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    spine = (
+        docs.select("lang")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                docs.sparkSession.range(10).select(
+                    F.col("id").cast("long").alias("dec")
+                )
+            )
+        )
+    )
+    w = W.partitionBy("lang").orderBy("dec")
+    joined = (
+        spine.join(vocab_h, ["lang", "dec"], "left")
+        .join(occ_h, ["lang", "dec"], "left")
+        .select(
+            "lang",
+            "dec",
+            F.coalesce("v", F.lit(0)).alias("v"),
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
+    return joined.select(
+        "lang",
+        (F.col("dec") + 1).cast("long").alias("decile"),
+        F.sum("o").over(w).cast("long").alias("tokens_cum"),
+        F.sum("v").over(w).cast("long").alias("vocab_cum"),
+    )
+
+
+# --- Temperature-scaled mixing allocation (r13 queue, third batch) --------
+
+_TEMP_BUDGET = 100_000
+_TEMP_TAUS = (1, 2, 4)
+
+
+def _temp_weight_sql(tau: int, mass: str) -> str:
+    """mass^(1/tau) floor-quantized to a BIGINT weight; tau in {1,2,4}
+    uses only nested IEEE sqrt (correctly rounded, engine-identical) —
+    no pow(), whose libm implementations may differ."""
+    if tau == 1:
+        return mass
+    if tau == 2:
+        return f"CAST(FLOOR(SQRT(CAST({mass} AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    return (
+        f"CAST(FLOOR(SQRT(SQRT(CAST({mass} AS DOUBLE))) * 1000000.0) AS BIGINT)"
+    )
+
+
+def _temp_oracle() -> str:
+    parts = []
+    for tau in _TEMP_TAUS:
+        parts.append(
+            f"""
+        w{tau} AS (
+            SELECT source, CAST({tau} AS BIGINT) AS tau,
+                   {_temp_weight_sql(tau, "mass")} AS wq
+            FROM m
+        ),
+        t{tau} AS (SELECT SUM(wq) AS w FROM w{tau}),
+        b{tau} AS (
+            SELECT source, tau, wq,
+                   ({_TEMP_BUDGET} * wq) // w AS base,
+                   ({_TEMP_BUDGET} * wq) % w AS rem
+            FROM w{tau}, t{tau}
+        ),
+        e{tau} AS (SELECT {_TEMP_BUDGET} - SUM(base) AS extra FROM b{tau}),
+        r{tau} AS (
+            SELECT b.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+            FROM b{tau} b
+        ),
+        a{tau} AS (
+            SELECT source, tau, wq,
+                   CAST(base + CASE WHEN rk <= (SELECT extra FROM e{tau})
+                                    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+            FROM r{tau}
+        )"""
+        )
+    unions = " UNION ALL ".join(f"SELECT * FROM a{t}" for t in _TEMP_TAUS)
+    return f"""
+        WITH m AS (
+            SELECT source,
+                   CAST(SUM(len(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS BIGINT)
+                       AS mass
+            FROM documents GROUP BY source
+        ),
+        {",".join(parts)}
+        SELECT source, tau, wq AS weight, alloc FROM ({unions})
+    """
+
+
+@register(
+    "cur_mix_temperature_allocation",
+    oracle=_temp_oracle(),
+    tags=("curation", "mixing", "training-data"),
+)
+def cur_mix_temperature_allocation(spark, sf_dir):
+    """Temperature-scaled mixing allocation: source token budgets
+    proportional to mass^(1/tau) for tau in {1, 2, 4} — the sampling
+    temperature multilingual/multi-domain mixes use to lift
+    low-resource sources (tau=1 is proportional; higher tau flattens).
+    Each tau's weights feed the shared largest-remainder device, so all
+    three allocations sum exactly to the budget and land in one frame
+    for side-by-side comparison.
+
+    Engine parity: tau=2 and tau=4 weights use only NESTED IEEE sqrt
+    on the exact integer mass (correctly rounded and identical in both
+    engines — pow() is deliberately avoided, libm pow is not correctly
+    rounded), floor-quantized to BIGINT before any arithmetic that
+    could drift. One corpus fold; three dim-sized allocations."""
+    from functools import reduce
+
+    docs = table(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(
+        F.sum(
+            F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        )
+        .cast("long")
+        .alias("mass")
+    )
+    m = m.localCheckpoint(eager=False)  # shared by the three tau runs
+    outs = []
+    for tau in _TEMP_TAUS:
+        w = m.select(
+            "source",
+            F.lit(tau).cast("long").alias("tau"),
+            F.expr(_temp_weight_sql(tau, "mass")).alias("wq"),
+        )
+        outs.append(
+            largest_remainder_allocation(
+                w, "wq", _TEMP_BUDGET, order_col="source"
+            ).select("source", "tau", F.col("wq").alias("weight"), "alloc")
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -218,6 +218,74 @@ def test_allocation_drift_budgets(spark, sf_dir):
         assert r["abs_drift"] == abs(r["alloc_full"] - r["alloc_half"])
 
 
+def test_balanced_halves_mass_balance(spark, sf_dir):
+    """The alternating split's defining property: |mass_A - mass_B| <=
+    the largest single document, and counts differ by at most 1."""
+    rows = SPECS["samp_balanced_halves"].fn(spark, sf_dir).collect()
+    n_a = sum(r["n_a"] for r in rows)
+    n_b = sum(r["n_b"] for r in rows)
+    assert abs(n_a - n_b) <= 1
+    max_doc = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg({"n_chars": "max"})
+        .collect()[0][0]
+    )
+    chars_a = sum(r["chars_a"] for r in rows)
+    chars_b = sum(r["chars_b"] for r in rows)
+    assert abs(chars_a - chars_b) <= max_doc
+
+
+def test_vocab_growth_monotone(spark, sf_dir):
+    """Heaps profile invariants: both cumulative series are
+    non-decreasing in the decile, vocab <= tokens, and decile 10 equals
+    the full corpus per language."""
+    from pyspark.sql import functions as F
+
+    rows = SPECS["txt_vocab_growth_profile"].fn(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["lang"], []).append(r)
+    assert len(per) == 5 and all(len(v) == 10 for v in per.values())
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {
+        r["lang"]: (r["v"], r["o"])
+        for r in docs.select(
+            "lang",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+            ).alias("t"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("t").alias("v"), F.count("*").alias("o")
+        )
+        .collect()
+    }
+    for lang, rs in per.items():
+        rs.sort(key=lambda r: r["decile"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["vocab_cum"] <= b["vocab_cum"]
+            assert a["tokens_cum"] <= b["tokens_cum"]
+        assert all(r["vocab_cum"] <= r["tokens_cum"] for r in rs)
+        assert (rs[-1]["vocab_cum"], rs[-1]["tokens_cum"]) == full[lang]
+
+
+def test_temperature_allocation_flattens(spark, sf_dir):
+    """Higher tau must flatten the mix: the max-alloc share is
+    non-increasing and the min-alloc share non-decreasing in tau; each
+    tau's allocations sum exactly to the budget."""
+    rows = SPECS["cur_mix_temperature_allocation"].fn(spark, sf_dir).collect()
+    by_tau = {}
+    for r in rows:
+        by_tau.setdefault(r["tau"], []).append(r["alloc"])
+    assert set(by_tau) == {1, 2, 4}
+    for tau, allocs in by_tau.items():
+        assert len(allocs) == 20
+        assert sum(allocs) == 100_000, tau
+    assert max(by_tau[1]) >= max(by_tau[2]) >= max(by_tau[4])
+    assert min(by_tau[1]) <= min(by_tau[2]) <= min(by_tau[4])
+
+
 def test_bucketed_rank_null_bucket_fails_loudly(spark):
     """r11 advisor: a NULL bucket key must raise, not crash the sort or
     silently drop rows at the offsets join."""
