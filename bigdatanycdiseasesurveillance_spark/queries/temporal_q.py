@@ -600,3 +600,91 @@ def ts_stl_decompose(spark, sf_dir):
             ).alias("residual"),
         )
     )
+
+
+_BURST_GAP_US = 43_200_000_000  # 12 h, exact integer microseconds
+# (the synthetic event stream is sparse: a 10-min gap yields zero
+# qualifying bursts below sf0.1, which would gate an empty result)
+_BURST_MIN = 3
+
+
+@register(
+    "seq_error_bursts",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS tus, event_id
+            FROM events WHERE event_type = 'error'
+        ), g AS (
+            SELECT user_id, tus,
+                   CASE WHEN lag(tus) OVER w IS NULL
+                             OR tus - lag(tus) OVER w > {_BURST_GAP_US}
+                        THEN 1 ELSE 0 END AS new_burst
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        ), b AS (
+            SELECT user_id,
+                   SUM(new_burst) OVER (PARTITION BY user_id ORDER BY tus)
+                       AS burst_id
+            FROM g
+        ), runs AS (
+            SELECT user_id, burst_id, CAST(COUNT(*) AS BIGINT) AS len
+            FROM b GROUP BY user_id, burst_id
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bursts,
+               CAST(MAX(len) AS BIGINT) AS max_burst_len,
+               CAST(SUM(len) AS BIGINT) AS total_burst_events
+        FROM runs WHERE len >= {_BURST_MIN}
+        GROUP BY user_id
+    """,
+    tags=("sequence", "pattern", "behavior", "streaming-adjacent"),
+)
+def seq_error_bursts(spark, sf_dir):
+    """Gap-constrained consecutive-pattern detection — the
+    MATCH_RECOGNIZE shape (`error{{3,}}` with inter-event gap <= 12
+    h) Spark has no native operator for, expressed as the classic
+    gaps-and-islands rewrite: flag a new island when the gap to the
+    previous event exceeds the bound, running-sum the flags into island
+    ids (both windows PARTITIONED BY user — never global), then one
+    groupBy per island. Per-user burst profile: number of qualifying
+    bursts (>= 3 events), longest burst, events inside bursts.
+
+    Parity: gaps compare in exact integer MICROSECONDS (`unix_micros`
+    vs `epoch_us` — both engines truncate the parquet ns timestamps to
+    identical us values), ties broken by event_id. At 100 TB the only
+    shuffle is the user-key exchange the windows and the rollup share;
+    the error filter pushes to the scan."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    ).select(
+        "user_id", F.unix_micros("ts").alias("tus"), "event_id"
+    )
+    wo = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    g = e.select(
+        "user_id",
+        "tus",
+        F.when(
+            F.lag("tus").over(wo).isNull()
+            | ((F.col("tus") - F.lag("tus").over(wo)) > _BURST_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_burst"),
+    )
+    b = g.select(
+        "user_id",
+        F.sum("new_burst")
+        .over(Window.partitionBy("user_id").orderBy("tus"))
+        .alias("burst_id"),
+    )
+    runs = b.groupBy("user_id", "burst_id").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    return (
+        runs.filter(F.col("len") >= _BURST_MIN)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bursts"),
+            F.max("len").cast("long").alias("max_burst_len"),
+            F.sum("len").cast("long").alias("total_burst_events"),
+        )
+    )

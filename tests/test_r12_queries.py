@@ -286,6 +286,48 @@ def test_temperature_allocation_flattens(spark, sf_dir):
     assert min(by_tau[1]) <= min(by_tau[2]) <= min(by_tau[4])
 
 
+def test_error_bursts_full_python_replication(spark, sf_dir):
+    """Replicate the gaps-and-islands pattern in Python at sf0.001:
+    per-user error events, 12h-gap islands, >= 3-length burst profile."""
+    from pyspark.sql import functions as F
+
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    GAP = 43_200_000_000
+    rows = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.unix_micros("ts").alias("tus"), "event_id")
+        .collect()
+    )
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append((r["tus"], r["event_id"]))
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        runs, cur = [], 0
+        prev = None
+        for t, _ in evs:
+            if prev is None or t - prev > GAP:
+                if cur:
+                    runs.append(cur)
+                cur = 1
+            else:
+                cur += 1
+            prev = t
+        if cur:
+            runs.append(cur)
+        q = [n for n in runs if n >= 3]
+        if q:
+            want[u] = (len(q), max(q), sum(q))
+    got = {
+        r["user_id"]: (r["n_bursts"], r["max_burst_len"], r["total_burst_events"])
+        for r in SPECS["seq_error_bursts"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_bucketed_rank_null_bucket_fails_loudly(spark):
     """r11 advisor: a NULL bucket key must raise, not crash the sort or
     silently drop rows at the offsets join."""

@@ -65,6 +65,8 @@ NOTES = {
     "txt_sentence_segmentation_profile": "text column read ONCE; (lang x length) histogram partial-agg; cumsum windows PARTITIONED by lang over the bounded histogram frame; n_docs branch scans only the pruned lang column",
     "samp_systematic_interval": "deviate bucketing (<= 2^16 uniform ranges by construction) -> control-plane offsets -> per-bucket window; stride rides as the device's total_col — no extra join, no global window",
     "cur_dedup_aware_mixing": "keep-flag window partitioned by md5(text) (shuffle carries the 32-char hash, not the text); sources-frame fold; largest-remainder allocation on the dim only",
+    "samp_poisson_pps": "membership is a map-side DECIMAL(38,0) predicate against the 1-row broadcast grand total; HT numerator folds in the same single groupBy — no float pi exists anywhere in the plan",
+    "txt_vocab_growth_profile": "10 nested corpus prefixes in ONE explode pass: per-token min-decile histogram + cumsum over the (lang x 10) spine; every window partitioned by lang over a 10-row frame",
 }
 
 
@@ -102,6 +104,8 @@ def main() -> None:
         "txt_sentence_segmentation_profile",
         "samp_systematic_interval",
         "cur_dedup_aware_mixing",
+        "samp_poisson_pps",
+        "txt_vocab_growth_profile",
     ]
     bench_names = sorted(n for n, s in specs.items() if s.bench)
     names = bench_names + [n for n in extras if n not in bench_names]
