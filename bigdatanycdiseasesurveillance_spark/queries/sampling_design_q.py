@@ -1114,3 +1114,208 @@ def cur_mix_temperature_allocation(spark, sf_dir):
             ).select("source", "tau", F.col("wq").alias("weight"), "alloc")
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+# --- Zipf head profile (r13 queue, fourth batch) ---------------------------
+
+_ZIPF_K = 20
+_ZIPF_BUCKETS = 32
+
+
+@register(
+    "txt_zipf_profile",
+    oracle=f"""
+        WITH tok AS (
+            SELECT lang,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS t
+            FROM documents
+        ), c AS (
+            SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY lang, t
+        ), tot AS (
+            SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total FROM c
+            GROUP BY lang
+        ), r AS (
+            SELECT lang, t, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY cnt DESC, t) AS rank
+            FROM c
+        ), top AS (
+            SELECT lang, t, cnt, rank,
+                   SUM(cnt) OVER (PARTITION BY lang ORDER BY rank) AS cum
+            FROM r WHERE rank <= {_ZIPF_K}
+        )
+        SELECT top.lang,
+               CAST(rank AS BIGINT) AS rank,
+               t AS token,
+               cnt,
+               CAST((1000000 * cum) // total AS BIGINT) AS cum_share_ppm
+        FROM top JOIN tot ON top.lang = tot.lang
+    """,
+    tags=("text", "tokenizer", "training-data"),
+)
+def txt_zipf_profile(spark, sf_dir):
+    """Zipf head profile per language: the top-20 tokens with exact
+    ranks (count DESC, token ASC) and the cumulative head-mass share in
+    integer ppm — the rank-frequency companion to the Heaps growth
+    profile (together they size a tokenizer's budget: how fast the
+    vocabulary grows, and how much mass the head already covers).
+
+    Scale device — distributed top-k REFINEMENT, not a per-language
+    sort: the (lang x token) counts first take a per-(lang, hash
+    bucket) top-20 (window partitioned by lang AND bucket — 32 uniform
+    token-hash buckets, so no 5-partition vocabulary sort exists
+    anywhere), which provably contains the global top-20 (each token
+    lives in exactly one bucket, and a global top-20 member is
+    necessarily in its bucket's top-20); the final rank runs on the
+    <= 640-row survivor frame per language. Head share is exact
+    integer ppm: (1e6 * cumulative) div total."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+                )
+            ).alias("t"),
+        )
+        .groupBy("lang", "t")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    c = c.localCheckpoint(eager=False)  # shared: totals + top-k path
+    tot = c.groupBy("lang").agg(F.sum("cnt").cast("long").alias("total"))
+    bucketed = c.withColumn(
+        "b", F.pmod(F.xxhash64("t"), F.lit(_ZIPF_BUCKETS))
+    )
+    wb = W.partitionBy("lang", "b").orderBy(F.desc("cnt"), F.asc("t"))
+    survivors = (
+        bucketed.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= _ZIPF_K)
+        .drop("b", "rb")
+    )
+    wl = W.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("t"))
+    top = (
+        survivors.withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= _ZIPF_K)
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                W.partitionBy("lang")
+                .orderBy("rank")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    return top.join(tot, "lang").select(
+        "lang",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("t").alias("token"),
+        "cnt",
+        F.expr("CAST((1000000 * cum) div total AS BIGINT)").alias(
+            "cum_share_ppm"
+        ),
+    )
+
+
+# --- Deterministic bootstrap replicates (r13 queue, fourth batch) ----------
+
+_BOOT_R = 8
+# Poisson(1) CDF thresholds quantized to the [0, 2^60) deviate domain:
+# P(0)=P(1)=e^-1, P(2)=e^-1/2, P(3)=e^-1/6, remainder -> weight 4.
+_BOOT_T = tuple(
+    int(c * (1 << 60))
+    for c in (
+        0.36787944117144233,              # P(X=0)
+        0.7357588823428847,               # P(X<=1)
+        0.9196986029286058,               # P(X<=2)
+        0.9810118431238462,               # P(X<=3)
+    )
+)
+
+
+def _boot_weight_sql(dev: str) -> str:
+    return f"""
+        CASE WHEN {dev} < {_BOOT_T[0]} THEN 0
+             WHEN {dev} < {_BOOT_T[1]} THEN 1
+             WHEN {dev} < {_BOOT_T[2]} THEN 2
+             WHEN {dev} < {_BOOT_T[3]} THEN 3
+             ELSE 4 END
+    """
+
+
+def _boot_oracle() -> str:
+    # the composite (doc, replicate) key spelled out — same "boot:<doc>:
+    # <rep>" string the engine's hash_deviate hashes
+    dev = (
+        "CAST(('0x' || substr(md5('boot:' || CAST(doc_id AS VARCHAR)"
+        " || ':' || CAST(r.rep AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+        WITH r AS (SELECT unnest(range(1, {_BOOT_R + 1})) AS rep),
+        d AS (
+            SELECT r.rep, source, n_chars,
+                   {_boot_weight_sql(dev)} AS w
+            FROM documents, r
+        )
+        SELECT CAST(rep AS BIGINT) AS replicate,
+               source,
+               CAST(SUM(w) AS BIGINT) AS n_eff,
+               CAST(SUM(w * n_chars) AS BIGINT) AS chars_w
+        FROM d GROUP BY rep, source
+    """
+
+
+@register(
+    "samp_bootstrap_profile",
+    oracle=_boot_oracle(),
+    tags=("sampling", "design", "uncertainty", "training-data"),
+)
+def samp_bootstrap_profile(spark, sf_dir):
+    """Deterministic Poisson bootstrap — the uncertainty companion to
+    the point designs: 8 replicates, each giving every doc an integer
+    weight drawn from Poisson(1) via fixed CDF thresholds on the
+    md5 deviate of (doc_id, replicate), so replicate membership is a
+    pure function of the data (the oracle replays all 8 replicates
+    row-for-row) and downstream variance estimates need no RNG state.
+    Emits per-(replicate, source) effective doc counts and weighted
+    char mass — the spread across replicates IS the bootstrap standard
+    error of each source's mass estimate.
+
+    Scale shape: an 8-row literal explode (map-side, no shuffle of its
+    own), the weight a pure CASE on the hash — one shuffle total, the
+    (replicate x source) groupBy, map-side combinable. This is the
+    online-bootstrap formulation (Oza & Russell 2001) that streaming
+    and 100 TB batch pipelines use precisely because it needs one pass
+    and zero coordination."""
+    from ..operators.sampling import hash_deviate
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, _BOOT_R + 1)])
+        ).alias("rep"),
+    ).select(
+        "source",
+        "n_chars",
+        F.col("rep").cast("long").alias("replicate"),
+        hash_deviate(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("rep").cast("string"),
+            ),
+            "boot",
+        ).alias("dev"),
+    )
+    w = d.withColumn("w", F.expr(_boot_weight_sql("dev")))
+    return w.groupBy("replicate", "source").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        F.sum(F.col("w") * F.col("n_chars")).cast("long").alias("chars_w"),
+    )

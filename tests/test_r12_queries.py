@@ -328,6 +328,80 @@ def test_error_bursts_full_python_replication(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_zipf_profile_invariants(spark, sf_dir):
+    """Ranks dense 1..20 per language, counts non-increasing along the
+    rank, cumulative share monotone and <= 1e6 ppm; the bucketed
+    refinement must agree with a direct per-language Python top-20."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    rows = SPECS["txt_zipf_profile"].fn(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["lang"], []).append(r)
+    assert set(per) == {"en", "de", "zh", "fr", "es"}
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang", "text")
+        .collect()
+    )
+    counts: dict = {}
+    for d in docs:
+        c = counts.setdefault(d["lang"], Counter())
+        c.update(t for t in d["text"].lower().split(" ") if t)
+    for lang, rs in per.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, 21))
+        cnts = [r["cnt"] for r in rs]
+        assert cnts == sorted(cnts, reverse=True)
+        shares = [r["cum_share_ppm"] for r in rs]
+        assert shares == sorted(shares) and shares[-1] <= 1_000_000
+        # exact agreement with the direct top-20 (count desc, token asc)
+        want = sorted(counts[lang].items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        assert [(r["token"], r["cnt"]) for r in rs] == want
+
+
+def test_bootstrap_profile_replication(spark, sf_dir):
+    """Replicate one replicate's weights in Python: thresholded
+    Poisson(1) weights from md5('boot:<doc>:<rep>'), per-source sums."""
+    import hashlib
+
+    from bigdatanycdiseasesurveillance_spark.queries.sampling_design_q import (
+        _BOOT_T,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    want: dict = {}
+    rep = 3
+    for r in rows:
+        dev = int(
+            hashlib.md5(f"boot:{r['doc_id']}:{rep}".encode()).hexdigest()[:15],
+            16,
+        )
+        w = 4
+        for i, t in enumerate(_BOOT_T):
+            if dev < t:
+                w = i
+                break
+        a = want.setdefault(r["source"], [0, 0])
+        a[0] += w
+        a[1] += w * r["n_chars"]
+    got = {
+        r["source"]: (r["n_eff"], r["chars_w"])
+        for r in SPECS["samp_bootstrap_profile"].fn(spark, sf_dir).collect()
+        if r["replicate"] == rep
+    }
+    assert got == {s: tuple(v) for s, v in want.items()}
+    # and the weight distribution is Poisson(1)-ish: mean weight ~ 1
+    total_w = sum(v[0] for v in want.values())
+    assert abs(total_w / len(rows) - 1.0) < 0.15
+
+
 def test_bucketed_rank_null_bucket_fails_loudly(spark):
     """r11 advisor: a NULL bucket key must raise, not crash the sort or
     silently drop rows at the offsets join."""
