@@ -24,6 +24,7 @@ BNLJ_ALLOWLIST = {
     "cur_mix_temperature_allocation",  # three tau runs, 1-row totals (r12)
     "dq_allocation_drift",  # two allocation runs, 1-row totals (r12)
     "samp_poisson_pps",  # corpus x 1-row grand-total T (r12)
+    "samp_stratified_neyman_compare",  # two allocation runs, 1-row totals (r12)
     "txt_vocab_growth_profile",  # lang dim x 10-row decile spine (r12)
     "cur_importance_resampling",  # 64-bucket stats x 1-row totals (r10)
     "cur_quality_classifier",
@@ -90,6 +91,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "cur_dedup_aware_mixing": "largest-remainder rank over the sources-sized mass frame",
     "dq_allocation_drift": "two largest-remainder ranks over sources-sized mass frames",
     "cur_mix_temperature_allocation": "three largest-remainder ranks over sources-sized weight frames",
+    "samp_stratified_neyman_compare": "two largest-remainder ranks over sources-sized strata frames",
     "skyline_user_activity": "running max over the distinct-n_events group frame",
     "win_cumulative_distinct": "running sum over the day spine (time-range bounded)",
     "win_rolling_corr": "4 rolling 7-row frames over the day-grain daily spine",

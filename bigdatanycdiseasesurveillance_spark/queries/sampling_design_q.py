@@ -1319,3 +1319,235 @@ def samp_bootstrap_profile(spark, sf_dir):
         F.sum("w").cast("long").alias("n_eff"),
         F.sum(F.col("w") * F.col("n_chars")).cast("long").alias("chars_w"),
     )
+
+
+# --- Proportional-vs-Neyman efficiency compare (r13 queue, fifth batch) ---
+
+
+@register(
+    "samp_stratified_neyman_compare",
+    oracle=f"""
+        WITH m AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   SUM(CAST(n_chars AS HUGEINT)) AS s1,
+                   SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+            FROM documents GROUP BY source
+        ), w AS (
+            SELECT source, n_docs,
+                   CAST(n_docs * s2 - s1 * s1 AS BIGINT) AS var_num,
+                   CAST(FLOOR(SQRT(CAST(n_docs * s2 - s1 * s1 AS DOUBLE))
+                              * {_W_SCALE}.0) AS BIGINT) AS wq
+            FROM m
+        ),
+        pt AS (SELECT SUM(n_docs) AS w FROM w),
+        pb AS (
+            SELECT source, ({_NEYMAN_BUDGET} * n_docs) // w AS base,
+                   ({_NEYMAN_BUDGET} * n_docs) % w AS rem
+            FROM w, pt
+        ),
+        pe AS (SELECT {_NEYMAN_BUDGET} - SUM(base) AS extra FROM pb),
+        pr AS (
+            SELECT pb.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+            FROM pb
+        ),
+        pa AS (
+            SELECT source,
+                   CAST(base + CASE WHEN rk <= (SELECT extra FROM pe)
+                                    THEN 1 ELSE 0 END AS BIGINT)
+                       AS alloc_prop
+            FROM pr
+        ),
+        nt AS (SELECT SUM(wq) AS w FROM w),
+        nb AS (
+            SELECT source, ({_NEYMAN_BUDGET} * wq) // w AS base,
+                   ({_NEYMAN_BUDGET} * wq) % w AS rem
+            FROM w, nt
+        ),
+        ne AS (SELECT {_NEYMAN_BUDGET} - SUM(base) AS extra FROM nb),
+        nr AS (
+            SELECT nb.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+            FROM nb
+        ),
+        na AS (
+            SELECT source,
+                   CAST(base + CASE WHEN rk <= (SELECT extra FROM ne)
+                                    THEN 1 ELSE 0 END AS BIGINT)
+                       AS alloc_ney
+            FROM nr
+        )
+        SELECT w.source,
+               CAST(w.n_docs AS BIGINT) AS n_docs,
+               w.var_num,
+               pa.alloc_prop,
+               na.alloc_ney,
+               CASE WHEN pa.alloc_prop > 0
+                    THEN ROUND(CAST(w.var_num AS DOUBLE) / pa.alloc_prop, 6)
+                    END AS v_contrib_prop,
+               CASE WHEN na.alloc_ney > 0
+                    THEN ROUND(CAST(w.var_num AS DOUBLE) / na.alloc_ney, 6)
+                    END AS v_contrib_ney
+        FROM w JOIN pa USING (source) JOIN na USING (source)
+    """,
+    tags=("sampling", "design", "training-data"),
+)
+def samp_stratified_neyman_compare(spark, sf_dir):
+    """Realized-vs-optimal stratified-design efficiency, per stratum:
+    the estimator-variance contribution of stratum h under allocation
+    n_h is N_h^2 * s_h^2 / n_h, and with the exact integer variance
+    numerator var_num_h = N_h*sum(v^2) - sum(v)^2 that collapses to
+    var_num_h / n_h — so the whole comparison (proportional allocation
+    on N_h vs Neyman allocation on sqrt(var_num_h)) is integer algebra
+    plus ONE rounded division per reported cell. Summing v_contrib
+    columns gives each design's total variance; their ratio is the
+    classical Neyman efficiency gain — computable downstream from this
+    frame with no further data access.
+
+    Both allocations run the shared largest-remainder device over the
+    same single corpus fold (count/sum/sum-of-squares per source)."""
+    docs = table(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.expr("CAST(n_chars AS DECIMAL(19,0)) * n_chars")).alias("s2"),
+    )
+    w = m.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CAST(CAST(n_docs AS DECIMAL(38,0)) * s2 - s1 * s1 AS BIGINT)"
+        ).alias("var_num"),
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(CAST(n_docs AS DECIMAL(38,0)) * s2"
+            f" - s1 * s1 AS DOUBLE)) * {_W_SCALE}.0) AS BIGINT)"
+        ).alias("wq"),
+    ).localCheckpoint(eager=False)  # shared by both allocation runs
+    pa = largest_remainder_allocation(
+        w.select("source", F.col("n_docs").cast("long").alias("nw")),
+        "nw",
+        _NEYMAN_BUDGET,
+        order_col="source",
+        out_col="alloc_prop",
+    ).select("source", "alloc_prop")
+    na = largest_remainder_allocation(
+        w.select("source", "wq"),
+        "wq",
+        _NEYMAN_BUDGET,
+        order_col="source",
+        out_col="alloc_ney",
+    ).select("source", "alloc_ney")
+    return (
+        w.join(pa, "source")
+        .join(na, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "var_num",
+            "alloc_prop",
+            "alloc_ney",
+            F.when(
+                F.col("alloc_prop") > 0,
+                F.round(
+                    F.col("var_num").cast("double") / F.col("alloc_prop"), 6
+                ),
+            ).alias("v_contrib_prop"),
+            F.when(
+                F.col("alloc_ney") > 0,
+                F.round(
+                    F.col("var_num").cast("double") / F.col("alloc_ney"), 6
+                ),
+            ).alias("v_contrib_ney"),
+        )
+    )
+
+
+# --- N-gram novelty curve (r13 queue, fifth batch) -------------------------
+
+
+def _novelty_oracle() -> str:
+    from ..operators.sampling import deviate_sql
+
+    dev = deviate_sql("doc_id", "novel")
+    return f"""
+        WITH d AS (
+            SELECT source,
+                   CAST({dev} // {_VG_DECILE} AS BIGINT) AS dec,
+                   unnest(CASE WHEN len(list_filter(string_split(lower(text),
+                                  ' '), t -> t <> '')) >= 3
+                          THEN list_transform(
+                                   range(len(list_filter(string_split(
+                                       lower(text), ' '), t -> t <> '')) - 2),
+                                   i -> array_to_string(list_slice(
+                                        list_filter(string_split(lower(text),
+                                            ' '), t -> t <> ''),
+                                        CAST(i + 1 AS INTEGER),
+                                        CAST(i + 3 AS INTEGER)), ' '))
+                          ELSE [] END) AS g
+            FROM documents
+        ), gm AS (
+            SELECT source, g, MIN(dec) AS m FROM d GROUP BY source, g
+        ), newh AS (
+            SELECT source, m AS dec, CAST(COUNT(*) AS BIGINT) AS new_grams
+            FROM gm GROUP BY source, m
+        ), occ AS (
+            SELECT source, dec, CAST(COUNT(*) AS BIGINT) AS occurrences
+            FROM d GROUP BY source, dec
+        )
+        SELECT occ.source,
+               CAST(occ.dec + 1 AS BIGINT) AS decile,
+               occ.occurrences,
+               COALESCE(newh.new_grams, 0) AS new_grams,
+               ROUND(CAST(COALESCE(newh.new_grams, 0) AS DOUBLE)
+                     / occ.occurrences, 6) AS novelty_rate
+        FROM occ LEFT JOIN newh
+          ON occ.source = newh.source AND occ.dec = newh.dec
+    """
+
+
+@register(
+    "txt_ngram_novelty_curve",
+    oracle=_novelty_oracle(),
+    tags=("text", "dedup", "curation", "training-data"),
+)
+def txt_ngram_novelty_curve(spark, sf_dir):
+    """3-gram novelty curve per source: at each md5-deviate decile of
+    the corpus, how many DISTINCT 3-grams appear for the first time,
+    over that decile's gram occurrences — the dedup-aware cousin of the
+    Heaps unigram curve (a flattening novelty rate means new data from
+    this source is mostly repeating existing n-grams: the
+    diminishing-returns signal data-acquisition decisions key on).
+
+    Same one-pass device as txt_vocab_growth_profile: a gram's first
+    appearance is min(decile over its docs), so one shingle explode +
+    min-decile histogram covers all 10 nested prefixes — the corpus is
+    never replayed per prefix. Deciles by TRUE integer div on the
+    deviate. One rounded division per (source, decile) row."""
+    from ..operators.curation import token_shingles
+    from ..operators.sampling import hash_deviate
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        hash_deviate(F.col("doc_id"), "novel").alias("__dev"),
+        F.explode(token_shingles(F.col("text"), n=3)).alias("g"),
+    ).select(
+        "source", F.expr(f"__dev div {_VG_DECILE}").alias("dec"), "g"
+    )
+    d = d.localCheckpoint(eager=False)  # shared: min-decile + occurrence
+    gm = d.groupBy("source", "g").agg(F.min("dec").alias("m"))
+    newh = gm.groupBy("source", F.col("m").alias("dec")).agg(
+        F.count("*").cast("long").alias("new_grams")
+    )
+    occ = d.groupBy("source", "dec").agg(
+        F.count("*").cast("long").alias("occurrences")
+    )
+    return occ.join(newh, ["source", "dec"], "left").select(
+        "source",
+        (F.col("dec") + 1).cast("long").alias("decile"),
+        "occurrences",
+        F.coalesce("new_grams", F.lit(0)).cast("long").alias("new_grams"),
+        F.round(
+            F.coalesce("new_grams", F.lit(0)).cast("double")
+            / F.col("occurrences"),
+            6,
+        ).alias("novelty_rate"),
+    )

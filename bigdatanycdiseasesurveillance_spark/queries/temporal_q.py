@@ -688,3 +688,111 @@ def seq_error_bursts(spark, sf_dir):
             F.sum("len").cast("long").alias("total_burst_events"),
         )
     )
+
+
+_SESS_GAP_US = 43_200_000_000  # 12 h (matches the burst grain: the
+# synthetic stream is sparse — 30 min yields 1.05-event sessions)
+
+
+@register(
+    "seq_session_handoff_matrix",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+            FROM events
+        ), g AS (
+            SELECT user_id, event_type, tus, event_id,
+                   CASE WHEN lag(tus) OVER w IS NULL
+                             OR tus - lag(tus) OVER w > {_SESS_GAP_US}
+                        THEN 1 ELSE 0 END AS nb
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        ), b AS (
+            SELECT user_id, event_type, tus, event_id,
+                   SUM(nb) OVER (PARTITION BY user_id
+                                 ORDER BY tus, event_id) AS sid
+            FROM g
+        ), r AS (
+            SELECT user_id, sid, event_type,
+                   row_number() OVER (PARTITION BY user_id, sid
+                                      ORDER BY tus, event_id) AS rf,
+                   row_number() OVER (PARTITION BY user_id, sid
+                                      ORDER BY tus DESC, event_id DESC)
+                       AS rl
+            FROM b
+        ), s AS (
+            SELECT user_id, sid,
+                   MAX(CASE WHEN rf = 1 THEN event_type END) AS first_type,
+                   MAX(CASE WHEN rl = 1 THEN event_type END) AS last_type
+            FROM r GROUP BY user_id, sid
+        ), h AS (
+            SELECT lag(last_type) OVER (PARTITION BY user_id
+                                        ORDER BY sid) AS from_type,
+                   first_type AS to_type
+            FROM s
+        ), m AS (
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM h WHERE from_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, cnt,
+               ROUND(CAST(cnt AS DOUBLE) /
+                     SUM(cnt) OVER (PARTITION BY from_type), 6) AS prob
+        FROM m
+    """,
+    tags=("sequence", "session", "markov", "behavior"),
+)
+def seq_session_handoff_matrix(spark, sf_dir):
+    """Cross-SESSION transition matrix — how a user's next visit opens
+    given how the last one ended (last event of session i -> first
+    event of session i+1): the islands device (12h-gap sessionization,
+    same grain as seq_error_bursts) composed with the Markov rollup of
+    seq_transition_matrix, which only sees WITHIN-stream transitions.
+
+    Session endpoints are exact arg_min/arg_max over the composite
+    (tus, event_id) order — min_by/max_by on a struct in Spark,
+    arg_min/arg_max on a list in DuckDB, both total orders so ties
+    break identically. Every window and the session rollup partition
+    by user; the matrix is states-squared rows; probabilities are one
+    division per cell over the from-state marginal, round(6)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+    )
+    wo = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    b = e.select(
+        "user_id",
+        "event_type",
+        "tus",
+        "event_id",
+        F.sum(
+            F.when(
+                F.lag("tus").over(wo).isNull()
+                | ((F.col("tus") - F.lag("tus").over(wo)) > _SESS_GAP_US),
+                1,
+            ).otherwise(0)
+        )
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    s = b.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", F.struct("tus", "event_id")).alias(
+            "first_type"
+        ),
+        F.max_by("event_type", F.struct("tus", "event_id")).alias("last_type"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("sid")
+    h = s.select(
+        F.lag("last_type").over(ws).alias("from_type"),
+        F.col("first_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    m = h.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wp = Window.partitionBy("from_type")
+    return m.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(wp), 6).alias("prob"),
+    )

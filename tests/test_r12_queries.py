@@ -402,6 +402,81 @@ def test_bootstrap_profile_replication(spark, sf_dir):
     assert abs(total_w / len(rows) - 1.0) < 0.15
 
 
+def test_neyman_compare_dominance(spark, sf_dir):
+    """The theorem the query exists to exhibit: total estimator
+    variance under Neyman allocation <= under proportional allocation
+    (largest-remainder integer rounding can only break dominance by a
+    vanishing amount; assert with a 0.1% slack), both allocations sum
+    to the budget."""
+    rows = SPECS["samp_stratified_neyman_compare"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert sum(r["alloc_prop"] for r in rows) == 100_000
+    assert sum(r["alloc_ney"] for r in rows) == 100_000
+    v_prop = sum(r["v_contrib_prop"] for r in rows)
+    v_ney = sum(r["v_contrib_ney"] for r in rows)
+    assert v_ney <= v_prop * 1.001, (v_ney, v_prop)
+
+
+def test_novelty_curve_invariants(spark, sf_dir):
+    """new_grams <= occurrences per cell; per source the total new
+    grams across deciles equals the source's distinct 3-gram count."""
+    from pyspark.sql import functions as F
+
+    from bigdatanycdiseasesurveillance_spark.operators.curation import (
+        token_shingles,
+    )
+
+    rows = SPECS["txt_ngram_novelty_curve"].fn(spark, sf_dir).collect()
+    per: dict = {}
+    for r in rows:
+        assert 0 <= r["new_grams"] <= r["occurrences"]
+        assert 0.0 <= r["novelty_rate"] <= 1.0
+        per[r["source"]] = per.get(r["source"], 0) + r["new_grams"]
+    distinct = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", F.explode(token_shingles(F.col("text"), n=3)).alias("g"))
+        .groupBy("source")
+        .agg(F.countDistinct("g").alias("n"))
+        .collect()
+    }
+    assert per == distinct
+
+
+def test_session_handoff_matrix_shape(spark, sf_dir):
+    """Probabilities normalize per from-state; handoff count equals
+    sessions minus users (each user contributes n_sessions - 1)."""
+    from pyspark.sql import functions as F
+
+    rows = SPECS["seq_session_handoff_matrix"].fn(spark, sf_dir).collect()
+    by_from: dict = {}
+    total = 0
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r["prob"])
+        total += r["cnt"]
+    for probs in by_from.values():
+        assert abs(sum(probs) - 1.0) < 1e-4
+    # recompute sessions - users independently
+    GAP = 43_200_000_000
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("tus"))
+        .collect()
+    )
+    per_user: dict = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(r["tus"])
+    n_sessions = 0
+    for ts in per_user.values():
+        ts.sort()
+        n_sessions += 1 + sum(
+            1 for a, b in zip(ts, ts[1:]) if b - a > GAP
+        )
+    assert total == n_sessions - len(per_user)
+
+
 def test_bucketed_rank_null_bucket_fails_loudly(spark):
     """r11 advisor: a NULL bucket key must raise, not crash the sort or
     silently drop rows at the offsets join."""
