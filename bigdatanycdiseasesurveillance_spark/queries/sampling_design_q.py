@@ -1551,3 +1551,84 @@ def txt_ngram_novelty_curve(spark, sf_dir):
             6,
         ).alias("novelty_rate"),
     )
+
+
+# --- Capture-recapture coverage estimate (r13 queue, sixth batch) ----------
+
+_CAP_RATE = int(0.3 * _PPS_SCALE)  # each capture samples 30%
+
+
+def _capture_oracle() -> str:
+    from ..operators.sampling import deviate_sql
+
+    da = deviate_sql("doc_id", "capA")
+    db = deviate_sql("doc_id", "capB")
+    return f"""
+        WITH d AS (
+            SELECT source,
+                   {da} < {_CAP_RATE} AS in_a,
+                   {db} < {_CAP_RATE} AS in_b
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_both,
+               ROUND((CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) + 1
+                      AS DOUBLE)
+                      * (SUM(CASE WHEN in_b THEN 1 ELSE 0 END) + 1))
+                     / (SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) + 1)
+                     - 1, 4) AS chapman_est
+        FROM d GROUP BY source
+    """
+
+
+@register(
+    "samp_capture_recapture",
+    oracle=_capture_oracle(),
+    tags=("sampling", "design", "coverage", "training-data"),
+)
+def samp_capture_recapture(spark, sf_dir):
+    """Two-sample capture-recapture coverage estimation (Chapman's
+    bias-corrected Lincoln-Petersen): two INDEPENDENT deterministic
+    30% captures (different md5 salts on the same key are independent
+    by construction), exact integer overlap, and the population
+    estimate (n_a+1)(n_b+1)/(n_both+1) - 1 as ONE rounded division —
+    next to true n_docs so the estimator's error is visible per
+    source. This is the design that estimates how much of a population
+    a crawler/pipeline is covering when the population can't be
+    enumerated — at 100 TB the point is the whole query is one
+    map-side pass: both memberships are scan-stage predicates on the
+    hash, the profile one combinable groupBy."""
+    from ..operators.sampling import hash_deviate
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        (hash_deviate(F.col("doc_id"), "capA") < _CAP_RATE).alias("in_a"),
+        (hash_deviate(F.col("doc_id"), "capB") < _CAP_RATE).alias("in_b"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("in_b"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both"),
+        F.round(
+            (
+                (
+                    F.sum(F.when(F.col("in_a"), 1).otherwise(0)) + 1
+                ).cast("double")
+                * (F.sum(F.when(F.col("in_b"), 1).otherwise(0)) + 1)
+            )
+            / (
+                F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+                + 1
+            )
+            - 1,
+            4,
+        ).alias("chapman_est"),
+    )

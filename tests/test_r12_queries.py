@@ -507,3 +507,19 @@ def test_pack_concat_chunks_rejects_non_numeric_id(spark):
     )
     with pytest.raises(ValueError, match="integer id column"):
         pack_concat_chunks(df)
+
+
+def test_capture_recapture_identities(spark, sf_dir):
+    """Overlap bounds (n_both <= min(n_a, n_b)), Chapman estimate
+    recomputed from the emitted integers, and the ~30% capture rates."""
+    rows = SPECS["samp_capture_recapture"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    tot = sum(r["n_docs"] for r in rows)
+    ta = sum(r["n_a"] for r in rows)
+    for r in rows:
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        want = round(
+            (r["n_a"] + 1) * (r["n_b"] + 1) / (r["n_both"] + 1) - 1, 4
+        )
+        assert abs(r["chapman_est"] - want) < 1e-9
+    assert abs(ta / tot - 0.3) < 0.1  # capture rate ~30% corpus-wide
