@@ -43,8 +43,18 @@ def largest_remainder_allocation(
         w.crossJoin(F.broadcast(tot))
         .select(
             "*",
-            F.expr(f"({budget} * {weight_col}) div __tw").alias(out_base),
-            F.expr(f"({budget} * {weight_col}) % __tw").alias("__rem"),
+            # budget * weight is carried in DECIMAL(38,0): a 1e6 budget
+            # times a corpus-scale token mass (~1e13 at 100 TB) exceeds
+            # 2^63, and Spark's non-ANSI BIGINT multiply would wrap
+            # SILENTLY while the DuckDB oracle (HUGEINT) errors loudly.
+            # `div` on decimals returns BIGINT; `%` stays decimal and is
+            # only compared (rank order), never summed.
+            F.expr(
+                f"(CAST({budget} AS DECIMAL(38,0)) * {weight_col}) div __tw"
+            ).alias(out_base),
+            F.expr(
+                f"(CAST({budget} AS DECIMAL(38,0)) * {weight_col}) % __tw"
+            ).alias("__rem"),
         )
         .drop("__tw")
     )

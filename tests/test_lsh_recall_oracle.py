@@ -122,7 +122,10 @@ def test_simhash_containment_and_pigeonhole_recall(spark, sf_dir):
         .collect()
     )
     ids = np.array([r["doc_id"] for r in sigs])
-    vals = np.array([r["sig"] for r in sigs], dtype=np.uint64)
+    # signatures are signed 64-bit from Spark; build signed then view as
+    # uint64 for the explicit two's-complement wrap (NumPy deprecates —
+    # and will hard-fail — direct negative-int -> uint64 construction)
+    vals = np.array([r["sig"] for r in sigs], dtype=np.int64).view(np.uint64)
     xor = vals[:, None] ^ vals[None, :]
     ham = np.zeros_like(xor, dtype=np.int64)
     for b in range(64):
