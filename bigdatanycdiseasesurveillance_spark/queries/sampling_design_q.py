@@ -41,8 +41,8 @@ _W_SCALE = 1_000_000  # weight quantization: floor(w * 1e6) -> BIGINT
             SELECT SUM(wq) AS tw FROM w
         ), b AS (
             SELECT source, n_docs, wq,
-                   ({_NEYMAN_BUDGET} * wq) // tw AS base,
-                   ({_NEYMAN_BUDGET} * wq) % tw AS rem
+                   (CAST({_NEYMAN_BUDGET} AS HUGEINT) * wq) // tw AS base,
+                   (CAST({_NEYMAN_BUDGET} AS HUGEINT) * wq) % tw AS rem
             FROM w, t
         ), e AS (
             SELECT {_NEYMAN_BUDGET} - SUM(base) AS extra FROM b
@@ -59,6 +59,7 @@ _W_SCALE = 1_000_000  # weight quantization: floor(w * 1e6) -> BIGINT
         FROM r
     """,
     tags=("sampling", "design", "training-data"),
+    bench=True,
 )
 def samp_neyman_allocation(spark, sf_dir):
     """Neyman-optimal stratified-sample allocation over sources:
@@ -162,6 +163,7 @@ _SENT_SPLIT = r"\.\s+"
         FROM d JOIN q USING (lang)
     """,
     tags=("text", "structure", "training-data"),
+    bench=True,
 )
 def txt_sentence_segmentation_profile(spark, sf_dir):
     """Regex sentence-segmentation profile per language: sentence
@@ -430,8 +432,8 @@ _MIX_BUDGET = 1_000_000
         ), tw AS (
             SELECT SUM(dedup_tokens) AS w FROM m
         ), b AS (
-            SELECT m.*, ({_MIX_BUDGET} * dedup_tokens) // w AS base,
-                   ({_MIX_BUDGET} * dedup_tokens) % w AS rem
+            SELECT m.*, (CAST({_MIX_BUDGET} AS HUGEINT) * dedup_tokens) // w AS base,
+                   (CAST({_MIX_BUDGET} AS HUGEINT) * dedup_tokens) % w AS rem
             FROM m, tw
         ), e AS (
             SELECT {_MIX_BUDGET} - SUM(base) AS extra FROM b
@@ -713,8 +715,8 @@ def _drift_alloc_sql(mass_cte: str, out: str) -> str:
     return f"""
         {out}_t AS (SELECT SUM(mass) AS w FROM {mass_cte}),
         {out}_b AS (
-            SELECT source, ({_DRIFT_BUDGET} * mass) // w AS base,
-                   ({_DRIFT_BUDGET} * mass) % w AS rem
+            SELECT source, (CAST({_DRIFT_BUDGET} AS HUGEINT) * mass) // w AS base,
+                   (CAST({_DRIFT_BUDGET} AS HUGEINT) * mass) % w AS rem
             FROM {mass_cte}, {out}_t
         ),
         {out}_e AS (
@@ -918,8 +920,12 @@ def _vocab_growth_oracle() -> str:
             SELECT lang, dec, CAST(COUNT(*) AS BIGINT) AS o
             FROM d GROUP BY lang, dec
         ), spine AS (
+            -- spine from documents, NOT the exploded token frame d: a
+            -- lang whose docs all tokenize to empty must still emit 10
+            -- zero rows, matching the engine's documents-derived spine
+            -- (r12 advisor)
             SELECT DISTINCT lang, s.dec
-            FROM d, (SELECT unnest(range(10)) AS dec) s
+            FROM documents, (SELECT unnest(range(10)) AS dec) s
         )
         SELECT spine.lang,
                CAST(spine.dec + 1 AS BIGINT) AS decile,
@@ -1041,8 +1047,8 @@ def _temp_oracle() -> str:
         t{tau} AS (SELECT SUM(wq) AS w FROM w{tau}),
         b{tau} AS (
             SELECT source, tau, wq,
-                   ({_TEMP_BUDGET} * wq) // w AS base,
-                   ({_TEMP_BUDGET} * wq) % w AS rem
+                   (CAST({_TEMP_BUDGET} AS HUGEINT) * wq) // w AS base,
+                   (CAST({_TEMP_BUDGET} AS HUGEINT) * wq) % w AS rem
             FROM w{tau}, t{tau}
         ),
         e{tau} AS (SELECT {_TEMP_BUDGET} - SUM(base) AS extra FROM b{tau}),
@@ -1154,6 +1160,7 @@ _ZIPF_BUCKETS = 32
         FROM top JOIN tot ON top.lang = tot.lang
     """,
     tags=("text", "tokenizer", "training-data"),
+    bench=True,
 )
 def txt_zipf_profile(spark, sf_dir):
     """Zipf head profile per language: the top-20 tokens with exact
@@ -1334,15 +1341,15 @@ def samp_bootstrap_profile(spark, sf_dir):
             FROM documents GROUP BY source
         ), w AS (
             SELECT source, n_docs,
-                   CAST(n_docs * s2 - s1 * s1 AS BIGINT) AS var_num,
+                   n_docs * s2 - s1 * s1 AS var_num,
                    CAST(FLOOR(SQRT(CAST(n_docs * s2 - s1 * s1 AS DOUBLE))
                               * {_W_SCALE}.0) AS BIGINT) AS wq
             FROM m
         ),
         pt AS (SELECT SUM(n_docs) AS w FROM w),
         pb AS (
-            SELECT source, ({_NEYMAN_BUDGET} * n_docs) // w AS base,
-                   ({_NEYMAN_BUDGET} * n_docs) % w AS rem
+            SELECT source, (CAST({_NEYMAN_BUDGET} AS HUGEINT) * n_docs) // w AS base,
+                   (CAST({_NEYMAN_BUDGET} AS HUGEINT) * n_docs) % w AS rem
             FROM w, pt
         ),
         pe AS (SELECT {_NEYMAN_BUDGET} - SUM(base) AS extra FROM pb),
@@ -1359,8 +1366,8 @@ def samp_bootstrap_profile(spark, sf_dir):
         ),
         nt AS (SELECT SUM(wq) AS w FROM w),
         nb AS (
-            SELECT source, ({_NEYMAN_BUDGET} * wq) // w AS base,
-                   ({_NEYMAN_BUDGET} * wq) % w AS rem
+            SELECT source, (CAST({_NEYMAN_BUDGET} AS HUGEINT) * wq) // w AS base,
+                   (CAST({_NEYMAN_BUDGET} AS HUGEINT) * wq) % w AS rem
             FROM w, nt
         ),
         ne AS (SELECT {_NEYMAN_BUDGET} - SUM(base) AS extra FROM nb),
@@ -1377,7 +1384,7 @@ def samp_bootstrap_profile(spark, sf_dir):
         )
         SELECT w.source,
                CAST(w.n_docs AS BIGINT) AS n_docs,
-               w.var_num,
+               ROUND(CAST(w.var_num AS DOUBLE), 6) AS var_num,
                pa.alloc_prop,
                na.alloc_ney,
                CASE WHEN pa.alloc_prop > 0
@@ -1413,8 +1420,16 @@ def samp_stratified_neyman_compare(spark, sf_dir):
     w = m.select(
         "source",
         "n_docs",
+        # var_num ~ N_h^2 * var(n_chars): carried as exact DECIMAL(38,0)
+        # — at large SF it exceeds 2^63, where DuckDB's HUGEINT->BIGINT
+        # cast errors loudly but Spark's non-ANSI decimal->long cast
+        # silently NULLs (r12 advisor). The OUTPUT column is its
+        # correctly-rounded double (identical in both engines for the
+        # same exact integer); the exact value exists only on this
+        # internal frame.
         F.expr(
-            "CAST(CAST(n_docs AS DECIMAL(38,0)) * s2 - s1 * s1 AS BIGINT)"
+            "CAST(CAST(n_docs AS DECIMAL(38,0)) * s2 - s1 * s1"
+            " AS DECIMAL(38,0))"
         ).alias("var_num"),
         F.expr(
             "CAST(FLOOR(SQRT(CAST(CAST(n_docs AS DECIMAL(38,0)) * s2"
@@ -1441,7 +1456,7 @@ def samp_stratified_neyman_compare(spark, sf_dir):
         .select(
             "source",
             F.col("n_docs").cast("long").alias("n_docs"),
-            "var_num",
+            F.round(F.col("var_num").cast("double"), 6).alias("var_num"),
             "alloc_prop",
             "alloc_ney",
             F.when(
@@ -1631,4 +1646,218 @@ def samp_capture_recapture(spark, sf_dir):
             - 1,
             4,
         ).alias("chapman_est"),
+    )
+
+
+# --- Term burstiness profile (r13 queue) -----------------------------------
+
+_BURST_K = 20
+_BURST_MIN_DF = 5
+_BURST_BUCKETS = 32
+
+
+@register(
+    "txt_burstiness_profile",
+    oracle=f"""
+        WITH tok AS (
+            SELECT lang, doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS t
+            FROM documents
+        ), tf AS (
+            SELECT lang, doc_id, t, COUNT(*) AS tf
+            FROM tok GROUP BY 1, 2, 3
+        ), c AS (
+            SELECT lang, t,
+                   CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(tf) AS BIGINT) AS cf
+            FROM tf GROUP BY 1, 2
+        ), f AS (
+            SELECT lang, t, df, cf,
+                   CAST((1000000 * cf) // df AS BIGINT) AS burst_ppm
+            FROM c WHERE df >= {_BURST_MIN_DF}
+        ), r AS (
+            SELECT lang, t, df, cf, burst_ppm,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY burst_ppm DESC, cf DESC, t)
+                       AS rank
+            FROM f
+        )
+        SELECT lang, CAST(rank AS BIGINT) AS rank, t AS term, df, cf,
+               burst_ppm
+        FROM r WHERE rank <= {_BURST_K}
+    """,
+    tags=("text", "tokenizer", "training-data"),
+)
+def txt_burstiness_profile(spark, sf_dir):
+    """Church-Gale term burstiness per language: the top-20 terms by
+    mean within-document repetition cf/df (collection frequency over
+    document frequency, integer ppm) among terms seen in >= 5 docs.
+    Bursty terms concentrate their occurrences in few documents — the
+    dispersion axis that neither the Zipf head (raw frequency) nor the
+    Heaps curve (vocabulary growth) captures, and the signal that
+    separates topical/boilerplate terms from function words when
+    picking tokenizer special-cases and dedup shingle stoplists.
+
+    Integer-exact end to end: cf and df are sums from two map-side
+    combinable groupBys — (lang, doc, term) term frequencies first, so
+    NO count-distinct pass over the corpus exists — and the ratio is
+    quantized to ppm with integer `div` before any ordering, so the
+    rank's total order (burst_ppm DESC, cf DESC, term ASC) compares
+    only integers. Top-k is the same distributed refinement device as
+    txt_zipf_profile: per-(lang, 32-way token-hash-bucket) top-20
+    first (a token lives in exactly ONE bucket, so the global top-20
+    under the same total order is necessarily contained in the bucket
+    survivors), then the final rank over the <= 640-row survivor frame
+    per language — no vocabulary-sized sort anywhere in the plan."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+                )
+            ).alias("t"),
+        )
+        .groupBy("lang", "doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    c = (
+        tf.groupBy("lang", "t")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        .filter(F.col("df") >= _BURST_MIN_DF)
+        .withColumn(
+            "burst_ppm", F.expr("CAST((1000000 * cf) div df AS BIGINT)")
+        )
+    )
+    bucketed = c.withColumn(
+        "b", F.pmod(F.xxhash64("t"), F.lit(_BURST_BUCKETS))
+    )
+    wb = W.partitionBy("lang", "b").orderBy(
+        F.desc("burst_ppm"), F.desc("cf"), F.asc("t")
+    )
+    survivors = (
+        bucketed.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= _BURST_K)
+        .drop("b", "rb")
+    )
+    wl = W.partitionBy("lang").orderBy(
+        F.desc("burst_ppm"), F.desc("cf"), F.asc("t")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= _BURST_K)
+        .select(
+            "lang",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("t").alias("term"),
+            "df",
+            "cf",
+            "burst_ppm",
+        )
+    )
+
+
+# --- Fixed-size SRSWOR profile (r13 queue) ---------------------------------
+
+_SRS_BUDGET = 5_000
+_SRS_SALT = "srswor"
+
+
+def _srswor_oracle() -> str:
+    from ..operators.sampling import deviate_sql
+
+    return f"""
+        WITH dev AS (
+            SELECT doc_id, source,
+                   {deviate_sql("doc_id", _SRS_SALT)} AS d
+            FROM documents
+        ), r AS (
+            SELECT source,
+                   ROW_NUMBER() OVER (ORDER BY d, doc_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM dev
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN rn <= {_SRS_BUDGET} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sampled,
+               CAST((1000000 * COUNT(*)) // MAX(n) AS BIGINT)
+                   AS expected_ppm,
+               CAST((1000000 * SUM(CASE WHEN rn <= {_SRS_BUDGET}
+                                        THEN 1 ELSE 0 END))
+                    // LEAST({_SRS_BUDGET}, MAX(n)) AS BIGINT)
+                   AS realized_ppm
+        FROM r GROUP BY source
+    """
+
+
+@register(
+    "samp_srswor_profile",
+    oracle=_srswor_oracle(),
+    tags=("sampling", "design", "training-data"),
+)
+def samp_srswor_profile(spark, sf_dir):
+    """Fixed-size simple random sample WITHOUT replacement (SRSWOR,
+    n = 5,000): the n smallest md5 deviates over the whole corpus ARE
+    a uniform n-subset (every key gets an i.i.d. uniform deviate; the
+    bottom-n of an exchangeable order is equally likely to be any
+    n-set), so fixed-SIZE sampling — which Bernoulli designs like
+    sample_bernoulli can only hit in expectation — becomes a top-k on
+    a pure function of the data, reproducible across engines, cluster
+    shapes, and reruns. Emits the per-source realized-vs-expected
+    representation profile (share of sample vs share of population,
+    integer ppm): sampling-noise skew visible per stratum next to the
+    exact expectation.
+
+    Scale shape: the global bottom-n rank comes from the bucketed-rank
+    device on `d div 2^44` (<= 2^16 uniform buckets bounded BY
+    CONSTRUCTION at any corpus size — same as
+    samp_systematic_interval), so no single-partition window exists;
+    the profile then needs just ONE combinable groupBy over the ranked
+    frame, with the population total riding along as the device's
+    total_col (no second corpus scan, no extra join)."""
+    from ..operators.ranking import bucketed_global_rank
+    from ..operators.sampling import hash_deviate
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        hash_deviate(F.col("doc_id"), _SRS_SALT).alias("d"),
+    )
+    ranked = bucketed_global_rank(
+        docs,
+        F.expr("d div 17592186044416"),  # 2^44: <= 2^16 uniform buckets
+        [F.asc("d"), F.asc("doc_id")],
+        rank_col="rn",
+        total_col="n",
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("rn") <= _SRS_BUDGET, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sampled"),
+            F.max("n").alias("__n"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_sampled",
+            F.expr("CAST((1000000 * n_docs) div __n AS BIGINT)").alias(
+                "expected_ppm"
+            ),
+            F.expr(
+                f"CAST((1000000 * n_sampled) div least({_SRS_BUDGET}, __n)"
+                " AS BIGINT)"
+            ).alias("realized_ppm"),
+        )
     )
