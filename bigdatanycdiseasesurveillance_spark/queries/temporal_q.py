@@ -796,3 +796,122 @@ def seq_session_handoff_matrix(spark, sf_dir):
         "cnt",
         F.round(F.col("cnt") / F.sum("cnt").over(wp), 6).alias("prob"),
     )
+
+
+# --- Within-session dwell-time quantiles (r13 queue) -----------------------
+
+
+@register(
+    "seq_dwell_time_quantiles",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+            FROM events
+        ), g AS (
+            SELECT user_id, event_type, tus, event_id,
+                   CASE WHEN lag(tus) OVER w IS NULL
+                             OR tus - lag(tus) OVER w > {_SESS_GAP_US}
+                        THEN 1 ELSE 0 END AS nb
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        ), b AS (
+            SELECT user_id, event_type, tus, event_id,
+                   SUM(nb) OVER (PARTITION BY user_id
+                                 ORDER BY tus, event_id) AS sid
+            FROM g
+        ), dw AS (
+            SELECT event_type,
+                   (lead(tus) OVER (PARTITION BY user_id, sid
+                                    ORDER BY tus, event_id) - tus)
+                       // 1000000 AS dwell_s
+            FROM b
+        ), h AS (
+            SELECT event_type, dwell_s, COUNT(*) AS c
+            FROM dw WHERE dwell_s IS NOT NULL GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, dwell_s, c,
+                   SUM(c) OVER (PARTITION BY event_type
+                                ORDER BY dwell_s) AS cw,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM h
+        )
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS n_dwells,
+               CAST(MIN(CASE WHEN cw >= (1 * n + 3) // 4
+                        THEN dwell_s END) AS BIGINT) AS q1_s,
+               CAST(MIN(CASE WHEN cw >= (1 * n + 1) // 2
+                        THEN dwell_s END) AS BIGINT) AS med_s,
+               CAST(MIN(CASE WHEN cw >= (3 * n + 3) // 4
+                        THEN dwell_s END) AS BIGINT) AS q3_s,
+               CAST(MAX(dwell_s) AS BIGINT) AS max_s
+        FROM cum GROUP BY event_type
+    """,
+    tags=("sequence", "session", "behavior"),
+)
+def seq_dwell_time_quantiles(spark, sf_dir):
+    """Within-session dwell-time quartiles per event type: how long a
+    user lingers on an event before their NEXT action in the same
+    session (lead(ts) - ts inside the 12h-gap islands of
+    seq_session_handoff_matrix; a session's last event has no dwell).
+    This is the per-state timing companion to the handoff matrix's
+    per-state transition probabilities — together they parameterize a
+    semi-Markov model of the stream, and in a training pipeline the
+    dwell tail decides the session-timeout and truncation constants.
+
+    Quartiles are EXACT order statistics from the histogram
+    specialization of the bucketed-rank device
+    (grouped_histogram_quantiles): dwell is quantized to SECOND grain
+    first (integer `div` on the microsecond gap — gaps inside a 12h
+    session bound the histogram at 43,201 distinct values per type BY
+    CONSTRUCTION), the corpus collapses to a (type x dwell-second)
+    histogram in one combinable groupBy, and the cumulative window
+    runs per-type over that bounded frame — no corpus-sized window
+    beyond the per-user sessionization itself, which partitions by
+    user exactly like every other sequence query."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+    )
+    wo = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    b = e.select(
+        "user_id",
+        "event_type",
+        "tus",
+        "event_id",
+        F.sum(
+            F.when(
+                F.lag("tus").over(wo).isNull()
+                | ((F.col("tus") - F.lag("tus").over(wo)) > _SESS_GAP_US),
+                1,
+            ).otherwise(0)
+        )
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("tus", "event_id")
+    dw = (
+        b.withColumn(
+            "__gap_us", F.lead("tus").over(ws) - F.col("tus")
+        )
+        .filter(F.col("__gap_us").isNotNull())
+        .select(
+            "event_type", F.expr("__gap_us div 1000000").alias("dwell_s")
+        )
+    )
+    from ..operators.ranking import grouped_histogram_quantiles
+
+    q = grouped_histogram_quantiles(
+        dw,
+        ["event_type"],
+        "dwell_s",
+        {"q1_s": (1, 4), "med_s": (1, 2), "q3_s": (3, 4)},
+    )
+    return q.select(
+        "event_type",
+        F.col("n_values").alias("n_dwells"),
+        "q1_s",
+        "med_s",
+        "q3_s",
+        F.col("max_value").alias("max_s"),
+    )
