@@ -255,6 +255,57 @@ def cluster_profiles(assigned: DataFrame, points: DataFrame, id_col: str = "vec_
     )
 
 
+def bounded_cc_labels(
+    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Connected components for BOUNDED control-plane graphs — graphs
+    whose node count is corpus-size-INDEPENDENT by construction (the
+    eps-grid cell graph: cells <= geography/eps^2, a few hundred at any
+    corpus size). Collects the edge list ONCE (O(cells x 9) rows — the
+    same bounded-control-plane class as the CC convergence probes and
+    the k-means centroid collects), labels with a driver union-find,
+    and returns (doc_id, canonical_id) as a LocalRelation, with
+    canonical_id = min node id of the component — bit-identical to
+    operators.dedup.connected_components on the same edges.
+
+    Why not the distributed loop here: per materialization it costs
+    2-3 jobs (propagate + probe) regardless of graph size; on a
+    ~100-node graph that is pure scheduler overhead (measured r13:
+    ~2s of the cellgrid flagship's 3.5s warm time was CC control
+    plane). Corpus-dependent graphs (dedup near-dup groups) MUST keep
+    the distributed loop — this helper deliberately has no iteration
+    cap to raise because a bounded graph cannot grow one."""
+    from ..tables import values_dim
+
+    spark = edges.sparkSession
+    rows = edges.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    ).collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r["a"], r["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-label union
+    label = {n: find(n) for n in parent}
+    return values_dim(
+        spark,
+        sorted((int(n), int(c)) for n, c in label.items()),
+        "doc_id bigint, canonical_id bigint",
+    )
+
+
 def cellgrid_assign(
     cells: DataFrame, key_mult: int = 100000, num: int = 12, den: int = 10
 ) -> DataFrame:
@@ -271,8 +322,6 @@ def cellgrid_assign(
     one giant cluster as data grows on fixed geography. Every join and
     CC iteration is keyed by CELL; the cell count is bounded by
     geography/eps^2, so the plan is identical at 100x the points."""
-    from .dedup import connected_components
-
     cells = cells.localCheckpoint(eager=False)  # cell-sized; 4 consumers
     a, b = cells.alias("a"), cells.alias("b")
     cheb = (
@@ -330,8 +379,12 @@ def cellgrid_assign(
         (F.abs(F.col("ca.cx") - F.col("cb.cx")) <= 1)
         & (F.abs(F.col("ca.cy") - F.col("cb.cy")) <= 1),
     ).select(F.col("ca.k").alias("id_a"), F.col("cb.k").alias("id_b"))
+    # cell graph => bounded control plane (cells <= geography/eps^2,
+    # corpus-size independent): ONE edge collect + driver union-find
+    # replaces the distributed loop's per-block jobs (r13; label
+    # contract identical — min core-cell key of the component)
     clabel = (
-        connected_components(cedges)
+        bounded_cc_labels(cedges)
         .withColumnRenamed("doc_id", "k")
         .withColumnRenamed("canonical_id", "cid")
     )

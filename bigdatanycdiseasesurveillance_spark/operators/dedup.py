@@ -182,6 +182,12 @@ MINHASH_BANDS = 8
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4
 
+# connected_components small-graph cap: an edge list at or under this
+# many (directed) rows is labeled driver-side in one collect (~3 MB of
+# long pairs — the broadcast-relation size class) instead of running
+# the multi-round distributed loop. Larger graphs take the loop.
+SMALL_GRAPH_EDGES = 200_000
+
 
 def minhash_band_hashes(
     sig_col: str = "sig", n_perm: int = MINHASH_N_PERM, bands: int = MINHASH_BANDS
@@ -317,12 +323,73 @@ def connected_components(
     instead of returning under-merged groups (and the sf0.1 bench
     corpus proved such assumptions wrong once already — prefer the
     adaptive loop unless the bound is structural).
+
+    Small-graph fast path (r13): one limit-bounded count probes the
+    edge list; at or under ``SMALL_GRAPH_EDGES`` rows the labeling runs
+    as ONE capped collect + driver union-find (the broadcast-join
+    device: a bounded driver materialization replacing a multi-round
+    shuffle plan — the cap is ~3 MB of id pairs, far under any
+    broadcast threshold). Each adaptive-loop materialization costs 2-3
+    scheduler rounds regardless of graph size, so a small graph paid
+    ~10 rounds of pure overhead (measured r13: 4.5 s of
+    dedup_duplicate_groups' 4.65 s warm time). Above the cap the
+    distributed loop runs exactly as before — the 100 TB shape is
+    unchanged, and the probe itself is one cheap job on the cached
+    edge list. Identical labels: union-find with min-root union is
+    order-independent and yields the component minimum.
     """
+    # LAZY checkpoints (r13): every block's convergence probe is an
+    # action anyway, so eager=False lets the probe job materialize the
+    # checkpoint it reads — the previous eager=True paid one whole
+    # Spark job per checkpoint (2 upfront + 1 per block) purely to
+    # materialize ahead of the probe. Lineage truncation is identical:
+    # the lazy checkpoint already replaces the logical plan.
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+
+    # --- small-graph fast path: capped collect + driver union-find ---
+    # (adaptive mode only: a fixed_steps caller asked for the pinned
+    # distributed body and its convergence assert verbatim)
+    if (
+        fixed_steps is None
+        and edges.limit(SMALL_GRAPH_EDGES + 1).count() <= SMALL_GRAPH_EDGES
+    ):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():  # cached by the probe job
+            a, b = row["s"], row["d"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # min-label union
+        import pandas as pd
+
+        nodes = sorted(parent)
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(nodes, dtype="int64"),
+                "canonical_id": pd.Series(
+                    [find(n) for n in nodes], dtype="int64"
+                ),
+            }
+        )
+        return pairs.sparkSession.createDataFrame(
+            out, "doc_id long, canonical_id long"
+        )
+
+    # --- distributed loop: the 100 TB shape, unchanged ---
     # localCheckpoint per block truncates lineage — without it the
     # plan doubles every round (each labels embeds the previous one) and
     # the driver OOMs on graphs needing more than a few hops
@@ -330,7 +397,7 @@ def connected_components(
         edges.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def step(lbl):
@@ -364,7 +431,7 @@ def connected_components(
         for i in range(fixed_steps):
             lbl = step(lbl)
             if i % 2 == 1 or i == fixed_steps - 1:
-                lbl = lbl.localCheckpoint(eager=True)
+                lbl = lbl.localCheckpoint(eager=False)
         labels = lbl
         before = labels.agg(F.sum("comp")).collect()[0][0]
         after = step(labels).agg(F.sum("comp")).collect()[0][0]
@@ -398,7 +465,9 @@ def connected_components(
         lbl = labels
         for _ in range(block):
             lbl = step(lbl)
-        labels = compress(lbl).localCheckpoint(eager=True)
+        # lazy: the probe right below materializes this checkpoint in
+        # the SAME job it reads the sum from (one job per block, not two)
+        labels = compress(lbl).localCheckpoint(eager=False)
         steps_done += block
         new_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if new_sum == prev_sum:

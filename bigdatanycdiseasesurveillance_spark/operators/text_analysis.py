@@ -185,10 +185,12 @@ def langid_trigram_fast(
 
     from ..tables import parallelize_scan
 
-    # profile build is Python-per-doc too — rebalance single-split scans
+    # profile build is Python-per-doc too — rebalance single-split
+    # scans; lazily checkpointed so the SAME materialized partitions
+    # feed the scoring pass below (one scan+rebalance, not two)
     src0 = parallelize_scan(
         docs.select("doc_id", F.col(label_col).alias("lang"), F.col(text_col).alias("text"))
-    )
+    ).localCheckpoint(eager=False)
 
     def partial_counts(batch_iter):  # map-side combine in Python
         from collections import Counter
@@ -246,12 +248,9 @@ def langid_trigram_fast(
                     rows["score"].append(best_score)
             yield _pd.DataFrame(rows)
 
-    # scoring is Python-per-doc: a single-split scan would serialize it
-    # onto one core (round-robin rebalance; no-op on many-split inputs)
-    src = parallelize_scan(
-        docs.select("doc_id", F.col(label_col).alias("lang"), F.col(text_col).alias("text"))
-    )
-    return src.mapInPandas(score_batches, out_schema)
+    # scoring is Python-per-doc: reuse the checkpointed rebalanced scan
+    # from the profile pass (it holds exactly the three needed columns)
+    return src0.mapInPandas(score_batches, out_schema)
 
 
 def fingerprint_docs(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -53,10 +53,11 @@ BNLJ_ALLOWLIST = {
     "txt_tfidf_top_terms",
     "txt_unigram_logprob",
     # KB-sized literal dims (LocalTableScan build side): value bands,
-    # subreddit->neighborhood dim, bbox rectangles:
+    # subreddit->neighborhood dim, bbox rectangles (r13: the geo
+    # pipelines' bbox BNLJ became a least/when expression and left the
+    # list; cluster_geo_cellgrid keeps its 1-row stats crossJoins):
     "join_quantity_bands",
     "loc_fallback_resolution",
-    "cluster_geo_pipeline",
     "cluster_geo_cellgrid",
     # single filtered row (the query vector vec_id=0):
     "emb_quantize_recall",

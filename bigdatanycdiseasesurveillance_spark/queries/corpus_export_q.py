@@ -74,19 +74,26 @@ def txt_chunk_boilerplate(spark, sf_dir):
     text is rebuilt in chunk order (md5 digest proves the rebuild, so the
     oracle checks content, not just counts).
 
-    Scale shape: one explode (corpus x chunks-per-doc), one shuffle to
-    count chunk support, one equi-join on the chunk key to flag
-    occurrences (AQE broadcasts when the boilerplate set is small), one
-    groupBy doc to rebuild. No all-pairs stage anywhere — at 100 TB the
-    chunk-support table is the only global state and it shrinks with the
-    HAVING filter before the join.
+    Scale shape (r13 rework): the chunk array stays DOC-LOCAL — only
+    distinct (doc_id, chunk) pairs enter the support shuffle, the
+    per-doc boiler sets come back as an output-sized frame joined on
+    doc_id (AQE broadcasts it when small), and the document is rebuilt
+    by a pure array filter in chunk order with NO per-doc
+    collect_list/sort shuffle. One corpus-sized exchange (chunk
+    support) where the previous formulation had three (support +
+    chunk-key flag join + doc-key rebuild). No all-pairs stage
+    anywhere — at 100 TB the chunk-support table is the only global
+    state and it shrinks with the HAVING filter before the join.
     """
-    docs = table(spark, sf_dir, "documents")
+    from ..tables import parallelize_scan
+
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
     w = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(w) / F.lit(float(_CHUNK))).cast("int")
     # guard n_chunks == 0: Spark's sequence(0, -1) yields a DESCENDING
     # [0, -1] where DuckDB's range(0, 0) is empty — empty docs must
-    # produce zero chunks on both engines
+    # produce zero chunks on both engines (and zero-chunk docs emit no
+    # output row, exactly as the previous posexplode dropped them)
     chunk_arr = F.when(
         n_chunks > 0,
         F.transform(
@@ -94,38 +101,47 @@ def txt_chunk_boilerplate(spark, sf_dir):
             lambda i: F.array_join(F.slice(w, i * _CHUNK + 1, _CHUNK), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    chunks = docs.select(
-        "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk")
+    base = docs.select("doc_id", chunk_arr.alias("ch")).filter(
+        F.size("ch") > 0
+    )
+    # distinct-per-doc BEFORE the explode: the support count is
+    # COUNT(DISTINCT doc_id), so only one row per (doc, chunk) need
+    # ever exist
+    dchunks = base.select(
+        "doc_id", F.explode(F.array_distinct("ch")).alias("chunk")
     )
     boiler = (
-        chunks.groupBy("chunk")
-        .agg(F.countDistinct("doc_id").alias("supp"))
+        dchunks.groupBy("chunk")
+        .agg(F.count("*").alias("supp"))
         .filter(F.col("supp") >= _BOILER_K)
-        .select("chunk", F.lit(True).alias("is_boiler"))
+        .select("chunk")
     )
-    flagged = chunks.join(boiler, "chunk", "left").withColumn(
-        "is_boiler", F.coalesce(F.col("is_boiler"), F.lit(False))
+    # per-doc boiler sets: output-sized (docs that contain at least one
+    # boilerplate chunk), so the join back to the corpus broadcasts
+    hits = (
+        dchunks.join(boiler, "chunk")
+        .groupBy("doc_id")
+        .agg(F.collect_set("chunk").alias("bs"))
     )
-    kept_struct = F.when(
-        ~F.col("is_boiler"), F.struct(F.col("pos"), F.col("chunk"))
+    kept = F.filter(
+        F.col("ch"), lambda c: ~F.array_contains(F.col("bs"), c)
     )
-    return flagged.groupBy("doc_id").agg(
-        F.count("*").alias("n_chunks"),
-        F.sum(F.col("is_boiler").cast("long")).alias("n_boiler"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda s: s.chunk,
-                ),
-                " ",
-            )
-        ).alias("cleaned_md5"),
-        F.sum(
-            F.when(
-                ~F.col("is_boiler"), F.size(F.split(F.col("chunk"), " "))
-            ).otherwise(0)
-        ).alias("kept_words"),
+    return (
+        base.join(hits, "doc_id", "left")
+        .withColumn(
+            "bs", F.coalesce(F.col("bs"), F.array().cast("array<string>"))
+        )
+        .select(
+            "doc_id",
+            F.size("ch").cast("long").alias("n_chunks"),
+            (F.size("ch") - F.size(kept)).cast("long").alias("n_boiler"),
+            F.md5(F.array_join(kept, " ")).alias("cleaned_md5"),
+            F.aggregate(
+                kept,
+                F.lit(0).cast("long"),
+                lambda acc, c: acc + F.size(F.split(c, " ")).cast("long"),
+            ).alias("kept_words"),
+        )
     )
 
 

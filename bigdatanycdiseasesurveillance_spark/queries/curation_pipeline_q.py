@@ -107,73 +107,138 @@ def _dev_sql(salt: str) -> str:
 def cur_full_pipeline(spark, sf_dir):
     """End-to-end curation: dedup-representative -> quality gate
     (min tokens + Gopher repetition) -> decontamination -> domain cap
-    -> token budget, each stage the registry's proven single operator
-    with identical salts/thresholds; emits (stage, n_docs, n_tokens)
-    after every cut. Stage order follows the real cost gradient: cheap
-    per-row filters first, the shingle join before the windows so the
-    expensive stages see the smallest corpus."""
-    from ..functions.text_funcs import token_count
-    from ..operators.curation import cap_per_domain, decontaminate, repetition_signals
-    from ..operators.sampling import take_token_budget
+    -> token budget, each stage with the registry's proven salts and
+    thresholds; emits (stage, n_docs, n_tokens) after every cut.
+
+    SINGLE-PASS formulation (r13): the previous union-of-six-aggregates
+    recomputed the whole upstream chain per stage row (188-operator
+    plan, ~22 exchanges, the corpus scanned six times). Here each doc
+    carries staged survival flags l1..l5 computed in ONE pass — the
+    stage windows become conditional ranks / running sums over the
+    SAME rows (a rank among survivors == sum of survivor indicators up
+    to the current row) — and one global aggregate of conditional
+    counts/sums stacks into the six rows. Plan: two corpus-narrow
+    exchanges (the fp window, the source windows) + the broadcast
+    shingle join; text and shingle arrays never enter any exchange.
+    Oracle-identical by construction: per-stage predicates, salts and
+    window orders are unchanged; empty stages keep NULL n_tokens via
+    null-skipping conditional sums (matching SUM over an empty frame).
+    """
+    from ..operators.curation import token_shingles
+    from ..operators.sampling import hash_deviate
 
     d = table(spark, sf_dir, "documents")
-    corpus = d.filter(F.col("doc_id") % _BENCH_MOD != 0).withColumn(
-        "ntok", token_count(F.col("text")).cast("long")
-    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
 
-    w1 = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
-    )
-    s1 = (
-        corpus.withColumn("rk", F.row_number().over(w1))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
-    )
-
-    s2 = (
-        repetition_signals(s1, n=2)
-        .filter(
-            (F.col("ntok") >= _MIN_TOKENS)
-            & (
-                F.col("dup_gram_frac").isNull()
-                | (F.col("dup_gram_frac") <= _MAX_DUP_FRAC)
-            )
+    # benchmark 5-shingle set: tiny by construction (1/23 of docs),
+    # broadcast-joined exactly as the decontaminate operator does
+    bench_sh = (
+        d.filter(is_bench)
+        .select(
+            F.explode(
+                F.array_distinct(token_shingles(F.col("text"), 5))
+            ).alias("sh")
         )
-        .select(*s1.columns)
+        .distinct()
     )
-
-    bench = d.filter(F.col("doc_id") % _BENCH_MOD == 0)
-    hits = decontaminate(s2, bench, n=5).select("doc_id")
-    s3 = s2.join(hits, "doc_id", "left_anti")
-
-    s4 = (
-        cap_per_domain(s3, cap=_PIPE_CAP)
-        .filter(F.col("keep"))
-        .select(*s3.columns)
-    )
-
-    s5 = (
-        take_token_budget(
-            s4, "doc_id", "source", "ntok", {}, default_budget=_PIPE_BUDGET
+    # contaminated ids: computed over the WHOLE corpus (superset of the
+    # stage-2 survivors the operator scans) — the flag is only consulted
+    # on l2 rows, so the superset is value-equivalent and saves
+    # recomputing the stage-1/2 chain on the probe side
+    hits = (
+        d.filter(~is_bench)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(token_shingles(F.col("text"), 5))
+            ).alias("sh"),
         )
-        .filter(F.col("keep"))
-        .select(*s4.columns)
+        .join(F.broadcast(bench_sh), "sh")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
     )
 
-    def row(df, label: str):
-        return df.agg(
-            F.lit(label).alias("stage"),
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("ntok").cast("long").alias("n_tokens"),
-        )
+    # all row-local signals in the scan stage; text is dropped before
+    # the first exchange (guide §2.3: project before the exchange)
+    tok = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    g2 = token_shingles(F.col("text"), 2)
+    dup_frac = F.round(
+        F.lit(1.0)
+        - F.try_divide(
+            F.size(F.array_distinct(g2)).cast("double"),
+            F.size(g2).cast("double"),
+        ),
+        4,
+    )
+    corpus0 = d.filter(~is_bench).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        F.size(tok).cast("long").alias("ntok"),
+        (dup_frac.isNull() | (dup_frac <= _MAX_DUP_FRAC)).alias("dup_ok"),
+    )
 
-    return (
-        row(corpus, "stage0_corpus")
-        .unionAll(row(s1, "stage1_dedup"))
-        .unionAll(row(s2, "stage2_quality"))
-        .unionAll(row(s3, "stage3_decontam"))
-        .unionAll(row(s4, "stage4_domain_cap"))
-        .unionAll(row(s5, "stage5_token_budget"))
+    w1 = Window.partitionBy("fp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    cum = Window.unboundedPreceding, Window.currentRow
+    w4 = (
+        Window.partitionBy("source")
+        .orderBy(hash_deviate(F.col("doc_id"), "cap"), F.col("doc_id"))
+        .rowsBetween(*cum)
+    )
+    w5 = (
+        Window.partitionBy("source")
+        .orderBy(hash_deviate(F.col("doc_id"), "mix"), F.col("doc_id"))
+        .rowsBetween(*cum)
+    )
+
+    ntok_if_l4 = F.when(F.col("l4"), F.col("ntok")).otherwise(F.lit(0))
+    staged = (
+        corpus0.withColumn("l1", F.row_number().over(w1) == 1)
+        .join(F.broadcast(hits), "doc_id", "left")
+        .withColumn(
+            "l2",
+            F.col("l1") & (F.col("ntok") >= _MIN_TOKENS) & F.col("dup_ok"),
+        )
+        .withColumn("l3", F.col("l2") & F.col("hit").isNull())
+        .withColumn(
+            "dr", F.sum(F.when(F.col("l3"), 1).otherwise(0)).over(w4)
+        )
+        .withColumn("l4", F.col("l3") & (F.col("dr") <= _PIPE_CAP))
+        .withColumn("cb", F.sum(ntok_if_l4).over(w5) - ntok_if_l4)
+        .withColumn("l5", F.col("l4") & (F.col("cb") < _PIPE_BUDGET))
+    )
+
+    def c(flag):  # survivor count: 0 (not NULL) on an empty stage
+        return F.count(F.when(F.col(flag), F.lit(1)))
+
+    def t(flag):  # survivor token sum: NULL on an empty stage (SQL SUM)
+        return F.sum(F.when(F.col(flag), F.col("ntok")))
+
+    agg = staged.agg(
+        F.count("*").alias("c0"),
+        F.sum("ntok").alias("t0"),
+        c("l1").alias("c1"),
+        t("l1").alias("t1"),
+        c("l2").alias("c2"),
+        t("l2").alias("t2"),
+        c("l3").alias("c3"),
+        t("l3").alias("t3"),
+        c("l4").alias("c4"),
+        t("l4").alias("t4"),
+        c("l5").alias("c5"),
+        t("l5").alias("t5"),
+    )
+    return agg.selectExpr(
+        """stack(6,
+            'stage0_corpus',       CAST(c0 AS BIGINT), CAST(t0 AS BIGINT),
+            'stage1_dedup',        CAST(c1 AS BIGINT), CAST(t1 AS BIGINT),
+            'stage2_quality',      CAST(c2 AS BIGINT), CAST(t2 AS BIGINT),
+            'stage3_decontam',     CAST(c3 AS BIGINT), CAST(t3 AS BIGINT),
+            'stage4_domain_cap',   CAST(c4 AS BIGINT), CAST(t4 AS BIGINT),
+            'stage5_token_budget', CAST(c5 AS BIGINT), CAST(t5 AS BIGINT)
+        ) AS (stage, n_docs, n_tokens)"""
     )
 
 

@@ -461,17 +461,69 @@ def dedup_duplicate_groups(spark, sf_dir):
     connected components -> (canonical_id, group_size). The group-level
     contract stays linear in corpus size even when the pair list is
     quadratic (templated corpora) — this is the operator a 100 TB dedup
-    pipeline actually materializes."""
-    pairs = D.jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.7)
+    pipeline actually materializes.
+
+    r13: runs the connectivity at the DISTINCT-SET-GROUP level, exactly
+    the collapse its own oracle performs (see the oracle comment
+    above): docs sharing (source, length-bucket, token SET) are
+    mutually jaccard-1.0 connected, so replacing them with one node
+    (gid = min doc id, weight c) preserves the component partition
+    while the pair join and the CC label table shrink from docs to
+    distinct contents — on templated corpora that is the quadratic
+    term. Jaccard is a pure function of the two token sets, so
+    group-level edges ARE the doc-level edges. canonical_id = min gid
+    of the component (= min doc id, since every doc's id >= its
+    group's min); group_size = sum of member counts; singleton
+    components fall to the same > 1 filter.
+    """
+    from ..functions.text_funcs import distinct_tokens, word_jaccard
+    from ..tables import parallelize_scan
+
+    d = parallelize_scan(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.floor(F.col("n_chars") / F.lit(50)).alias("bkt"),
+        F.sort_array(distinct_tokens(F.col("text"))).alias("tok"),
+    ).filter(F.size("tok") > 0)
+    gb = (
+        toks.groupBy("source", "bkt", "tok")
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.count("*").cast("long").alias("c"),
+        )
+        .localCheckpoint(eager=False)  # feeds the pair join AND the rollup
+    )
+    a = gb.select(
+        "source", "bkt", F.col("gid").alias("gid_a"), F.col("tok").alias("tok_a")
+    )
+    b = gb.select(
+        "source", "bkt", F.col("gid").alias("gid_b"), F.col("tok").alias("tok_b")
+    )
+    j = word_jaccard(F.col("tok_a"), F.col("tok_b"))
+    edges = (
+        a.join(b, ["source", "bkt"])
+        .filter(F.col("gid_a") < F.col("gid_b"))
+        .filter(F.round(j, 4) >= F.lit(0.7))
+        .select("gid_a", "gid_b")
+    )
     # Adaptive loop, NOT a fixed-step pin: the r7 bench corpus proved
     # the 'diameter <= 2 clique' premise wrong (sf0.1 measured d=7 —
     # a 3-step pin failed its convergence assert, loudly). The loop's
     # pointer-jumping compression gets the round count to O(log d),
     # which is both the spread fix and the 100 TB shape.
-    labels = D.connected_components(pairs)
+    labels = D.connected_components(edges, id_a="gid_a", id_b="gid_b")
+    lab = (
+        gb.select("gid", "c")
+        .join(labels.withColumnRenamed("doc_id", "gid"), "gid", "left")
+        .select(
+            "c",
+            F.coalesce(F.col("canonical_id"), F.col("gid")).alias("comp"),
+        )
+    )
     return (
-        labels.groupBy("canonical_id")
-        .agg(F.count("*").cast("long").alias("group_size"))
+        lab.groupBy(F.col("comp").alias("canonical_id"))
+        .agg(F.sum("c").cast("long").alias("group_size"))
         .filter(F.col("group_size") > 1)
     )
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..domain.location import neighborhood_dim
+from ..domain.location import NEIGHBORHOODS
 from ..operators import clustering as C
 from ..operators.clustering import jitter_sql
 from ..registry import register
@@ -28,6 +28,29 @@ from ..tables import table
 
 _EPS = 0.03
 _MIN_SAMPLES = 3
+
+
+def _min_bbox_neighborhood() -> "F.Column":
+    """MIN(neighborhood) over the static bboxes containing (x, y), as a
+    pure column expression — the NEIGHBORHOODS dim is 8 in-code
+    constants, so the bbox containment test needs no join at all. least
+    skips NULLs, so this is exactly the broadcast-bbox-join +
+    groupBy(point) MIN(neighborhood) it replaces (r13: that groupBy was
+    a corpus-wide exchange whose only job was collapsing the rare
+    shared-edge multi-match); NULL means "in no bbox" (the old inner
+    join's drop)."""
+    return F.least(
+        *[
+            F.when(
+                (F.col("x") >= F.lit(lat_min))
+                & (F.col("x") <= F.lit(lat_max))
+                & (F.col("y") >= F.lit(lon_min))
+                & (F.col("y") <= F.lit(lon_max)),
+                F.lit(name),
+            )
+            for name, _b, lat_min, lat_max, lon_min, lon_max, _z in NEIGHBORHOODS
+        ]
+    )
 
 
 def _geo_oracle() -> str:
@@ -155,22 +178,13 @@ def cluster_geo_pipeline(spark, sf_dir):
             + C.seeded_jitter(F.col("event_id"), seed=8)
         ).alias("y"),
     )
-    nb = neighborhood_dim(spark).select(
-        "neighborhood", "lat_min", "lat_max", "lon_min", "lon_max"
-    )
     # a point on the exact shared edge of two bboxes matches both —
-    # MIN(neighborhood) keeps membership single-valued on both engines
-    located = (
-        jittered.join(
-            F.broadcast(nb),
-            (jittered.x >= nb.lat_min)
-            & (jittered.x <= nb.lat_max)
-            & (jittered.y >= nb.lon_min)
-            & (jittered.y <= nb.lon_max),
-        )
-        .groupBy("event_id", "x", "y")
-        .agg(F.min("neighborhood").alias("neighborhood"))
-    )
+    # MIN(neighborhood) keeps membership single-valued on both engines;
+    # the static 8-bbox dim evaluates as a least/when expression, so
+    # there is no join and no per-point exchange here (r13)
+    located = jittered.withColumn(
+        "neighborhood", _min_bbox_neighborhood()
+    ).filter(F.col("neighborhood").isNotNull())
     assigned = C.grid_dbscan(
         located, eps=_EPS, min_samples=_MIN_SAMPLES, id_col="event_id"
     ).filter(F.col("cluster_id") >= 0)
@@ -522,29 +536,27 @@ def cluster_geo_pipeline_cellgrid(spark, sf_dir):
             + C.seeded_jitter(F.col("event_id"), seed=8)
         ).alias("y"),
     )
-    nb = neighborhood_dim(spark).select(
-        "neighborhood", "lat_min", "lat_max", "lon_min", "lon_max"
-    )
-    located = (
-        jittered.join(
-            F.broadcast(nb),
-            (jittered.x >= nb.lat_min)
-            & (jittered.x <= nb.lat_max)
-            & (jittered.y >= nb.lon_min)
-            & (jittered.y <= nb.lon_max),
-        )
-        .groupBy("event_id", "x", "y")
-        .agg(F.min("neighborhood").alias("neighborhood"))
-    )
+    # bbox containment as a pure expression (no join, no per-point
+    # exchange — see _min_bbox_neighborhood); cnb is the ONLY
+    # corpus-sized aggregation (map-side combinable), and cells derives
+    # from the cell-sized cnb instead of re-aggregating the points, so
+    # the corpus crosses exactly one exchange in this whole query (r13;
+    # before: bbox groupBy + two point-level groupBys over a
+    # point-level checkpoint)
+    located = jittered.withColumn(
+        "neighborhood", _min_bbox_neighborhood()
+    ).filter(F.col("neighborhood").isNotNull())
     pc = located.select(
         F.floor(F.col("x") / _CG_EPS).cast("long").alias("cx"),
         F.floor(F.col("y") / _CG_EPS).cast("long").alias("cy"),
         "neighborhood",
-    ).localCheckpoint(eager=False)  # feeds both the cell table and cnb
-    cells = pc.groupBy("cx", "cy").agg(F.count("*").cast("long").alias("w"))
-    cnb = pc.groupBy("cx", "cy", "neighborhood").agg(
-        F.count("*").cast("long").alias("nw")
     )
+    cnb = (
+        pc.groupBy("cx", "cy", "neighborhood")
+        .agg(F.count("*").cast("long").alias("nw"))
+        .localCheckpoint(eager=False)  # cell-sized; feeds cells AND prof
+    )
+    cells = cnb.groupBy("cx", "cy").agg(F.sum("nw").cast("long").alias("w"))
     assigned = C.cellgrid_assign(cells, key_mult=_CG_KEY).localCheckpoint(
         eager=False
     )  # consumed by the profile join AND the stats rollup

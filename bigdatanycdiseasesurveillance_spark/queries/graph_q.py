@@ -309,9 +309,13 @@ def graph_bfs_hops(spark, sf_dir):
     dist = values_dim(spark, [(0, 0)], "node bigint, hops bigint")
     frontier = dist
     for hop in range(1, _BFS_MAX_HOPS + 1):
-        # localCheckpoint truncates lineage: dist/frontier otherwise
-        # embed every prior level's plan and double per hop (the
-        # connected-components precedent in operators/dedup.py)
+        # localCheckpoint truncates lineage: frontier otherwise embeds
+        # every prior level's plan and doubles per hop (the
+        # connected-components precedent in operators/dedup.py). dist
+        # itself needs NO re-materialization (r13): it is a union of
+        # already-checkpointed levels, so the per-hop anti-join reads
+        # cached partitions and the old dist checkpoint was one whole
+        # Spark job per hop of pure overhead.
         nxt = (
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"), F.lit(hop).cast("long").alias("hops"))
@@ -321,7 +325,7 @@ def graph_bfs_hops(spark, sf_dir):
         )
         if nxt.limit(1).count() == 0:  # frontier exhausted — diameter reached
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt)
         frontier = nxt
     return dist.select(F.col("node").alias("nationkey"), "hops")
 

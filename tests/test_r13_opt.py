@@ -1,0 +1,79 @@
+"""Round-13 optimization internals: the hybrid connected-components
+fast path and the bounded-graph union-find labeler must be
+label-identical to the distributed min-label loop they bypass."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _labels(df):
+    return {r["doc_id"]: r["canonical_id"] for r in df.collect()}
+
+
+# chain + clique + isolated-pair graph exercising multi-hop merges
+_PAIRS = (
+    [(i, i + 1) for i in range(0, 8)]  # diameter-8 chain 0..8
+    + [(20, 21), (21, 22), (20, 22)]  # triangle
+    + [(30, 31)]  # isolated pair
+)
+
+
+def test_cc_fast_path_equals_distributed_loop(spark, monkeypatch):
+    """The capped-collect union-find must produce exactly the labels of
+    the distributed propagate/compress loop on the same edges."""
+    from bigdatanycdiseasesurveillance_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(_PAIRS, "id_a long, id_b long")
+    fast = _labels(D.connected_components(pairs))  # under the cap
+
+    monkeypatch.setattr(D, "SMALL_GRAPH_EDGES", -1)  # force the loop
+    slow = _labels(D.connected_components(pairs))
+    assert fast == slow
+    # canonical = component minimum
+    assert fast[8] == 0 and fast[22] == 20 and fast[31] == 30
+
+
+def test_bounded_cc_labels_equals_connected_components(spark):
+    """clustering.bounded_cc_labels (the cell-graph labeler) agrees
+    with operators.dedup.connected_components on identical edges,
+    including self-edges (core cells always carry one)."""
+    from bigdatanycdiseasesurveillance_spark.operators import dedup as D
+    from bigdatanycdiseasesurveillance_spark.operators.clustering import (
+        bounded_cc_labels,
+    )
+
+    pairs = spark.createDataFrame(
+        _PAIRS + [(n, n) for n in (0, 20, 30, 40)], "id_a long, id_b long"
+    )
+    assert _labels(bounded_cc_labels(pairs)) == _labels(
+        D.connected_components(pairs)
+    )
+
+
+def test_cc_fast_path_empty_edges(spark):
+    """Zero edges must return an empty, correctly-typed label frame."""
+    from bigdatanycdiseasesurveillance_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = D.connected_components(pairs)
+    assert out.columns == ["doc_id", "canonical_id"]
+    assert out.count() == 0
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint",
+        "bigint",
+    ]
+
+
+def test_fixed_steps_still_runs_distributed_body(spark):
+    """fixed_steps callers keep the pinned distributed body: the
+    too-small pin must still fail loudly even under the fast-path cap."""
+    from bigdatanycdiseasesurveillance_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(pairs, fixed_steps=1).collect()

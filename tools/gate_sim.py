@@ -19,6 +19,8 @@ if os.path.realpath(os.getcwd()) == os.path.realpath("/root/repo"):
     sys.exit("run from /tmp (or any non-repo cwd), not the repo root")
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional: further argv entries restrict the sweep to those query names
+ONLY = set(sys.argv[2:])
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -64,6 +66,11 @@ def main():
     import time as _time
 
     qs, oracles = E.queries(), E.oracle_sql()
+    if ONLY:
+        unknown = ONLY - set(qs)
+        if unknown:
+            sys.exit(f"unknown query names: {sorted(unknown)}")
+        qs = {n: f for n, f in qs.items() if n in ONLY}
     fails = []
     for name, fn in qs.items():
         try:
