@@ -103,23 +103,37 @@ def lloyd_kmeans_2d(
     centroids = [(i, float(r["x"]), float(r["y"])) for i, r in enumerate(init)]
     assigned = None
     for _ in range(iters):
-        dists = [
-            (
-                cid,
-                (F.col("x") - F.lit(cx)) * (F.col("x") - F.lit(cx))
-                + (F.col("y") - F.lit(cy)) * (F.col("y") - F.lit(cy)),
-            )
+        # Each iteration is built as TWO selectExpr SQL strings instead
+        # of ~50 Column-object calls: profiling (r13) showed ~150 ms of
+        # the ~250 ms per-iteration cost was driver-side Py4J expression
+        # construction, not execution. CAST('<repr>' AS DOUBLE) literals
+        # round-trip Python floats exactly (repr is shortest-exact) and
+        # constant-fold to the same double literals the Column API
+        # produced, so the physical plan — and every centroid value —
+        # is bit-identical (a bare SQL decimal literal would be DECIMAL,
+        # hence the explicit cast). least + first-match CASE keeps the
+        # tie-to-smallest-cid rule unchanged.
+        d_exprs = [
+            f"(x - CAST('{cx!r}' AS DOUBLE)) * (x - CAST('{cx!r}' AS DOUBLE))"
+            f" + (y - CAST('{cy!r}' AS DOUBLE)) * (y - CAST('{cy!r}' AS DOUBLE))"
+            f" AS __d{cid}"
             for cid, cx, cy in centroids
         ]
-        bound = pts.select(
-            "pid", "x", "y", *[d.alias(f"d{cid}") for cid, d in dists]
+        least = "least(" + ", ".join(f"__d{cid}" for cid, _, _ in centroids) + ")"
+        case = (
+            "CASE "
+            + " ".join(  # ascending cid → ties break to smallest id
+                f"WHEN __d{cid} = __m THEN {cid}" for cid, _, _ in centroids
+            )
+            + " END AS cluster_id"
         )
-        m = F.least(*[F.col(f"d{cid}") for cid, _ in dists])
-        pick = None
-        for cid, _ in dists:  # ascending cid → ties break to smallest id
-            cond = F.col(f"d{cid}") == m
-            pick = F.when(cond, cid) if pick is None else pick.when(cond, cid)
-        assigned = bound.select("pid", "x", "y", pick.alias("cluster_id"))
+        assigned = (
+            pts.selectExpr("pid", "x", "y", *d_exprs)
+            .selectExpr("pid", "x", "y", f"{least} AS __m", *[
+                f"__d{cid}" for cid, _, _ in centroids
+            ])
+            .selectExpr("pid", "x", "y", case)
+        )
         # k rows — sort driver-side; a DataFrame orderBy would add a
         # range-partition sampling job to every iteration
         new_c = (
@@ -447,25 +461,36 @@ def lloyd_kmeans_nd(
     centroids = [(i, [float(r[c]) for c in dim_cols]) for i, r in enumerate(init)]
     assigned = None
     for _ in range(iters):
-        dists = [
-            (
-                cid,
-                sum(
-                    (F.col(c) - F.lit(v)) * (F.col(c) - F.lit(v))
-                    for c, v in zip(dim_cols, vec)
-                ),
+        # selectExpr SQL-string iteration build — the same Py4J-chatter
+        # fix as lloyd_kmeans_2d (see there): CAST('<repr>' AS DOUBLE)
+        # literals fold to bit-identical doubles, the d0+d1+... sum
+        # parses left-associative exactly like the Python sum() it
+        # replaces, and least + first-match CASE keeps tie-breaks.
+        d_exprs = [
+            " + ".join(
+                f"(`{c}` - CAST('{v!r}' AS DOUBLE))"
+                f" * (`{c}` - CAST('{v!r}' AS DOUBLE))"
+                for c, v in zip(dim_cols, vec)
             )
+            + f" AS __d{cid}"
             for cid, vec in centroids
         ]
-        bound = pts.select(
-            "pid", *dim_cols, *[d.alias(f"d{cid}") for cid, d in dists]
+        least = "least(" + ", ".join(f"__d{cid}" for cid, _ in centroids) + ")"
+        case = (
+            "CASE "
+            + " ".join(  # ascending cid -> ties break to smallest id
+                f"WHEN __d{cid} = __m THEN {cid}" for cid, _ in centroids
+            )
+            + " END AS cluster_id"
         )
-        m = F.least(*[F.col(f"d{cid}") for cid, _ in dists])
-        pick = None
-        for cid, _ in dists:  # ascending cid -> ties break to smallest id
-            cond = F.col(f"d{cid}") == m
-            pick = F.when(cond, cid) if pick is None else pick.when(cond, cid)
-        assigned = bound.select("pid", *dim_cols, pick.alias("cluster_id"))
+        qcols = [f"`{c}`" for c in dim_cols]
+        assigned = (
+            pts.selectExpr("pid", *qcols, *d_exprs)
+            .selectExpr("pid", *qcols, f"{least} AS __m", *[
+                f"__d{cid}" for cid, _ in centroids
+            ])
+            .selectExpr("pid", *qcols, case)
+        )
         new_c = (
             assigned.groupBy("cluster_id")
             .agg(*[F.round(F.avg(c), 6).alias(c) for c in dim_cols])
