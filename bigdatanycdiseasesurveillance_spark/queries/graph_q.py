@@ -304,30 +304,36 @@ def graph_bfs_hops(spark, sf_dir):
         e0.withColumn("rn", F.row_number().over(wtop))
         .filter(F.col("rn") <= _BFS_TOPK)
         .select("src", "dst")
-        .cache()
     )
-    dist = values_dim(spark, [(0, 0)], "node bigint, hops bigint")
-    frontier = dist
+    # The edge build above is the distributed corpus pass (three fact
+    # joins + top-k window, recomputed from parquet every run). The
+    # edge LIST it produces is bounded by construction — nationkey is
+    # the 25-row nation dim, so <= nations x topk rows at ANY corpus
+    # size — which makes the traversal bounded control plane (the
+    # bounded_cc_labels / k-means-centroid collect class). The previous
+    # per-hop DataFrame loop paid join + distinct + anti-join +
+    # checkpoint + emptiness probe (~4 scheduler rounds) per level of a
+    # <= 25-node frontier (r13: ~0.7s of the query's 0.9s warm time);
+    # the driver BFS below yields identical (node, min-hop) levels.
+    adj: dict[int, list[int]] = {}
+    for r in edges.collect():
+        adj.setdefault(int(r["src"]), []).append(int(r["dst"]))
+    hops = {0: 0}
+    frontier = [0]
     for hop in range(1, _BFS_MAX_HOPS + 1):
-        # localCheckpoint truncates lineage: frontier otherwise embeds
-        # every prior level's plan and doubles per hop (the
-        # connected-components precedent in operators/dedup.py). dist
-        # itself needs NO re-materialization (r13): it is a union of
-        # already-checkpointed levels, so the per-hop anti-join reads
-        # cached partitions and the old dist checkpoint was one whole
-        # Spark job per hop of pure overhead.
-        nxt = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"), F.lit(hop).cast("long").alias("hops"))
-            .distinct()
-            .join(dist, "node", "left_anti")
-            .localCheckpoint(eager=True)
+        nxt = sorted(
+            {d for n in frontier for d in adj.get(n, ()) if d not in hops}
         )
-        if nxt.limit(1).count() == 0:  # frontier exhausted — diameter reached
+        if not nxt:  # frontier exhausted — diameter reached
             break
-        dist = dist.unionByName(nxt)
+        for d in nxt:
+            hops[d] = hop
         frontier = nxt
-    return dist.select(F.col("node").alias("nationkey"), "hops")
+    return values_dim(
+        spark,
+        sorted((int(n), int(h)) for n, h in hops.items()),
+        "nationkey bigint, hops bigint",
+    )
 
 
 @register(
