@@ -336,96 +336,107 @@ def cellgrid_assign(
     one giant cluster as data grows on fixed geography. Every join and
     CC iteration is keyed by CELL; the cell count is bounded by
     geography/eps^2, so the plan is identical at 100x the points."""
-    cells = cells.localCheckpoint(eager=False)  # cell-sized; 4 consumers
-    a, b = cells.alias("a"), cells.alias("b")
-    cheb = (
-        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
-        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
-    )
-    dens = (
-        a.join(F.broadcast(b), cheb)
-        .groupBy(F.col("a.cx").alias("cx"), F.col("a.cy").alias("cy"))
-        .agg(F.sum("b.w").alias("dens"), F.count("*").alias("cnt"))
-    )
-    tot = cells.agg(
-        F.sum("w").cast("long").alias("n"), F.count("*").cast("long").alias("c")
-    )
-    # k = cx*key_mult + cy: two distinct cells collide iff
-    # (cx1-cx2)*key_mult == cy2-cy1 != 0, which needs |cy1-cy2| >=
-    # key_mult — so the pack is injective exactly when the OCCUPIED cy
-    # span stays under key_mult (negative cy is fine; geo callers land
-    # around floor(lon/eps) < 0). Guard that condition in the key
-    # expression itself: the 1-row span aggregate rides a broadcast
-    # crossJoin (cell-sized input, no driver round-trip), and
-    # when/otherwise keeps the check un-prunable because it PRODUCES
-    # the key value — an out-of-range corpus raises instead of
-    # silently merging clusters.
-    cy_bounds = cells.agg((F.max("cy") - F.min("cy")).alias("cy_span"))
-    key = (
-        F.when(
-            F.col("cy_span") < key_mult,
-            F.col("cx") * key_mult + F.col("cy"),
+    # The ENTIRE cascade below (8-neighborhood density, relative-density
+    # core rule, cell CC, border attach, noise) is cell-level work on a
+    # bounded frame, so it runs driver-side off ONE capped collect and
+    # returns a LocalRelation (r13). The previous DataFrame cascade —
+    # 4 checkpoints, ~10 broadcast exchanges, the bounded_cc_labels
+    # collect — cost ~25 scheduler round-trips per run (measured sf0.1:
+    # ~1.7s of the cellgrid flagship's 2.7s warm time was this control
+    # plane, job-sum only 0.97s). The collect is the same bounded class
+    # as bounded_cc_labels' edge collect one level down — and strictly
+    # smaller: cells <= geography/eps^2 rows of three longs, while the
+    # cell EDGE list it previously collected is up to 9x that. All
+    # arithmetic below is integer-exact (Python ints are wider than the
+    # previous BIGINT columns, matching the DuckDB oracle's HUGEINT
+    # promotion rather than Spark's silent non-ANSI wrap).
+    from ..tables import values_dim
+
+    spark = cells.sparkSession
+    head = cells.select(
+        F.col("cx").cast("long").alias("cx"),
+        F.col("cy").cast("long").alias("cy"),
+        F.col("w").cast("long").alias("w"),
+    ).toArrow()
+    out_schema = "cx bigint, cy bigint, w bigint, cid bigint"
+    if head.num_rows == 0:
+        return spark.createDataFrame([], out_schema)
+    cw = {
+        (x, y): w
+        for x, y, w in zip(
+            head.column("cx").to_pylist(),
+            head.column("cy").to_pylist(),
+            head.column("w").to_pylist(),
         )
-        .otherwise(
-            F.raise_error(
-                F.lit(
-                    "cellgrid_assign: occupied cy span >= key_mult — packed "
-                    "cell keys would collide; raise key_mult"
-                )
-            ).cast("long")
-        )
-        .alias("k")
-    )
-    core = (
-        cells.join(
-            dens.crossJoin(F.broadcast(tot)).filter(
-                den * F.col("dens") * F.col("c") >= num * F.col("cnt") * F.col("n")
-            ),
-            ["cx", "cy"],
-        )
-        .crossJoin(F.broadcast(cy_bounds))
-        .select("cx", "cy", "w", key)
-        .localCheckpoint(eager=False)
-    )
-    ca, cb = core.alias("ca"), core.alias("cb")
-    cedges = ca.join(
-        F.broadcast(cb),
-        (F.abs(F.col("ca.cx") - F.col("cb.cx")) <= 1)
-        & (F.abs(F.col("ca.cy") - F.col("cb.cy")) <= 1),
-    ).select(F.col("ca.k").alias("id_a"), F.col("cb.k").alias("id_b"))
-    # cell graph => bounded control plane (cells <= geography/eps^2,
-    # corpus-size independent): ONE edge collect + driver union-find
-    # replaces the distributed loop's per-block jobs (r13; label
-    # contract identical — min core-cell key of the component)
-    clabel = (
-        bounded_cc_labels(cedges)
-        .withColumnRenamed("doc_id", "k")
-        .withColumnRenamed("canonical_id", "cid")
-    )
-    core_lab = core.join(clabel, "k").select("cx", "cy", "w", "cid")
-    border = (
-        cells.join(
-            F.broadcast(
-                core_lab.select(
-                    F.col("cx").alias("ox"), F.col("cy").alias("oy"), "cid"
-                )
-            ),
-            (F.abs(F.col("cx") - F.col("ox")) <= 1)
-            & (F.abs(F.col("cy") - F.col("oy")) <= 1),
-        )
-        .join(
-            core.select("cx", "cy", F.lit(True).alias("is_core")),
-            ["cx", "cy"],
-            "left_anti",
-        )
-        .groupBy("cx", "cy", "w")
-        .agg(F.min("cid").alias("cid"))
-    )
-    assigned = core_lab.unionByName(border.select("cx", "cy", "w", "cid"))
-    noise = cells.join(assigned.select("cx", "cy"), ["cx", "cy"], "left_anti").select(
-        "cx", "cy", "w", F.lit(-1).cast("long").alias("cid")
-    )
-    return assigned.unionByName(noise)
+    }
+    n = sum(cw.values())
+    c = len(cw)
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    def neighbors(x: int, y: int):
+        for dx, dy in offsets:
+            q = (x + dx, y + dy)
+            if q in cw:
+                yield q
+
+    # core rule in exact integers: den*dens*c >= num*cnt*n, where
+    # dens/cnt are the weighted sum / count of the occupied 8-
+    # neighborhood (self included) — identical to the previous
+    # dens-join + tot-crossJoin formulation
+    core: list[tuple[int, int]] = []
+    for x, y in cw:
+        dens = cnt = 0
+        for q in neighbors(x, y):
+            dens += cw[q]
+            cnt += 1
+        if den * dens * c >= num * cnt * n:
+            core.append((x, y))
+    # k = cx*key_mult + cy is injective iff the OCCUPIED cy span stays
+    # under key_mult (negative cy is fine — geo callers floor
+    # longitudes below zero). Raise exactly when the previous plan's
+    # when/otherwise key expression would have: the expression only
+    # evaluated on CORE rows, so an out-of-span corpus with no core
+    # cells passed through silently (keys are never consumed then).
+    if core:
+        cy_span = max(y for _, y in cw) - min(y for _, y in cw)
+        if cy_span >= key_mult:
+            raise ValueError(
+                "cellgrid_assign: occupied cy span >= key_mult — packed "
+                "cell keys would collide; raise key_mult"
+            )
+    core_set = set(core)
+    key = {q: q[0] * key_mult + q[1] for q in core}
+
+    # CC over core-core grid adjacency: min-label union-find, identical
+    # labels to bounded_cc_labels / connected_components (component
+    # minimum of the packed key)
+    parent = {key[q]: key[q] for q in core}
+
+    def find(k: int) -> int:
+        r = k
+        while parent[r] != r:
+            r = parent[r]
+        while parent[k] != r:  # path compression
+            parent[k], k = r, parent[k]
+        return r
+
+    for q in core:
+        for p in neighbors(*q):
+            if p in core_set:
+                ra, rb = find(key[q]), find(key[p])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)  # min-label union
+    rows: list[tuple[int, int, int, int]] = []
+    for x, y in cw:
+        if (x, y) in core_set:
+            cid = find(key[(x, y)])
+        else:
+            core_nb = [
+                find(key[p]) for p in neighbors(x, y) if p in core_set
+            ]
+            cid = min(core_nb) if core_nb else -1  # border else noise
+        rows.append((x, y, cw[(x, y)], cid))
+    return values_dim(spark, sorted(rows), out_schema)
 
 
 def lloyd_kmeans_nd(

@@ -166,8 +166,15 @@ def jaccard_pairs_gemm(
         F.col(source_col).alias("__blk_src"),
         F.floor(F.col(chars_col) / F.lit(char_bucket)).alias("__blk_len"),
     )
-    return blocked.groupBy("__blk_src", "__blk_len").applyInPandas(
-        block_pairs, schema
+    # explicit block-key repartition before the groupBy — same AQE-
+    # coalescing guard as embedding_cosine_pairs_gemm (see there): the
+    # per-block GEMM is quadratic in rows, so byte-based partition
+    # coalescing starves it
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        blocked.repartition(spread, "__blk_src", "__blk_len")
+        .groupBy("__blk_src", "__blk_len")
+        .applyInPandas(block_pairs, schema)
     )
 
 
@@ -353,41 +360,49 @@ def connected_components(
     # --- small-graph fast path: capped collect + driver union-find ---
     # (adaptive mode only: a fixed_steps caller asked for the pinned
     # distributed body and its convergence assert verbatim)
-    if (
-        fixed_steps is None
-        and edges.limit(SMALL_GRAPH_EDGES + 1).count() <= SMALL_GRAPH_EDGES
-    ):
-        parent: dict[int, int] = {}
+    if fixed_steps is None:
+        # ONE capped Arrow action serves as both the size probe and the
+        # edge fetch (r13: the previous limit().count() probe executed
+        # the whole upstream pair join as a separate job, and the
+        # follow-up collect() paid per-Row object conversion — together
+        # ~0.7s of dedup_duplicate_groups' warm time at sf0.1). The
+        # limit bounds the driver transfer at ~3 MB of long pairs
+        # regardless of graph size; over the cap the partial result is
+        # discarded and the distributed loop below runs as before.
+        head = edges.limit(SMALL_GRAPH_EDGES + 1).toArrow()
+        if head.num_rows <= SMALL_GRAPH_EDGES:
+            parent: dict[int, int] = {}
 
-        def find(x: int) -> int:
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
+            def find(x: int) -> int:
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
 
-        for row in edges.collect():  # cached by the probe job
-            a, b = row["s"], row["d"]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)  # min-label union
-        import pandas as pd
+            for a, b in zip(
+                head.column("s").to_pylist(), head.column("d").to_pylist()
+            ):
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)  # min-label union
+            import pandas as pd
 
-        nodes = sorted(parent)
-        out = pd.DataFrame(
-            {
-                "doc_id": pd.Series(nodes, dtype="int64"),
-                "canonical_id": pd.Series(
-                    [find(n) for n in nodes], dtype="int64"
-                ),
-            }
-        )
-        return pairs.sparkSession.createDataFrame(
-            out, "doc_id long, canonical_id long"
-        )
+            nodes = sorted(parent)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(nodes, dtype="int64"),
+                    "canonical_id": pd.Series(
+                        [find(n) for n in nodes], dtype="int64"
+                    ),
+                }
+            )
+            return pairs.sparkSession.createDataFrame(
+                out, "doc_id long, canonical_id long"
+            )
 
     # --- distributed loop: the 100 TB shape, unchanged ---
     # localCheckpoint per block truncates lineage — without it the
@@ -628,8 +643,17 @@ def embedding_cosine_pairs_gemm(
             {"id_a": out_a, "id_b": out_b, "cosine_sim": out_s}
         )
 
+    # explicit repartition on the block key (r13): groupBy satisfies its
+    # clustered-distribution requirement from this user-specified hash
+    # partitioning (no second exchange), and — unlike the groupBy's own
+    # exchange — AQE's byte-based coalescing leaves it alone. Without it
+    # a small-BYTES block frame coalesces to 1-2 partitions while each
+    # block's GEMM is quadratic in rows (measured sf0.1: the 5-cluster
+    # semdedup pair stage ran 2 tasks, 0.52s, on 32 idle cores).
+    spread = emb.sparkSession.sparkContext.defaultParallelism
     return (
         emb.select(id_col, block_col, vec_col)
+        .repartition(spread, block_col)
         .groupBy(block_col)
         .applyInPandas(pairs_block, schema)
     )

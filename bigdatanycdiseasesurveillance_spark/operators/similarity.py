@@ -150,8 +150,16 @@ def knn_per_block_gemm(
             }
         )
 
-    return emb.select(id_col, block_col, vec_col).groupBy(block_col).applyInPandas(
-        topk_block, schema
+    # explicit block-key repartition before the groupBy — the same AQE-
+    # coalescing guard as the dedup GEMM kernels (operators/dedup.py):
+    # per-block GEMM work is quadratic in rows, so byte-based partition
+    # coalescing starves the cores
+    spread = emb.sparkSession.sparkContext.defaultParallelism
+    return (
+        emb.select(id_col, block_col, vec_col)
+        .repartition(spread, block_col)
+        .groupBy(block_col)
+        .applyInPandas(topk_block, schema)
     )
 
 

@@ -55,10 +55,11 @@ BNLJ_ALLOWLIST = {
     # KB-sized literal dims (LocalTableScan build side): value bands,
     # subreddit->neighborhood dim, bbox rectangles (r13: the geo
     # pipelines' bbox BNLJ became a least/when expression and left the
-    # list; cluster_geo_cellgrid keeps its 1-row stats crossJoins):
+    # list; cluster_geo_cellgrid left too when the cell cascade — and
+    # with it the 1-row stats crossJoins — moved driver-side into
+    # cellgrid_assign):
     "join_quantity_bands",
     "loc_fallback_resolution",
-    "cluster_geo_cellgrid",
     # single filtered row (the query vector vec_id=0):
     "emb_quantize_recall",
     # distinct-signature mask tables, pre-blocked band candidates — the

@@ -101,8 +101,16 @@ def txt_chunk_boilerplate(spark, sf_dir):
             lambda i: F.array_join(F.slice(w, i * _CHUNK + 1, _CHUNK), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = docs.select("doc_id", chunk_arr.alias("ch")).filter(
-        F.size("ch") > 0
+    # One materialization for THREE consumers (r13): the final join's
+    # stream side plus dchunks' two aggregations each re-planned the
+    # scan + round-robin rebalance (the plan carried 3 identical
+    # Scan parquet + Exchange subtrees that ReusedExchange did not
+    # deduplicate — measured as three ~0.45s single-task rebalance map
+    # jobs at sf0.1). The lazy checkpoint runs that subtree once.
+    base = (
+        docs.select("doc_id", chunk_arr.alias("ch"))
+        .filter(F.size("ch") > 0)
+        .localCheckpoint(eager=False)
     )
     # distinct-per-doc BEFORE the explode: the support count is
     # COUNT(DISTINCT doc_id), so only one row per (doc, chunk) need

@@ -126,14 +126,19 @@ def cur_full_pipeline(spark, sf_dir):
     """
     from ..operators.curation import token_shingles
     from ..operators.sampling import hash_deviate
+    from ..tables import parallelize_scan
 
+    # NOT rebalanced corpus-wide: an interleaved A/B (r13) measured the
+    # round-robin text shuffle costing more than the parallelism it buys
+    # on this query (med 2.83s vs 2.11s) — only the 1/23-sized bench
+    # slice below is worth spreading
     d = table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
 
     # benchmark 5-shingle set: tiny by construction (1/23 of docs),
     # broadcast-joined exactly as the decontaminate operator does
     bench_sh = (
-        d.filter(is_bench)
+        parallelize_scan(d.filter(is_bench))
         .select(
             F.explode(
                 F.array_distinct(token_shingles(F.col("text"), 5))

@@ -492,6 +492,17 @@ def dedup_duplicate_groups(spark, sf_dir):
             F.min("doc_id").alias("gid"),
             F.count("*").cast("long").alias("c"),
         )
+        # Round-robin spread BEFORE the checkpoint (r13): the pair
+        # join's stream-side parallelism IS the checkpoint's partition
+        # count, and AQE's byte-based coalescing shrinks this small-
+        # BYTES frame to 1-2 partitions while its pair work is
+        # quadratic in rows — measured at sf0.1 as a 1.06s 2-task
+        # stage on 32 idle cores. Same starved-cores rationale as
+        # tables.parallelize_scan; defaultParallelism derives from the
+        # session (cluster size), not a local constant, and one
+        # round-robin pass of the distinct-set frame is bounded by the
+        # frame the join must broadcast anyway.
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=False)  # feeds the pair join AND the rollup
     )
     a = gb.select(

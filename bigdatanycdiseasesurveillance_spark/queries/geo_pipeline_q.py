@@ -557,9 +557,11 @@ def cluster_geo_pipeline_cellgrid(spark, sf_dir):
         .localCheckpoint(eager=False)  # cell-sized; feeds cells AND prof
     )
     cells = cnb.groupBy("cx", "cy").agg(F.sum("nw").cast("long").alias("w"))
-    assigned = C.cellgrid_assign(cells, key_mult=_CG_KEY).localCheckpoint(
-        eager=False
-    )  # consumed by the profile join AND the stats rollup
+    # cellgrid_assign returns a LocalRelation (r13 driver-side cell
+    # cascade) — both consumers (profile join, stats rollup) re-read it
+    # for free, so the previous two-consumer localCheckpoint would only
+    # add an RDD conversion
+    assigned = C.cellgrid_assign(cells, key_mult=_CG_KEY)
     prof = (
         assigned.join(cnb, ["cx", "cy"])
         .groupBy("cid", "neighborhood")

@@ -56,7 +56,9 @@ def get_spark(app_name: str = "bdnds-engine", master: str | None = None) -> Spar
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (bench hygiene); SPARK_GRAFT_UI=1 turns it on
+        # so tools/profile_query.py can read per-job times via the REST API
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     return builder.getOrCreate()
 
