@@ -85,8 +85,16 @@ def search_bm25_topk(spark, sf_dir):
     stats are broadcast scalars; ranking is TakeOrdered."""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    qterms = tok.filter(F.col("term").isin(*_QUERY_TERMS))
-    dl = docs.select("doc_id", token_count(F.col("text")).alias("doclen"))
+    # One tokenize+explode pass for BOTH consumers (df and tf): the two
+    # aggregations otherwise re-plan the corpus scan + explode each
+    # (r13; qterms is query-term postings only — KB-sized)
+    qterms = tok.filter(F.col("term").isin(*_QUERY_TERMS)).localCheckpoint(
+        eager=False
+    )
+    # doclen pass shared by the tf join AND the corpus stats aggregate
+    dl = docs.select(
+        "doc_id", token_count(F.col("text")).alias("doclen")
+    ).localCheckpoint(eager=False)
     stats = dl.agg(
         F.count("*").alias("n"), F.avg("doclen").alias("avg_len")
     )

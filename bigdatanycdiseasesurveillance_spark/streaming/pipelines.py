@@ -37,7 +37,9 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     smell). Event-time normalization (bigint-ns / TIMESTAMP_NTZ →
     TimestampType) matches tables.table()."""
     batch = table(spark, sf_dir, name)  # also applies runtime confs
-    raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    from ..tables import raw_parquet_schema
+
+    raw_schema = raw_parquet_schema(spark, f"{sf_dir}/{name}.parquet")
     # file streams need a directory; pathGlobFilter selects the table
     src = (
         spark.readStream.schema(raw_schema)

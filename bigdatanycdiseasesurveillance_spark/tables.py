@@ -34,11 +34,33 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Session-scoped parquet SCHEMA memo (metadata only, never data): every
+# bare spark.read.parquet() runs a footer-inference job on the driver
+# (~30-70 ms + a scheduler round trip), and the bench pays it once per
+# table() call — ~50+ times per run (r13 profiling: the 'parquet at
+# NativeMethodAccessorImpl' jobs in every query). Passing the schema
+# explicitly skips inference while keeping pushdown/pruning identical.
+# Keyed by applicationId so a new SparkContext (tests churn sessions)
+# never sees a stale entry; the same device as Spark's own
+# filesourcePartitionFileCacheSize listing cache (guide §6).
+_SCHEMA_MEMO: dict = {}
+
+
+def raw_parquet_schema(spark: SparkSession, path: str):
+    key = (spark.sparkContext.applicationId, path)
+    s = _SCHEMA_MEMO.get(key)
+    if s is None:
+        s = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[key] = s
+    return s
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     apply_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(raw_parquet_schema(spark, path)).parquet(path)
     return normalize_timestamps(df)
 
 
