@@ -83,18 +83,15 @@ def search_bm25_topk(spark, sf_dir):
     """Lexical ranked retrieval: Okapi BM25 (k1=1.2, b=0.75) top-10 for
     a fixed 3-term query. Postings from one explode; df and corpus
     stats are broadcast scalars; ranking is TakeOrdered."""
+    # NOT checkpointed (r13): the plan re-reads the corpus per derived
+    # frame (postings twice, doclen twice), but those subtrees execute
+    # as OVERLAPPING stages of one job; an interleaved A/B measured the
+    # checkpointed one-pass-each variant slightly SLOWER (med 0.84 s vs
+    # 0.80 s) because the two materializations run sequentially.
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    # One tokenize+explode pass for BOTH consumers (df and tf): the two
-    # aggregations otherwise re-plan the corpus scan + explode each
-    # (r13; qterms is query-term postings only — KB-sized)
-    qterms = tok.filter(F.col("term").isin(*_QUERY_TERMS)).localCheckpoint(
-        eager=False
-    )
-    # doclen pass shared by the tf join AND the corpus stats aggregate
-    dl = docs.select(
-        "doc_id", token_count(F.col("text")).alias("doclen")
-    ).localCheckpoint(eager=False)
+    qterms = tok.filter(F.col("term").isin(*_QUERY_TERMS))
+    dl = docs.select("doc_id", token_count(F.col("text")).alias("doclen"))
     stats = dl.agg(
         F.count("*").alias("n"), F.avg("doclen").alias("avg_len")
     )

@@ -51,22 +51,44 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return src
 
 
-def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, output_mode: str, state_partitions: int | None = None
+) -> DataFrame:
     """Drain a stream into an in-memory table with availableNow (ST4's
-    idiomatic drain-and-stop) and return it as a batch DataFrame."""
+    idiomatic drain-and-stop) and return it as a batch DataFrame.
+
+    ``state_partitions``: shuffle-partition count baked into the
+    query's STATE layout at start (r13). A stateful aggregate whose key
+    space is dim-bounded (e.g. boroughs x severities, ~18 rows at ANY
+    corpus size) gains nothing from cluster-width state: every state
+    partition is a live state-store instance (init + per-batch commit
+    + checkpoint delta), and an interleaved A/B at sf0.1 measured the
+    32-store layout at 3.6 s vs 1.7 s for a handful of stores. Sizing
+    state to the KEY SPACE, not the cluster, is the production rule
+    too — this is not a local[32] tune (the value is only passed for
+    dim-bounded aggregates, never event-keyed state). The conf is
+    restored after the drain; batch queries planned afterwards are
+    unaffected."""
     import tempfile
 
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdnds_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="bdnds_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 
@@ -691,7 +713,10 @@ def streaming_surveillance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = enriched.groupBy("borough", "severity").agg(
         F.count("*").cast("long").alias("cnt")
     )
-    return _run_to_memory(agg, "complete")
+    # state key space = boroughs x severities (~18 rows at any corpus
+    # size) — size the state layout to the key space, not the cluster
+    # (see _run_to_memory)
+    return _run_to_memory(agg, "complete", state_partitions=4)
 
 
 def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
