@@ -77,3 +77,65 @@ def test_fixed_steps_still_runs_distributed_body(spark):
     )
     with pytest.raises(RuntimeError, match="not converged"):
         connected_components(pairs, fixed_steps=1).collect()
+
+
+def test_run_to_memory_state_partitions_override_and_restore(spark, sf_dir):
+    """The r13 dim-bounded state sizing: _run_to_memory(state_partitions=N)
+    must bake N into the streaming aggregate's state layout (complete-mode
+    output is unchanged) and restore the session conf afterwards — a later
+    batch query must plan with the original shuffle partitioning."""
+    from pyspark.sql import functions as F
+
+    from bigdatanycdiseasesurveillance_spark.streaming.pipelines import (
+        _run_to_memory,
+        stream_table,
+    )
+
+    src = stream_table(spark, sf_dir, "events")
+    agg = src.groupBy("event_type").agg(F.count("*").cast("long").alias("cnt"))
+    # read AFTER stream_table: building the source applies the session's
+    # runtime confs (incl. shuffle partitions), which is the value the
+    # drain must restore
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = {
+        r["event_type"]: r["cnt"]
+        for r in _run_to_memory(agg, "complete", state_partitions=3).collect()
+    }
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    from bigdatanycdiseasesurveillance_spark.tables import table
+
+    exp = {
+        r["event_type"]: r["cnt"]
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .collect()
+    }
+    assert out == exp
+
+
+def test_schema_memo_keyed_per_context_and_pushdown_intact(spark, sf_dir):
+    """The r13 parquet-schema memo must serve the same StructType object
+    class per (context, path) and must not disturb scan pushdown: an
+    equality filter still reaches PushedFilters in the formatted plan."""
+    from pyspark.sql import functions as F
+
+    from bigdatanycdiseasesurveillance_spark.tables import (
+        _SCHEMA_MEMO,
+        raw_parquet_schema,
+        table,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    s1 = raw_parquet_schema(spark, path)
+    s2 = raw_parquet_schema(spark, path)
+    assert s1 is s2  # memo hit, no second inference
+    assert (spark.sparkContext.applicationId, path) in _SCHEMA_MEMO
+
+    df = table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters" in plan and "event_type" in plan
