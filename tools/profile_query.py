@@ -84,7 +84,8 @@ def main() -> None:
         if j.get("completionTime") and j.get("submissionTime"):
             from datetime import datetime
 
-            fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
+            # [:23] keeps "YYYY-MM-DDTHH:MM:SS.mmm" and drops the GMT
+            # suffix — durations are differences, so the zone cancels
             try:
                 st = datetime.strptime(j["submissionTime"][:23], "%Y-%m-%dT%H:%M:%S.%f")
                 en = datetime.strptime(j["completionTime"][:23], "%Y-%m-%dT%H:%M:%S.%f")
