@@ -255,25 +255,22 @@ def main() -> None:
                 "tainted": bool(tainted_queries) or drift_tainted,
                 "tainted_queries": tainted_queries,
                 "load_avg_1m": round(os.getloadavg()[0], 2),
-                # Per-entry measurement evidence IN the driver artifact
-                # (r9 verdict directive #4): a future judge adjudicates a
-                # drift from BENCH_r*.json alone, no sidecar needed.
-                # Packed as fixed-order arrays — not four parallel maps —
-                # because the r5 driver truncated an oversized stdout
-                # line to `parsed: null`; field names live in
-                # per_query_fields once.
-                "per_query_fields": ["warm_s", "spread_abs_s", "load_1m", "n_samples"],
-                "per_query": {
-                    n: [
-                        warm[n],
-                        warm_spread_abs[n],
-                        load_1m[n],
-                        warm_samples_n[n],
-                    ]
-                    for n in warm
-                },
+                # The packed per-query warm/spread/load/samples arrays
+                # moved OUT of this line into BENCH_DETAIL.json
+                # (queries_warm / warm_spread_abs / load_avg_1m /
+                # warm_samples maps there): the r13 driver capture
+                # head-truncated the ~2.7 KB line and the r12/r13
+                # comparison died on `parsed: null` (r13 verdict
+                # directive #3 — "summary + totals" in the line). No
+                # number was dropped — cold seconds stay as `queries`
+                # (the driver contract), warm totals stay as
+                # `total_warm`, and the per-entry evidence lives in the
+                # committed detail artifact.
                 "n_errors": len(errors),
-                "errors": errors,
+                # truncated per-entry here (full text in BENCH_DETAIL.json)
+                # so a many-error run cannot re-bloat the line past the
+                # driver's capture buffer
+                "errors": {n: e[:120] for n, e in errors.items()},
                 "throughput_rec_s": throughput,
                 "sf": sf,
             }
