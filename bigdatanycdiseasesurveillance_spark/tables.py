@@ -47,7 +47,18 @@ _SCHEMA_MEMO: dict = {}
 
 
 def raw_parquet_schema(spark: SparkSession, path: str):
-    key = (spark.sparkContext.applicationId, path)
+    # (mtime_ns, size) in the key (r13 advisor): a fixture regenerated
+    # at the same path mid-session re-infers instead of silently reading
+    # with a stale schema; os.stat is ~1000x cheaper than inference. A
+    # directory path (the 100 TB layout) stats the dir — partition
+    # rewrites bump the dir mtime on file add/remove, and a same-name
+    # in-place file swap is not a pattern the loader contract supports.
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None  # let spark.read.parquet raise its own error
+    key = (spark.sparkContext.applicationId, path, stamp)
     s = _SCHEMA_MEMO.get(key)
     if s is None:
         s = spark.read.parquet(path).schema

@@ -130,7 +130,17 @@ def test_schema_memo_keyed_per_context_and_pushdown_intact(spark, sf_dir):
     s1 = raw_parquet_schema(spark, path)
     s2 = raw_parquet_schema(spark, path)
     assert s1 is s2  # memo hit, no second inference
-    assert (spark.sparkContext.applicationId, path) in _SCHEMA_MEMO
+    # key = (applicationId, path, (mtime_ns, size)) since r14 — a
+    # regenerated fixture at the same path re-infers instead of serving
+    # a stale schema
+    import os as _os
+
+    st = _os.stat(path)
+    assert (
+        spark.sparkContext.applicationId,
+        path,
+        (st.st_mtime_ns, st.st_size),
+    ) in _SCHEMA_MEMO
 
     df = table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
     plan = df._jdf.queryExecution().explainString(
