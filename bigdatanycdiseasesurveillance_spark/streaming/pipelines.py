@@ -68,7 +68,20 @@ def _run_to_memory(
     too — this is not a local[32] tune (the value is only passed for
     dim-bounded aggregates, never event-keyed state). The conf is
     restored after the drain; batch queries planned afterwards are
-    unaffected."""
+    unaffected.
+
+    r14 audit of all drains — state_partitions is passed ONLY where the
+    key space is provably bounded AND no corpus-keyed shuffle shares the
+    streaming query (the conf is query-wide): daily/hopping counts
+    (calendar windows x types), relevance_split (2 x severities),
+    enrich_orders (5 segments, broadcast join), cms (fixed sketch
+    cells), variant_ingest (event types), surveillance_e2e (boroughs x
+    severities). Deliberately cluster-width: dedup_counts /
+    dedup_within_watermark / restart_recovery (event_id dedup state),
+    session_windows / sessionize / user_totals (user-keyed state),
+    click_purchase_join / click_abandonment (event-keyed join state),
+    ingest_dedup (corpus-sized fp anti-join shares the query),
+    foreachbatch_upsert (per-batch user-keyed shuffles)."""
     import tempfile
 
     spark = stream_df.sparkSession
@@ -102,7 +115,12 @@ def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count("*").alias("cnt"))
     )
-    out = _run_to_memory(agg, "complete")
+    # key space = days x event types — calendar/retention-bounded (never
+    # corpus-bounded), and the only shuffle is the bounded-key aggregate
+    # itself (map-side partials emit <= keys rows per task), so state
+    # sized to the key space is right at any cluster width (r14, the
+    # e2e drain's r13 device)
+    out = _run_to_memory(agg, "complete", state_partitions=8)
     return out.select(
         F.col("w.start").cast("date").alias("day"), "event_type", "cnt"
     )
@@ -129,7 +147,9 @@ def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    out = _run_to_memory(agg, "complete")
+    # key space = hop windows x types — calendar-bounded (~8 windows/day
+    # x types); sole shuffle is the bounded-key aggregate (r14)
+    out = _run_to_memory(agg, "complete", state_partitions=8)
     return out.select(
         F.col("w.start").alias("win_start"), "event_type", "cnt"
     )
@@ -374,7 +394,11 @@ def streaming_relevance_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = analyzed.groupBy("is_relevant", "severity").agg(
         F.count("*").cast("long").alias("cnt")
     )
-    return _run_to_memory(agg, "complete").select("is_relevant", "severity", "cnt")
+    # key space = 2 x severity levels (~10 rows at ANY corpus size);
+    # extract_relevance is stateless map-side work (r14)
+    return _run_to_memory(agg, "complete", state_partitions=4).select(
+        "is_relevant", "severity", "cnt"
+    )
 
 
 def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,7 +544,9 @@ def streaming_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue_cents"),
         F.count("*").cast("long").alias("n_orders"),
     )
-    return _run_to_memory(agg, "complete").select(
+    # key space = 5 market segments; the enrich join is broadcast (no
+    # stream-side shuffle), so only the dim-bounded agg state exists (r14)
+    return _run_to_memory(agg, "complete", state_partitions=4).select(
         "c_mktsegment", "revenue_cents", "n_orders"
     )
 
@@ -539,7 +565,9 @@ def streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("user_key")
     )
     agg = cms_table(src, "user_key", width=32, depth=4)
-    return _run_to_memory(agg, "complete")
+    # key space = depth x width sketch cells (128 rows, FIXED by the
+    # sketch dimensions regardless of stream volume) (r14)
+    return _run_to_memory(agg, "complete", state_partitions=4)
 
 
 def _prefix_fp(text_col, k: int = 8):
@@ -851,7 +879,9 @@ def streaming_variant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("k_nested"), F.lit(0)).alias("sum_nested"),
         F.count("k_absent").alias("n_absent"),
     )
-    out = _run_to_memory(agg, "complete")
+    # key space = event types (~5 rows); the VARIANT parse/probe chain
+    # is stateless map-side work (r14)
+    out = _run_to_memory(agg, "complete", state_partitions=4)
     return out.select(
         "event_type",
         F.col("cnt").cast("long").alias("cnt"),
