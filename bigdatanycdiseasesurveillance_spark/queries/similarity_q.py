@@ -133,23 +133,33 @@ def ann_ivf_search(spark, sf_dir):
     )
 
 
-_IVF_INDEX: dict[str, list] = {}
+_IVF_INDEX: dict[tuple[str, str], object] = {}
 
 
 def _ivf_index(spark, sf_dir):
-    """Build-once IVF centroid artifact per (process, dataset): the
+    """Build-once IVF centroid artifact per (SparkContext, dataset): the
     collected centroid rows (n_cells × dim — kilobytes) recreated as a
     local DataFrame, standing in for the persisted parquet of
-    ivf_build(path=...)."""
-    if sf_dir not in _IVF_INDEX:
-        _IVF_INDEX[sf_dir] = [
+    ivf_build(path=...). Keyed by applicationId like tables._SCHEMA_MEMO
+    (r13 verdict directive #4) so a new SparkContext — every driver
+    bench/correctness run is a cold process anyway — always rebuilds,
+    and a same-path dataset swap inside one test process cannot serve
+    stale centroids across sessions. The memoized value is the parsed
+    values_dim DataFrame itself, not just the rows: the 640-double
+    VALUES SQL cost a full re-parse per call. Within one warm process
+    the first ann_ivf_search run carries the k-means build; that is the
+    documented bench semantics of a persisted build artifact."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_INDEX:
+        rows = [
             (int(r["cell"]), [float(x) for x in r["centroid"]])
             for r in S.ivf_build(table(spark, sf_dir, "embeddings")).collect()
         ]
-    # values_dim -> LocalTableScan: re-broadcasting the index costs no job
-    return values_dim(
-        spark, _IVF_INDEX[sf_dir], "cell int, centroid array<double>"
-    )
+        # values_dim -> LocalTableScan: re-broadcasting costs no job
+        _IVF_INDEX[key] = values_dim(
+            spark, rows, "cell int, centroid array<double>"
+        )
+    return _IVF_INDEX[key]
 
 
 def _emb_oracle_cte(dim: int = 64) -> str:
@@ -535,10 +545,16 @@ def _pq_projection(emb, dim: int):
     """The ONE flat projection the whole PQ family computes against:
     (pid, x0..x{dim-1}), localCheckpointed so training iterations,
     encoding, and the query-row lookup all reuse a single materialized
-    scan of the embeddings parquet."""
-    return emb.select(
-        F.col("vec_id").alias("pid"),
-        *[F.col("embedding")[i].cast("double").alias(f"x{i}") for i in range(dim)],
+    scan of the embeddings parquet.
+
+    Built as selectExpr strings (r14, the r13 k-means Py4J-chatter fix):
+    64 Column-object chains cost ~0.9-2.0 s of driver round trips per
+    call; one parsed projection costs ~0.1-0.4 s. `embedding[i]` in
+    Spark SQL is the same 0-based GetArrayItem the Column getItem
+    emitted — the analyzed plan is identical."""
+    return emb.selectExpr(
+        "vec_id AS pid",
+        *[f"CAST(embedding[{i}] AS DOUBLE) AS x{i}" for i in range(dim)],
     ).localCheckpoint(eager=False)
 
 
@@ -576,12 +592,14 @@ def emb_pq_codebook(spark, sf_dir):
     out = None
     for m in range(n_sub):
         dims = [f"e{j}" for j in range(sub_dim)]
-        pts = pts64.select(
+        # slice rename + err/norm sums as parsed SQL strings (r14, the
+        # r13 k-means Py4J-chatter fix — ~0.2-0.3 s of Column-object
+        # round trips per subspace): " + ".join is the same left-
+        # associative fold as the Python sum() it replaces, so every
+        # value is bit-identical
+        pts = pts64.selectExpr(
             "pid",
-            *[
-                F.col(f"x{m * sub_dim + j}").alias(f"e{j}")
-                for j in range(sub_dim)
-            ],
+            *[f"x{m * sub_dim + j} AS e{j}" for j in range(sub_dim)],
         )
         assigned, centroids = lloyd_kmeans_nd(
             pts, dims, k=k, iters=iters, id_col="pid", precheckpointed=True
@@ -591,11 +609,12 @@ def emb_pq_codebook(spark, sf_dir):
             cent_rows,
             "cluster_id int, " + ", ".join(f"c{j} double" for j in range(sub_dim)),
         )
-        err = sum(
-            (F.col(f"e{j}") - F.col(f"c{j}")) * (F.col(f"e{j}") - F.col(f"c{j}"))
-            for j in range(sub_dim)
+        err = F.expr(
+            " + ".join(
+                f"(e{j} - c{j}) * (e{j} - c{j})" for j in range(sub_dim)
+            )
         )
-        norm = sum(F.col(f"c{j}") * F.col(f"c{j}") for j in range(sub_dim))
+        norm = F.expr(" + ".join(f"c{j} * c{j}" for j in range(sub_dim)))
         stats = (
             assigned.join(F.broadcast(cent_df), "cluster_id")
             .groupBy("cluster_id", *[f"c{j}" for j in range(sub_dim)])
@@ -733,11 +752,21 @@ def emb_pq_adc_search(spark, sf_dir):
         return spark.createDataFrame([], "vec_id long, adc_dist double")
     qvec = [float(qrows[0][f"x{i}"]) for i in range(n_sub * sub_dim)]
 
-    adc_terms = []
+    # Expression build as selectExpr SQL strings (r14, the r13 k-means
+    # Py4J-chatter fix): the previous Column-object construction of the
+    # 4 x 4 x 16-term distance expressions + when-chains cost ~0.7-0.8 s
+    # of driver round trips PER SUBSPACE (~3 s of the query's ~12 s warm
+    # time). CAST('<repr>' AS DOUBLE) literals fold to the same doubles
+    # F.lit produced; " + ".join is the same left-associative fold as
+    # the Python sum(); the CASE chain in ascending-cid order keeps
+    # ties-to-the-smallest-code. Values are bit-identical (the r13 §9
+    # precedent, re-proven by the oracle gates at three SFs).
+    d_exprs: list[str] = []
+    lut_exprs: list[str] = []
     for m in range(n_sub):
-        sub = pts64.select(
+        sub = pts64.selectExpr(
             "pid",
-            *[F.col(f"x{m * sub_dim + j}").alias(f"e{j}") for j in range(sub_dim)],
+            *[f"x{m * sub_dim + j} AS e{j}" for j in range(sub_dim)],
         )
         _, centroids = lloyd_kmeans_nd(
             sub, dims, k=k, iters=iters, id_col="pid", precheckpointed=True
@@ -745,14 +774,15 @@ def emb_pq_adc_search(spark, sf_dir):
         # squared distance of THIS row's m-th sub-vector to each final
         # rounded centroid — pure literal arithmetic over the shared
         # projection's columns, no intermediate frame
-        dists = {
-            cid: sum(
-                (F.col(f"x{m * sub_dim + j}") - F.lit(v))
-                * (F.col(f"x{m * sub_dim + j}") - F.lit(v))
-                for j, v in enumerate(vec)
+        for cid, vec in centroids:
+            d_exprs.append(
+                " + ".join(
+                    f"(x{m * sub_dim + j} - CAST('{v!r}' AS DOUBLE))"
+                    f" * (x{m * sub_dim + j} - CAST('{v!r}' AS DOUBLE))"
+                    for j, v in enumerate(vec)
+                )
+                + f" AS __d{m}_{cid}"
             )
-            for cid, vec in centroids
-        }
         # the query's 4-entry distance table for this subspace,
         # computed driver-side against the SAME rounded literals
         table_m = {
@@ -761,20 +791,27 @@ def emb_pq_adc_search(spark, sf_dir):
             )
             for cid, vec in centroids
         }
-        # argmin -> table lookup fused into one when-chain (ascending
-        # cid order = ties to the smallest code, the oracle's contract)
-        mcol = F.least(*dists.values())
-        lut = None
-        for cid in sorted(dists):
-            cond = dists[cid] == mcol
-            branch = F.lit(table_m[cid])
-            lut = F.when(cond, branch) if lut is None else lut.when(cond, branch)
-        adc_terms.append(lut)
+        # argmin -> table lookup fused into one CASE (ascending cid
+        # order = ties to the smallest code, the oracle's contract)
+        least = (
+            "least(" + ", ".join(f"__d{m}_{cid}" for cid, _ in centroids) + ")"
+        )
+        lut_exprs.append(
+            "CASE "
+            + " ".join(
+                f"WHEN __d{m}_{cid} = {least} THEN"
+                f" CAST('{table_m[cid]!r}' AS DOUBLE)"
+                for cid, _ in centroids  # centroids are ascending-cid
+            )
+            + f" END AS __lut{m}"
+        )
 
-    adc = sum(adc_terms)
+    adc = " + ".join(f"__lut{m}" for m in range(n_sub))
     return (
         pts64.filter(F.col("pid") != 0)
-        .select(F.col("pid").alias("vec_id"), F.round(adc, 4).alias("adc_dist"))
+        .selectExpr("pid", *d_exprs)
+        .selectExpr("pid", *lut_exprs)
+        .selectExpr("pid AS vec_id", f"ROUND({adc}, 4) AS adc_dist")
         .orderBy("adc_dist", "vec_id")
         .limit(topk)
     )
