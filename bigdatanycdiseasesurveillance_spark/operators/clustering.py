@@ -22,6 +22,115 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Small-corpus fast-path cap for the Lloyd kernels: at or under this many
+# points the whole fixed-iteration loop runs on the driver off ONE capped
+# Arrow collect (<= cap x (d+1) doubles — ~27 MB at d=16, the same
+# bounded-driver-materialization class as dedup.SMALL_GRAPH_EDGES). Above
+# the cap the distributed loop runs exactly as before, so the 100 TB
+# shape is unchanged. Why: each distributed iteration costs one 2-stage
+# k-row aggregate job + a collect round trip (~160 ms of pure control
+# plane at any corpus size; measured r13 — ~1.3 s of
+# dedup_semdedup_profile's warm time was this loop's scheduling, not
+# compute).
+SMALL_KMEANS_POINTS = 200_000
+
+# Hard caps on the bounded-control-plane driver collects (r13 verdict
+# directive #2): the eps-grid invariant bounds cells at geography/eps^2
+# (a few hundred for every in-repo caller at ANY corpus size), so these
+# caps are pure contract enforcement — orders of magnitude of headroom,
+# never reachable without a caller violating the invariant, and a loud
+# ValueError beats an unbounded driver materialization.
+BOUNDED_CELLS_CAP = 500_000
+BOUNDED_CC_EDGES = 2_000_000  # <= 9 x cells + self-edges
+
+
+def _round6_spark(x: float) -> float:
+    """Replicate Spark's round(double, 6) exactly: codegen evaluates
+    java.math.BigDecimal.valueOf(x) — the SHORTEST decimal string of x,
+    same digits as Python repr — then setScale(6, HALF_UP).doubleValue().
+    Decimal(repr(x)) is that same shortest representation (NOT the exact
+    binary expansion Decimal(x) would give, which rounds differently on
+    e.g. 0.1234565)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _driver_lloyd(pids, cols, k: int, iters: int):
+    """The fixed-iteration Lloyd loop on the driver — bit-compatible with
+    the distributed selectExpr build:
+
+    - init: the k smallest pids in pid order, cids 0..k-1;
+    - distances: (v - c) * (v - c) accumulated left-associatively over
+      dims — numpy elementwise float64 ops are the same IEEE-754
+      operations codegen emits, so every distance is bit-identical;
+    - assignment: argmin over centroid columns in ascending-cid order —
+      numpy's first-minimum rule IS the CASE chain's tie-to-smallest-cid;
+    - update: per-cluster mean (math.fsum — the correctly-rounded sum,
+      inside the half-ulp band the engine/oracle fold orders already
+      occupy) rounded like Spark's round(.., 6) via _round6_spark;
+      clusters that lose every member drop out, exactly like the
+      distributed groupBy.
+
+    Returns (assign_cids: list[int] aligned with pids, centroids:
+    [(cid, [dim means...])...] after the final update)."""
+    import math
+
+    import numpy as np
+
+    n = len(pids)
+    order = np.argsort(np.asarray(pids))[: min(k, n)]
+    centroids = [
+        (i, [float(c[idx]) for c in cols]) for i, idx in enumerate(order)
+    ]
+    assign_cid = None
+    for _ in range(iters):
+        dcols = []
+        for _cid, vec in centroids:
+            acc = (cols[0] - vec[0]) * (cols[0] - vec[0])
+            for j in range(1, len(cols)):
+                acc = acc + (cols[j] - vec[j]) * (cols[j] - vec[j])
+            dcols.append(acc)
+        pos = np.argmin(np.column_stack(dcols), axis=1)
+        cid_arr = np.asarray([cid for cid, _ in centroids], dtype=np.int64)
+        assign_cid = cid_arr[pos]
+        new_centroids = []
+        for ci, (cid, _vec) in enumerate(centroids):
+            mask = pos == ci
+            cnt = int(mask.sum())
+            if cnt:
+                new_centroids.append(
+                    (
+                        cid,
+                        [
+                            _round6_spark(math.fsum(c[mask]) / cnt)
+                            for c in cols
+                        ],
+                    )
+                )
+        centroids = new_centroids  # ascending cid preserved
+    return assign_cid, centroids
+
+
+def _lloyd_head(pts: DataFrame, dim_names: list[str]):
+    """One capped Arrow action serving as both the size probe and the
+    point fetch (the connected_components r13 device). Returns
+    (pids, [dim arrays...]) when the corpus is at or under
+    SMALL_KMEANS_POINTS and clean (non-null), else None — callers then
+    run the distributed loop unchanged. Empty or null-bearing frames
+    also fall through so degenerate behavior stays byte-identical to
+    the previous code path."""
+    head = pts.limit(SMALL_KMEANS_POINTS + 1).toArrow()
+    if not (0 < head.num_rows <= SMALL_KMEANS_POINTS):
+        return None
+    if any(head.column(c).null_count for c in ("pid", *dim_names)):
+        return None
+    pids = head.column("pid").to_numpy(zero_copy_only=False)
+    cols = [
+        head.column(c).to_numpy(zero_copy_only=False) for c in dim_names
+    ]
+    return pids, cols
+
 
 def kmeans_clusters(
     emb: DataFrame,
@@ -93,12 +202,32 @@ def lloyd_kmeans_2d(
     Scale: points never leave the cluster; each iteration is one
     broadcast of k centroid literals + one k-key groupBy. Only the k
     centroid rows are collected per iteration. Returns
-    (id, cluster_id)."""
+    (id, cluster_id).
+
+    Small-corpus fast path (r14): at or under SMALL_KMEANS_POINTS the
+    whole loop runs driver-side off one capped Arrow collect
+    (_driver_lloyd — bit-compatible arithmetic, see there); above the
+    cap the distributed loop below runs exactly as before."""
     pts = points.select(
         F.col(id_col).alias("pid"),
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
     ).localCheckpoint(eager=False)  # scanned once, not once per iteration
+    head = _lloyd_head(pts, ["x", "y"])
+    if head is not None:
+        import pandas as pd
+
+        pids, cols = head
+        assign_cid, _ = _driver_lloyd(pids, cols, k, iters)
+        out = pd.DataFrame(
+            {
+                id_col: pd.Series(pids, dtype="int64"),
+                "cluster_id": pd.Series(assign_cid, dtype="int64"),
+            }
+        )
+        return points.sparkSession.createDataFrame(
+            out, f"{id_col} long, cluster_id long"
+        )
     init = pts.orderBy("pid").limit(k).collect()
     centroids = [(i, float(r["x"]), float(r["y"])) for i, r in enumerate(init)]
     assigned = None
@@ -182,30 +311,60 @@ def grid_dbscan(
         F.floor(F.col(y_col) / eps).cast("long").alias("cy"),
     )
     offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    probes = pts.select(
-        "pid",
-        "x",
-        "y",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        (F.col("cx") + dx).alias("tx"), (F.col("cy") + dy).alias("ty")
-                    )
-                    for dx, dy in offsets
-                ]
-            )
-        ).alias("o"),
-    ).select("pid", "x", "y", F.col("o.tx").alias("cx"), F.col("o.ty").alias("cy"))
+    # Explicit cell-key partitioning on BOTH join inputs (r14, the r13
+    # compute-aware-repartition device): the eps-cell equi-join fans a
+    # byte-small input out quadratically (90k probe rows -> 12M pairs at
+    # sf0.1), and AQE's BYTE-based coalescing handed that join 1-2 tasks
+    # on 32 idle cores (measured: the single-task 0.3-0.6s stages
+    # dominating cluster_geo_pipeline). repartition(N, cellkey) IS the
+    # join's own shuffle (no extra exchange — the join reuses the
+    # user-specified hash partitioning, which AQE leaves alone); it only
+    # pins the partition count to the cluster width.
+    probes = (
+        pts.select(
+            "pid",
+            "x",
+            "y",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("cx") + dx).alias("tx"), (F.col("cy") + dy).alias("ty")
+                        )
+                        for dx, dy in offsets
+                    ]
+                )
+            ).alias("o"),
+        )
+        .select("pid", "x", "y", F.col("o.tx").alias("cx"), F.col("o.ty").alias("cy"))
+    )
     targets = pts.select(
         F.col("pid").alias("qid"), F.col("x").alias("qx"), F.col("y").alias("qy"), "cx", "cy"
     )
     dist2 = (F.col("x") - F.col("qx")) ** 2 + (F.col("y") - F.col("qy")) ** 2
+    # No distinct needed (r14): only the PROBE side is exploded — a
+    # target point lives in exactly ONE home cell, and a probe point's 9
+    # neighbor cells are pairwise distinct, so a given (pid, qid) pair
+    # can satisfy the cell equi-join in at most one cell. (The oracle's
+    # edges CTE has no DISTINCT for the same reason.) The previous
+    # .distinct() was a corpus-sized exchange + dedup over an
+    # already-unique set — 12M rows of pure overhead per consumer
+    # subtree at sf0.1, verified max-multiplicity-1 before removal.
+    # ONE materialization of the eps-edge list (r14): the edge subtree
+    # feeds ~4 consumers (degree/core, core_edges -> CC, border, and
+    # their broadcast builds), and each broadcast-exchange future was
+    # re-executing the whole 12M-row join as its own single-task job
+    # (profiled: cluster_geo_pipeline spent most of its 12s warm in
+    # those repeated subtrees; the lazy checkpoint took it to ~7-9s,
+    # interleaved A/B). Storage class is the same as the CC loop's own
+    # edge checkpoint one step down — output-sized id pairs, never the
+    # coordinates. (Explicit cell-key repartitions of the join inputs
+    # were also A/B'd here and REJECTED: neutral under the checkpoint.)
     edges = (
         probes.join(targets, ["cx", "cy"])
         .filter(dist2 <= F.lit(eps * eps))
         .select("pid", "qid")
-        .distinct()  # a pair can meet in several neighbor cells
+        .localCheckpoint(eager=False)
     )
     degree = edges.groupBy("pid").agg(F.count("*").alias("n_neighbors"))
     core = degree.filter(F.col("n_neighbors") >= min_samples).select("pid")
@@ -288,13 +447,31 @@ def bounded_cc_labels(
     ~2s of the cellgrid flagship's 3.5s warm time was CC control
     plane). Corpus-dependent graphs (dedup near-dup groups) MUST keep
     the distributed loop — this helper deliberately has no iteration
-    cap to raise because a bounded graph cannot grow one."""
+    cap to raise because a bounded graph cannot grow one.
+
+    The collect IS capped though (r14, r13 verdict directive #2): the
+    bounded-graph contract is the caller's invariant, and a caller that
+    breaks it must fail loudly with the contract named, not OOM the
+    driver."""
     from ..tables import values_dim
 
     spark = edges.sparkSession
-    rows = edges.select(
-        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
-    ).collect()
+    rows = (
+        edges.select(
+            F.col(id_a).cast("long").alias("a"),
+            F.col(id_b).cast("long").alias("b"),
+        )
+        .limit(BOUNDED_CC_EDGES + 1)
+        .collect()
+    )
+    if len(rows) > BOUNDED_CC_EDGES:
+        raise ValueError(
+            "bounded_cc_labels: edge list exceeds the bounded control-"
+            f"plane cap ({BOUNDED_CC_EDGES}) — this labeler is only for "
+            "graphs whose node count is corpus-size-independent by "
+            "construction (cells <= geography/eps^2); corpus-dependent "
+            "graphs must use operators.dedup.connected_components"
+        )
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -353,11 +530,23 @@ def cellgrid_assign(
     from ..tables import values_dim
 
     spark = cells.sparkSession
-    head = cells.select(
-        F.col("cx").cast("long").alias("cx"),
-        F.col("cy").cast("long").alias("cy"),
-        F.col("w").cast("long").alias("w"),
-    ).toArrow()
+    head = (
+        cells.select(
+            F.col("cx").cast("long").alias("cx"),
+            F.col("cy").cast("long").alias("cy"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .limit(BOUNDED_CELLS_CAP + 1)
+        .toArrow()
+    )
+    if head.num_rows > BOUNDED_CELLS_CAP:
+        raise ValueError(
+            "cellgrid_assign: occupied-cell count exceeds the bounded-"
+            f"cells cap ({BOUNDED_CELLS_CAP}) — the eps-grid contract "
+            "bounds cells at geography/eps^2 (corpus-size-independent); "
+            "a caller hitting this cap is passing a corpus-dependent "
+            "frame and must use the distributed grid_dbscan cascade"
+        )
     out_schema = "cx bigint, cy bigint, w bigint, cid bigint"
     if head.num_rows == 0:
         return spark.createDataFrame([], out_schema)
@@ -468,6 +657,26 @@ def lloyd_kmeans_nd(
     )
     if not precheckpointed:
         pts = pts.localCheckpoint(eager=False)
+    # Small-corpus fast path (r14) — same contract as lloyd_kmeans_2d's:
+    # one capped Arrow collect, driver loop, distributed fallback above
+    # the cap. The assigned frame comes back as a local relation whose
+    # dim columns are the exact collected doubles; cluster_id is int to
+    # match the distributed CASE literal type.
+    head = _lloyd_head(pts, list(dim_cols))
+    if head is not None:
+        import pandas as pd
+
+        pids, cols = head
+        assign_cid, centroids = _driver_lloyd(pids, cols, k, iters)
+        out = pd.DataFrame({"pid": pd.Series(pids, dtype="int64")})
+        for c, arr in zip(dim_cols, cols):
+            out[c] = pd.Series(arr, dtype="float64")
+        out["cluster_id"] = pd.Series(assign_cid, dtype="int32")
+        schema = "pid long, " + ", ".join(
+            f"`{c}` double" for c in dim_cols
+        ) + ", cluster_id int"
+        assigned = points.sparkSession.createDataFrame(out, schema)
+        return assigned, centroids
     init = pts.orderBy("pid").limit(k).collect()
     centroids = [(i, [float(r[c]) for c in dim_cols]) for i, r in enumerate(init)]
     assigned = None

@@ -315,8 +315,18 @@ def graph_bfs_hops(spark, sf_dir):
     # checkpoint + emptiness probe (~4 scheduler rounds) per level of a
     # <= 25-node frontier (r13: ~0.7s of the query's 0.9s warm time);
     # the driver BFS below yields identical (node, min-hop) levels.
+    # capped (r14): src is the nation dim, so <= 25 x topk rows; the cap
+    # enforces that invariant loudly instead of letting a hypothetical
+    # unbounded key space collect onto the driver
+    edge_cap = 10_000
+    edge_rows = edges.limit(edge_cap + 1).collect()
+    if len(edge_rows) > edge_cap:
+        raise ValueError(
+            f"graph_bfs_hops: edge list exceeds {edge_cap} rows — the "
+            "driver BFS requires the nation-dim-bounded trade graph"
+        )
     adj: dict[int, list[int]] = {}
-    for r in edges.collect():
+    for r in edge_rows:
         adj.setdefault(int(r["src"]), []).append(int(r["dst"]))
     hops = {0: 0}
     frontier = [0]
