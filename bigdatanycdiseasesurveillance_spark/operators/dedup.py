@@ -351,6 +351,11 @@ def connected_components(
     # Spark job per checkpoint (2 upfront + 1 per block) purely to
     # materialize ahead of the probe. Lineage truncation is identical:
     # the lazy checkpoint already replaces the logical plan.
+    # (An explicit repartition(defaultParallelism, "s") before this
+    # checkpoint was A/B-measured on the r14 12M-edge geo graph and
+    # REJECTED: the up-front shuffle of the doubled edge list cost more
+    # than the loop won back at this scale, and at 100 TB the edge list
+    # arrives from wide scans with natural partitioning anyway.)
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
@@ -501,28 +506,40 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("canonical_id"))
 
 
-def simhash_signature(hashes_col: Column, bits: int = 64) -> Column:
-    """SimHash over a precomputed array<long> of token hashes: for each
-    bit b, vote +1/-1 by whether bit b is set across token hashes;
-    signature bit b = (vote > 0). Returned as a long. Column-expression
-    only — the per-bit loop unrolls into JVM bit arithmetic, and hashing
-    each token happens exactly once (callers pass
-    transform(tokens, xxhash64))."""
-    def vote_fn(b):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+def simhash_signature_sql(hashes_expr: str, bits: int = 64) -> str:
+    """SimHash as ONE SQL expression string over `hashes_expr` (the SQL
+    text of an array<long> of token hashes): for each bit b, vote +1/-1
+    by whether bit b is set across token hashes; signature bit b =
+    (vote > 0); result is a long.
 
-    sig = F.lit(0).cast("long")
+    A string, not Column objects (r14, the r13 k-means Py4J-chatter
+    fix): the previous 64-iteration Column build — an aggregate lambda,
+    a when-chain and a bitwise OR per bit — cost ~8-9 s of driver
+    round trips PER CALL (dedup_simhash's entire build phase); one
+    parsed expression costs ~0.2 s. Every operation is exact 64-bit
+    integer arithmetic, so the computed signatures are identical by
+    construction (pinned by the existing known-signature tests)."""
+    bit_terms = []
     for b in range(bits):
-        vote = F.aggregate(hashes_col, F.lit(0).cast("long"), vote_fn(b))
-        # set bit b via shiftleft (2**63 would overflow a Python->long
-        # literal; shifting keeps it in Java long arithmetic)
-        bit = F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-            F.lit(0).cast("long")
+        vote = (
+            f"aggregate({hashes_expr}, CAST(0 AS BIGINT), (acc, h) ->"
+            f" acc + (CASE WHEN (shiftright(h, {b}) & 1) = 1"
+            f" THEN 1 ELSE -1 END))"
         )
-        sig = sig.bitwiseOR(bit)
-    return sig
+        # set bit b via shiftleft (2**63 would overflow a literal;
+        # shifting keeps it in Java long arithmetic)
+        bit_terms.append(
+            f"(CASE WHEN {vote} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b})"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "CAST(0 AS BIGINT) | " + " | ".join(bit_terms)
+
+
+def simhash_signature(hashes_expr: str, bits: int = 64) -> Column:
+    """simhash_signature_sql as a Column. Takes the SQL TEXT of the
+    hashes expression (e.g. "transform(tok, t -> xxhash64(t))"), not a
+    Column — see simhash_signature_sql for why."""
+    return F.expr(simhash_signature_sql(hashes_expr, bits))
 
 
 def simhash_pairs(
@@ -542,7 +559,7 @@ def simhash_pairs(
         F.col(id_col).alias("id"),
         F.transform(distinct_tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
     )
-    sigs = hashed.select("id", simhash_signature(F.col("th"), bits).alias("sig"))
+    sigs = hashed.select("id", simhash_signature("th", bits).alias("sig"))
     banded = sigs.select(
         "id",
         "sig",

@@ -154,7 +154,21 @@ def fingerprint_pairs(
     quadratic buckets). Bucketed equi-join on the fingerprint: shuffle
     is linear in the fingerprint table, never all-pairs.
     Returns (id_a, id_b, n_shared)."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    from ..tables import parallelize_scan
+
+    # The winnow expression is O(len*k) per doc — quadratic-class
+    # per-row compute on a byte-small scan, so (r14) the input is
+    # round-robin-spread across the cores (a single-row-group bench
+    # corpus otherwise runs it on ONE task; at 100 TB the scan has
+    # thousands of splits and this is a no-op), and the fingerprint
+    # table is lazily checkpointed: it feeds the rare-fingerprint
+    # aggregate AND both sides of the self-join, and each consumer —
+    # two of them broadcast-exchange futures — was re-computing the
+    # whole winnow pass (profiled r14: three single-task 3.4-4.8 s jobs
+    # inside dedup_fingerprint_pairs' 13 s warm time; ~1.5 s after).
+    fps = winnow_fingerprints(
+        parallelize_scan(df.select(id_col, text_col)), text_col, id_col, k, w
+    ).localCheckpoint(eager=False)
     rare = (
         fps.groupBy("fingerprint")
         .agg(F.count("*").alias("df_count"))

@@ -528,6 +528,9 @@ def dedup_incremental_new_vs_old(spark, sf_dir):
     toks, masks = SS.mask_relation(
         docs, extra_cols=((F.col("doc_id") % 5 == 0).alias("is_new"),)
     )
+    # one materialization feeding gm/gn/go (each checkpoint below was
+    # re-running the whole mask_relation subtree) (r14)
+    masks = masks.localCheckpoint(eager=False)
     gm = (
         masks.groupBy("mask")
         .agg(F.min("id").alias("rep"))
@@ -545,7 +548,11 @@ def dedup_incremental_new_vs_old(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("c"))
         .localCheckpoint(eager=False)
     )
-    banded = SS.minhash_md5_set_bands(SS.mask_token_rows(gm, toks))
+    # the md5-minhash band table feeds BOTH sides of the band join —
+    # materialize it once instead of signing the corpus twice (r14)
+    banded = SS.minhash_md5_set_bands(
+        SS.mask_token_rows(gm, toks)
+    ).localCheckpoint(eager=False)
     cand = (
         banded.alias("bn")
         .join(F.broadcast(gn.select("mask")), "mask", "left_semi")

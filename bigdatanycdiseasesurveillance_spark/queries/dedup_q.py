@@ -309,9 +309,7 @@ def dedup_simhash(spark, sf_dir):
     )
     sigs = rep_toks.select(
         "mask",
-        D.simhash_signature(
-            F.transform(F.col("tok"), lambda t: F.xxhash64(t))
-        ).alias("sig"),
+        D.simhash_signature("transform(tok, t -> xxhash64(t))").alias("sig"),
     ).localCheckpoint(eager=False)
     # the operator's chunk blocking, verbatim, over distinct sets —
     # built by the SAME helper the production simhash_pairs uses

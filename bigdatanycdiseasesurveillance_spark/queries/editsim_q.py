@@ -191,10 +191,18 @@ def _hamming_masked_pairs(spark, c):
             " substring(name, j + 1, len - j))"
         )
     )
+    # spread the byte-small scan (single row group at bench scale; no-op
+    # on split inputs) and materialize the masked explosion ONCE — it
+    # feeds both sides of the mkey self-join, and each side was
+    # re-running the x|spec| explode + string builds (r14)
+    from ..tables import parallelize_scan
+
     masked = (
-        c.withColumn("len", F.length("name"))
+        parallelize_scan(c)
+        .withColumn("len", F.length("name"))
         .join(F.broadcast(spec_df), "len")
         .select("id", "name", "len", "i", "j", mkey.alias("mkey"))
+        .localCheckpoint(eager=False)
     )
     a = masked.select(
         F.col("id").alias("ai"), F.col("name").alias("an"), "len", "i", "j", "mkey"

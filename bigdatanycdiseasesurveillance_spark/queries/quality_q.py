@@ -459,7 +459,11 @@ def dq_group_split_leakfree(spark, sf_dir):
     from ..operators import dedup as D
 
     docs = table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, threshold=0.7)
+    # lazy checkpoint (r14): the blocked pair join feeds BOTH the CC
+    # labeling and the audit join below — without it the quadratic pair
+    # join is planned and executed once per consumer (2-3x; CC's own
+    # edge materialization covers only its branch)
+    pairs = D.jaccard_pairs(docs, threshold=0.7).localCheckpoint(eager=False)
     labels = D.connected_components(pairs)
     canon = (
         docs.select("doc_id")

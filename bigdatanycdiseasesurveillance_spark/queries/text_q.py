@@ -321,8 +321,11 @@ def txt_winnow_profile(spark, sf_dir):
     fingerprint. Exact integer arithmetic, value-hash-matched against
     the DuckDB replay."""
     from ..operators.fingerprint import winnow_set
+    from ..tables import parallelize_scan
 
-    d = table(spark, sf_dir, "documents")
+    # O(len*k)-per-row winnow expression: spread the byte-small scan
+    # across the cores (r14 — no-op at 100 TB where the scan splits)
+    d = parallelize_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
     fp = winnow_set(F.col("text"))
     return d.select(
         "doc_id",

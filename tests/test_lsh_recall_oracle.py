@@ -118,7 +118,7 @@ def test_simhash_containment_and_pigeonhole_recall(spark, sf_dir):
                 distinct_tokens(F.col("text")), lambda t: F.xxhash64(t)
             ).alias("th"),
         )
-        .select("doc_id", simhash_signature(F.col("th")).alias("sig"))
+        .select("doc_id", simhash_signature("th").alias("sig"))
         .collect()
     )
     ids = np.array([r["doc_id"] for r in sigs])
