@@ -245,6 +245,11 @@ def graph_pagerank_nations(spark, sf_dir):
 _BFS_TOPK = 3
 _BFS_MAX_HOPS = 25
 
+# tree_subtree_rollup's capped driver fast path (r14): at or under this
+# many distinct users the heap-tree rollup runs on the driver; above it
+# the level-synchronous distributed loop runs unchanged
+TREE_FAST_PATH_NODES = 200_000
+
 
 @register(
     "graph_bfs_hops",
@@ -391,6 +396,50 @@ def tree_subtree_rollup(spark, sf_dir):
         )
         .cache()
     )
+    # Small-population fast path (r14, the connected_components/Lloyd
+    # capped-collect device): the node table is one row per DISTINCT
+    # user, and the level-synchronous loop below costs ~4 actions per
+    # tree level (depth = log2 users) — measured 6.5-6.7 s of pure
+    # control plane at sf0.1 against 0.15 s of execution. At or under
+    # the cap the rollup runs on the driver in exact integer arithmetic:
+    # descending-id traversal folds every child into its parent before
+    # the parent folds (heap numbering gives parent < child), which is
+    # the same bottom-up sum the leaf-pruning rounds compute — integer
+    # adds, so bit-identical including the missing-parent drop semantics
+    # (a pushed total whose parent id is absent vanishes in both forms).
+    # Above the cap the distributed loop runs exactly as before.
+    head = nodes.select("node", "sub_v").limit(TREE_FAST_PATH_NODES + 1).toArrow()
+    if 0 < head.num_rows <= TREE_FAST_PATH_NODES and not any(
+        head.column(c).null_count for c in ("node", "sub_v")
+    ):
+        import pandas as pd
+
+        vals = {
+            int(n): [int(v), 1]
+            for n, v in zip(
+                head.column("node").to_pylist(), head.column("sub_v").to_pylist()
+            )
+        }
+        for u in sorted(vals, reverse=True):
+            if u > 0:
+                p = (u - 1) // 2
+                if p in vals:
+                    vals[p][0] += vals[u][0]
+                    vals[p][1] += vals[u][1]
+        out = pd.DataFrame(
+            {
+                "user_id": pd.Series(sorted(vals), dtype="int64"),
+                "n_subtree": pd.Series(
+                    [vals[u][1] for u in sorted(vals)], dtype="int64"
+                ),
+                "subtree_cents": pd.Series(
+                    [vals[u][0] for u in sorted(vals)], dtype="int64"
+                ),
+            }
+        )
+        return spark.createDataFrame(
+            out, "user_id long, n_subtree long, subtree_cents long"
+        )
     cur = nodes.select("node", "parent", "sub_v", F.col("n").alias("n_subtree"))
     done = None
     for _ in range(40):  # bound >> any realistic depth; loop exits at root

@@ -115,6 +115,24 @@ def test_bounded_driver_collects_raise_over_cap(spark, monkeypatch):
         C.bounded_cc_labels(edges)
 
 
+def test_tree_rollup_fast_path_equals_distributed(spark, sf_dir, monkeypatch):
+    """tree_subtree_rollup's capped driver rollup must match the
+    level-synchronous distributed loop row for row (exact integer
+    arithmetic, including the missing-parent drop semantics)."""
+    from bigdatanycdiseasesurveillance_spark.queries import graph_q as G
+
+    fast = {
+        r["user_id"]: (r["n_subtree"], r["subtree_cents"])
+        for r in G.tree_subtree_rollup(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(G, "TREE_FAST_PATH_NODES", -1)  # force the loop
+    slow = {
+        r["user_id"]: (r["n_subtree"], r["subtree_cents"])
+        for r in G.tree_subtree_rollup(spark, sf_dir).collect()
+    }
+    assert fast == slow and len(fast) > 0
+
+
 def test_lloyd_fast_path_falls_back_on_nulls(spark):
     """A null coordinate must not take the driver path (numpy would
     coerce to NaN and silently change assignment semantics) — the
